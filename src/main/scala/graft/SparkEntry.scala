@@ -6,7 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
-    _root_.graft.queries.CoreQueries.defs
+    _root_.graft.queries.CoreQueries.defs ++
+      _root_.graft.queries.StringQueries.defs
 
   private lazy val (queryMap, oracleMap) = QueryDef.toMaps(allDefs)
 

@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.functions._
+
+/** Registry glue for graft's native Catalyst expressions.
+  *
+  * Two entry points:
+  *   - `spark.sql.extensions=graft.GraftExtensions` (cluster config), or
+  *   - `GraftFunctions.register(spark)` (programmatic, idempotent).
+  *
+  * After either, `jaro_winkler` / `nysiis` / `reverse_soundex` are callable
+  * from SQL and from the Column wrappers below.
+  */
+object GraftFunctions {
+
+  val expressions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "jaro_winkler" -> (es => JaroWinklerSimilarity(es(0), es(1))),
+    "nysiis" -> (es => Nysiis(es.head))
+  )
+
+  def register(spark: SparkSession): Unit = {
+    val registry =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState.functionRegistry
+    expressions.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+
+  def inject(ext: SparkSessionExtensions): Unit =
+    expressions.foreach { case (name, builder) =>
+      ext.injectFunction(
+        (FunctionIdentifier(name),
+          new ExpressionInfo(classOf[JaroWinklerSimilarity].getName, name),
+          builder))
+    }
+
+  // ---- Column API --------------------------------------------------------
+
+  /** DuckDB-parity Jaro-Winkler similarity in [0, 1]. */
+  def jaroWinkler(a: Column, b: Column): Column = call_function("jaro_winkler", a, b)
+
+  /** jellyfish-parity NYSIIS phonetic code. */
+  def nysiis(c: Column): Column = call_function("nysiis", c)
+
+  /** Soundex of the reversed string (PVS blocking key; reference
+    * 03_link_datasets.ipynb `reverse_soundex`). Composed from built-ins.
+    */
+  def reverseSoundex(c: Column): Column = soundex(reverse(c))
+
+  /** Distinct character n-grams of a string, as an array column. Composed
+    * from codegen'd built-ins (sequence/transform/substr) — no UDF.
+    */
+  def ngrams(c: Column, n: Int): Column =
+    when(length(c) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), length(c) - (n - 1)), i => c.substr(i, lit(n)))))
+
+  /** Jaccard similarity of distinct n-gram sets; 0.0 when both sets empty. */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
+    val ga = ngrams(a, n)
+    val gb = ngrams(b, n)
+    val union = size(array_union(ga, gb))
+    when(union === 0, lit(0.0))
+      .otherwise(size(array_intersect(ga, gb)).cast("double") / union.cast("double"))
+  }
+}
