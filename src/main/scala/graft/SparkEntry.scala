@@ -7,6 +7,7 @@ object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
     _root_.graft.queries.CoreQueries.defs ++
+      _root_.graft.queries.PrepQueries.defs ++
       _root_.graft.queries.StringQueries.defs
 
   private lazy val (queryMap, oracleMap) = QueryDef.toMaps(allDefs)

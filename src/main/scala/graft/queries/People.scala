@@ -10,6 +10,12 @@ import org.apache.spark.sql.functions._
   * "messy" variants inject deterministic typos (drop/swap/append) the way
   * the reference's simulated census data carries noise
   * (/root/reference/02_generate_simulated_data*.ipynb).
+  *
+  * `persons` extends the base name records with address parts (raw, with
+  * deterministic dirt: stray case, doubled whitespace, padding), a DOB in
+  * mixed formats, and account balance — the full input surface of the
+  * reference's preprocessing stage (/root/reference/03_link_datasets.ipynb
+  * "Pre-processing" cells).
   */
 object People {
 
@@ -22,6 +28,20 @@ object People {
     "SMITH", "JOHNSON", "WILLIAMS", "BROWN", "JONES", "GARCIA", "MILLER",
     "DAVIS", "RODRIGUEZ", "MARTINEZ", "HERNANDEZ", "LOPEZ", "GONZALEZ",
     "WILSON", "ANDERSON", "TAYLOR", "MOORE", "JACKSON", "MARTIN", "LEE")
+
+  val streetNames: Seq[String] = Seq(
+    "MAPLE STREET", "OAK AVENUE", "CEDAR ROAD", "ELM BOULEVARD", "PINE DRIVE",
+    "WASHINGTON LANE", "LAKE STREET", "HILL ROAD", "SUNSET BOULEVARD",
+    "RIVER AVENUE", "PARK DRIVE", "NORTH MAIN STREET", "SOUTH HIGH STREET",
+    "EAST CENTER AVENUE", "WEST SECOND STREET", "THIRD AVENUE",
+    "CHURCH STREET", "SPRING LANE", "MILL ROAD", "FRANKLIN STREET")
+
+  val cities: Seq[String] = Seq(
+    "SPRINGFIELD", "RIVERTON", "FAIRVIEW", "GREENVILLE", "BRISTOL",
+    "CLINTON", "SALEM", "MADISON", "GEORGETOWN", "ARLINGTON")
+
+  val states: Seq[String] = Seq(
+    "CA", "TX", "NY", "FL", "IL", "PA", "OH", "GA", "NC", "MI")
 
   // ---- Spark side --------------------------------------------------------
 
@@ -54,6 +74,53 @@ object People {
       .withColumn("messy_last", typo(col("last_name"), col("k") + 1))
   }
 
+  /** Full preprocessing input: names + middle + raw address parts + mixed-
+    * format DOB + acctbal. Deterministic dirt: k%3 selects a whitespace/case
+    * corruption of the street; k%10 selects unit presence ('' vs NULL vs
+    * APARTMENT n); k%11 makes the DOB unparseable, k%7 makes it US-format.
+    */
+  def persons(s: SparkSession, d: String): DataFrame = {
+    val k = col("k")
+    val street = pick(streetNames, k, 3)
+    val base = Tables.customer(s, d).select(
+      col("c_custkey").as("k"),
+      col("c_acctbal").as("acctbal"),
+      firstName(col("c_custkey")).as("first_name"),
+      lastName(col("c_custkey")).as("last_name"),
+      pick(firstNames, col("c_custkey"), 13).as("middle_name"),
+      pick(cities, col("c_custkey"), 17).as("city"),
+      pick(states, col("c_custkey"), 19).as("state"))
+    val mid = base
+      .withColumn("middle_initial", substring(col("middle_name"), 1, 1))
+      .withColumn("messy_first", typo(col("first_name"), k))
+      .withColumn("messy_last", typo(col("last_name"), k + 1))
+      .withColumn("street_num", (lit(100) + pmod(k * 37, lit(9900))).cast("string"))
+      .withColumn("street_raw",
+        when(pmod(k, lit(3)) === 0, concat(lit("  "), lower(street), lit(" ")))
+          .when(pmod(k, lit(3)) === 1, regexp_replace(street, " ", "  "))
+          .otherwise(street))
+      .withColumn("unit_raw",
+        when(pmod(k, lit(10)) === 0,
+          concat(lit("APARTMENT "), pmod(k, lit(50)).cast("string")))
+          .when(pmod(k, lit(10)) === 5, lit(""))
+          .otherwise(lit(null).cast("string")))
+      .withColumn("zipcode", (lit(10000) + pmod(k * 7919, lit(90000))).cast("string"))
+      .withColumn("dob_year", (lit(1940) + pmod(k * 17, lit(60))).cast("int"))
+      .withColumn("dob_month", (lit(1) + pmod(k * 5, lit(12))).cast("int"))
+      .withColumn("dob_day", (lit(1) + pmod(k * 7, lit(28))).cast("int"))
+    mid.withColumn("dob_raw",
+      when(pmod(k, lit(11)) === 0, lit("UNKNOWN"))
+        .when(pmod(k, lit(7)) === 0,
+          concat(
+            lpad(col("dob_month").cast("string"), 2, "0"), lit("/"),
+            lpad(col("dob_day").cast("string"), 2, "0"), lit("/"),
+            col("dob_year").cast("string")))
+        .otherwise(concat(
+          col("dob_year").cast("string"), lit("-"),
+          lpad(col("dob_month").cast("string"), 2, "0"), lit("-"),
+          lpad(col("dob_day").cast("string"), 2, "0"))))
+  }
+
   // ---- DuckDB-SQL side (identical semantics) -----------------------------
 
   private def sqlList(pool: Seq[String]): String =
@@ -79,4 +146,40 @@ object People {
        |           ${pickSql(firstNames, "c_custkey", 7)} AS first_name,
        |           ${pickSql(lastNames, "c_custkey", 11)} AS last_name
        |    FROM customer))""".stripMargin
+
+  /** CTE producing the same columns as [[persons]]. */
+  val personsCte: String =
+    s"""persons AS (
+       |  SELECT *,
+       |         CASE WHEN k % 11 = 0 THEN 'UNKNOWN'
+       |              WHEN k % 7 = 0 THEN lpad(CAST(dob_month AS VARCHAR), 2, '0') || '/' ||
+       |                   lpad(CAST(dob_day AS VARCHAR), 2, '0') || '/' || CAST(dob_year AS VARCHAR)
+       |              ELSE CAST(dob_year AS VARCHAR) || '-' ||
+       |                   lpad(CAST(dob_month AS VARCHAR), 2, '0') || '-' ||
+       |                   lpad(CAST(dob_day AS VARCHAR), 2, '0') END AS dob_raw
+       |  FROM (
+       |    SELECT k, acctbal, first_name, last_name, middle_name, city, state,
+       |           substr(middle_name, 1, 1) AS middle_initial,
+       |           ${typoSql("first_name", "k")} AS messy_first,
+       |           ${typoSql("last_name", "k + 1")} AS messy_last,
+       |           CAST(100 + (k * 37) % 9900 AS VARCHAR) AS street_num,
+       |           CASE WHEN k % 3 = 0 THEN '  ' || lower(street) || ' '
+       |                WHEN k % 3 = 1 THEN replace(street, ' ', '  ')
+       |                ELSE street END AS street_raw,
+       |           CASE WHEN k % 10 = 0 THEN 'APARTMENT ' || CAST(k % 50 AS VARCHAR)
+       |                WHEN k % 10 = 5 THEN ''
+       |                ELSE NULL END AS unit_raw,
+       |           CAST(10000 + (k * 7919) % 90000 AS VARCHAR) AS zipcode,
+       |           CAST(1940 + (k * 17) % 60 AS INTEGER) AS dob_year,
+       |           CAST(1 + (k * 5) % 12 AS INTEGER) AS dob_month,
+       |           CAST(1 + (k * 7) % 28 AS INTEGER) AS dob_day
+       |    FROM (
+       |      SELECT c_custkey AS k, c_acctbal AS acctbal,
+       |             ${pickSql(firstNames, "c_custkey", 7)} AS first_name,
+       |             ${pickSql(lastNames, "c_custkey", 11)} AS last_name,
+       |             ${pickSql(firstNames, "c_custkey", 13)} AS middle_name,
+       |             ${pickSql(streetNames, "c_custkey", 3)} AS street,
+       |             ${pickSql(cities, "c_custkey", 17)} AS city,
+       |             ${pickSql(states, "c_custkey", 19)} AS state
+       |      FROM customer)))""".stripMargin
 }

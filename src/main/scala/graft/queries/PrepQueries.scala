@@ -1,0 +1,172 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.operators.Preprocess
+import graft.operators.Preprocess._
+import org.apache.spark.sql.functions._
+
+/** §2.B — linkage preprocessing (reference 03_link_datasets.ipynb
+  * "Pre-processing": address standardization, geokey, truncated names, cut
+  * columns, DOB split, nickname expansion, fake-name null-out, probable-GQ
+  * detection). All scalar transforms are codegen'd map-side work; the two
+  * joins (nicknames, fake names) broadcast tiny dimension lists.
+  */
+object PrepQueries {
+
+  private val withPersons = s"WITH ${People.personsCte}"
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q13_std_address",
+      (s, d) =>
+        People.persons(s, d).select(
+          col("k"),
+          col("street_num"),
+          standardizeAddressPart(col("street_raw")).as("std_street"),
+          standardizeAddressPart(col("unit_raw")).as("std_unit"),
+          standardizeAddressPart(col("city")).as("std_city")),
+      Some(s"""$withPersons
+              |SELECT k, street_num,
+              |       ${standardizeAddressPartSql("street_raw")} AS std_street,
+              |       ${standardizeAddressPartSql("unit_raw")} AS std_unit,
+              |       ${standardizeAddressPartSql("city")} AS std_city
+              |FROM persons""".stripMargin)
+    ),
+    QueryDef(
+      "q14_geokey",
+      (s, d) =>
+        People.persons(s, d).select(
+          col("k"),
+          Preprocess.geokey(
+            col("street_num"),
+            standardizeAddressPart(col("street_raw")),
+            standardizeAddressPart(col("unit_raw")),
+            col("city"), col("state"), col("zipcode")).as("geokey")),
+      Some(s"""$withPersons
+              |SELECT k,
+              |       ${geokeySql(Seq(
+                        "street_num",
+                        standardizeAddressPartSql("street_raw"),
+                        standardizeAddressPartSql("unit_raw"),
+                        "city", "state", "zipcode"))} AS geokey
+              |FROM persons""".stripMargin)
+    ),
+    QueryDef(
+      "q15_trunc_names",
+      (s, d) =>
+        People.persons(s, d).select(
+          col("k"),
+          substring(col("first_name"), 1, 15).as("first_name_15"),
+          substring(col("last_name"), 1, 12).as("last_name_12"),
+          substring(col("first_name"), 1, 1).as("fn1"),
+          substring(col("first_name"), 1, 2).as("fn2"),
+          substring(col("first_name"), 1, 3).as("fn3"),
+          substring(col("last_name"), 1, 1).as("ln1"),
+          col("middle_initial")),
+      Some(s"""$withPersons
+              |SELECT k,
+              |       substr(first_name, 1, 15) AS first_name_15,
+              |       substr(last_name, 1, 12) AS last_name_12,
+              |       substr(first_name, 1, 1) AS fn1,
+              |       substr(first_name, 1, 2) AS fn2,
+              |       substr(first_name, 1, 3) AS fn3,
+              |       substr(last_name, 1, 1) AS ln1,
+              |       middle_initial
+              |FROM persons""".stripMargin)
+    ),
+    QueryDef(
+      "q16_cut_columns",
+      (s, d) =>
+        People.persons(s, d).select(
+          col("k"),
+          substring(col("zipcode"), 1, 3).as("zip3"),
+          initialCut(substring(col("messy_first"), 1, 1)).as("cut_first"),
+          initialCut(substring(col("messy_last"), 1, 1)).as("cut_last")),
+      Some(s"""$withPersons
+              |SELECT k,
+              |       substr(zipcode, 1, 3) AS zip3,
+              |       ${initialCutSql("substr(messy_first, 1, 1)")} AS cut_first,
+              |       ${initialCutSql("substr(messy_last, 1, 1)")} AS cut_last
+              |FROM persons""".stripMargin)
+    ),
+    QueryDef(
+      "q17_split_dob",
+      (s, d) => {
+        val dob = tolerantDate(col("dob_raw"))
+        People.persons(s, d).select(
+          col("k"),
+          col("dob_raw"),
+          year(dob).as("byear"),
+          month(dob).as("bmonth"),
+          dayofmonth(dob).as("bday"))
+      },
+      Some(s"""$withPersons
+              |SELECT k, dob_raw,
+              |       CAST(EXTRACT(year FROM d) AS INTEGER) AS byear,
+              |       CAST(EXTRACT(month FROM d) AS INTEGER) AS bmonth,
+              |       CAST(EXTRACT(day FROM d) AS INTEGER) AS bday
+              |FROM (SELECT k, dob_raw, ${tolerantDateSql("dob_raw")} AS d FROM persons)""".stripMargin)
+    ),
+    QueryDef(
+      "q18_nickname_expand",
+      (s, d) => {
+        val p = People.persons(s, d).select("k", "first_name", "last_name")
+        val nick = broadcast(
+          s.createDataFrame(Preprocess.nicknames).toDF("name", "alt"))
+        val orig = p.select(col("k"), col("first_name"), col("last_name"),
+          col("first_name").as("name_variant"), lit("orig").as("variant_type"))
+        val alts = p.join(nick, p("first_name") === nick("name"))
+          .select(col("k"), col("first_name"), col("last_name"),
+            col("alt").as("name_variant"), lit("nick").as("variant_type"))
+        orig.unionByName(alts)
+      },
+      Some(s"""$withPersons,
+              |nick AS (SELECT * FROM (VALUES ${Preprocess.nicknamesSqlValues}) t(name, alt))
+              |SELECT k, first_name, last_name, first_name AS name_variant, 'orig' AS variant_type FROM persons
+              |UNION ALL
+              |SELECT k, first_name, last_name, alt AS name_variant, 'nick' AS variant_type
+              |FROM persons JOIN nick ON first_name = nick.name""".stripMargin)
+    ),
+    QueryDef(
+      "q19_fake_name_nullout",
+      (s, d) => {
+        val p = People.persons(s, d).select("k", "first_name", "last_name")
+        val fakes = broadcast(
+          s.createDataFrame(Preprocess.fakeNames.map(Tuple1(_))).toDF("fake"))
+        p.join(fakes, p("first_name") === fakes("fake"), "left")
+          .select(
+            col("k"),
+            when(col("fake").isNotNull, lit(null).cast("string"))
+              .otherwise(col("first_name")).as("first_clean"),
+            col("last_name"),
+            col("fake").isNotNull.as("was_fake"))
+      },
+      Some(s"""$withPersons,
+              |fakes AS (SELECT * FROM (VALUES ${Preprocess.fakeNamesSqlValues}) t(fake))
+              |SELECT k,
+              |       CASE WHEN fake IS NOT NULL THEN NULL ELSE first_name END AS first_clean,
+              |       last_name,
+              |       fake IS NOT NULL AS was_fake
+              |FROM persons LEFT JOIN fakes ON first_name = fake""".stripMargin)
+    ),
+    QueryDef(
+      // Probable-group-quarters detection: locations housing unusually many
+      // people (reference thresholds groupby sums/means over geokeys).
+      "q20_gq_threshold",
+      (s, d) =>
+        People.persons(s, d)
+          .groupBy("city", "state")
+          .agg(
+            count(lit(1)).as("n_people"),
+            (sum(col("acctbal").cast("decimal(28,4)")) / count(lit(1)))
+              .cast("decimal(28,6)").cast("double").as("mean_acctbal"))
+          .filter(col("n_people") >= 10),
+      Some(s"""$withPersons
+              |SELECT city, state, COUNT(*) AS n_people,
+              |       CAST(CAST(SUM(CAST(acctbal AS DECIMAL(28,4))) / COUNT(*) AS DECIMAL(28,6)) AS DOUBLE) AS mean_acctbal
+              |FROM persons
+              |GROUP BY city, state
+              |HAVING COUNT(*) >= 10""".stripMargin)
+    )
+  )
+}
