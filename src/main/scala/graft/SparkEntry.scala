@@ -8,13 +8,14 @@ object SparkEntry {
   private def allDefs: Seq[QueryDef] =
     _root_.graft.queries.CoreQueries.defs ++
       _root_.graft.queries.PrepQueries.defs ++
-      _root_.graft.queries.StringQueries.defs
+      _root_.graft.queries.StringQueries.defs ++
+      _root_.graft.queries.LinkageQueries.defs
 
   private lazy val (queryMap, oracleMap) = QueryDef.toMaps(allDefs)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the full PVS-style linkage cascade on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    queryMap("q02_agg_group")(spark, "/root/testdata/sf0.001")
+    queryMap("q32_cascade_best_link")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = queryMap

@@ -1,0 +1,176 @@
+package graft.linkage
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One blocked predict pass: equi-join on derived key columns that exist
+  * (same-named) on both sides. Keys are plain columns so the join is a
+  * shuffle-on-key hash join Catalyst can plan freely; `salt > 1` splits
+  * skewed blocks the way the reference's salting_partitions does
+  * (/root/reference/03_link_datasets.ipynb `salting_partitions`).
+  */
+final case class BlockingPass(name: String, keys: Seq[String], salt: Int = 1)
+
+final case class LinkageConfig(
+    comparisons: Seq[Comparison],
+    lambda: Double,
+    thresholdWeight: Double,
+    passes: Seq[BlockingPass])
+
+/** The PVS-style cascade (reference 03_link_datasets.ipynb "Searching":
+  * modules → passes; each pass anti-joins already-linked records, blocks,
+  * scores, thresholds; post-search keeps one unambiguous best link per
+  * input record).
+  *
+  * Scale shape per pass: one shuffle join on the block keys + codegen'd
+  * scalar scoring + one window over rec_id. The accumulated-links anti-join
+  * is a shuffle on rec_id only. Nothing is collected to the driver.
+  */
+object LinkageCascade {
+
+  private def prefixed(df: DataFrame, p: String): DataFrame =
+    df.select(df.columns.map(c => col(c).as(s"$p$c")): _*)
+
+  /** Candidate pairs for a pass: equi-join census × input on block keys.
+    * When `salt > 1`, both sides get a salt column derived from the
+    * join-side row key so one oversized block fans out over `salt`
+    * reducers; correctness is unchanged because the salt is derived from
+    * the block key + a hash of the left row id (joined against all salts).
+    */
+  def pairs(census: DataFrame, input: DataFrame, pass: BlockingPass): DataFrame = {
+    val l = prefixed(census, "l_")
+    val r = prefixed(input, "r_")
+    val cond = pass.keys.map(k => col(s"l_$k") === col(s"r_$k")).reduce(_ && _)
+    if (pass.salt <= 1) l.join(r, cond)
+    else {
+      // Left rows take one deterministic salt; right rows replicate to all.
+      val ls = l.withColumn("salt", pmod(hash(col("l_pik")), lit(pass.salt)))
+      val rs = r.withColumn("salt", explode(sequence(lit(0), lit(pass.salt - 1))))
+      ls.join(rs, cond && (ls("salt") === rs("salt"))).drop("salt")
+    }
+  }
+
+  /** Adds gamma_* columns and match_weight to a prefixed pair frame. */
+  def score(pairsDf: DataFrame, cfg: LinkageConfig): DataFrame = {
+    val withGammas = cfg.comparisons.foldLeft(pairsDf) { (df, c) =>
+      df.withColumn(c.gammaName, FellegiSunter.gammaCol(c))
+    }
+    withGammas.withColumn("match_weight", FellegiSunter.matchWeightCol(cfg.comparisons))
+  }
+
+  /** Post-search resolution (reference "post-search confirm" cells): keep
+    * each input record's max-weight link, dropping records whose top weight
+    * ties across >1 candidate (ambiguous, like PVS's multi-PIK drop).
+    */
+  def bestLink(scored: DataFrame): DataFrame = {
+    val byRec = Window.partitionBy("rec_id")
+    scored
+      .withColumn("w_max", max("match_weight").over(byRec))
+      .filter(col("match_weight") === col("w_max"))
+      .withColumn("n_top", count(lit(1)).over(byRec))
+      .filter(col("n_top") === 1)
+      .drop("w_max", "n_top")
+  }
+
+  /** One full predict pass: block → score → threshold → resolve. */
+  def predict(census: DataFrame, input: DataFrame, pass: BlockingPass, cfg: LinkageConfig): DataFrame =
+    bestLink(
+      score(pairs(census, input, pass), cfg)
+        .filter(col("match_weight") >= cfg.thresholdWeight)
+        .select(col("l_pik").as("pik"), col("r_rec_id").as("rec_id"), col("match_weight")))
+
+  /** The cascade: passes run in order over the not-yet-linked remainder;
+    * links accumulate with the pass that produced them.
+    */
+  def run(census: DataFrame, input: DataFrame, cfg: LinkageConfig): DataFrame = {
+    val (links, _) = cfg.passes.foldLeft((Option.empty[DataFrame], input)) {
+      case ((acc, remaining), pass) =>
+        val passLinks = predict(census, remaining, pass, cfg)
+          .withColumn("pass", lit(pass.name))
+        val nextAcc = Some(acc.fold(passLinks)(_.unionByName(passLinks)))
+        val nextRemaining =
+          remaining.join(passLinks.select("rec_id"), Seq("rec_id"), "left_anti")
+        (nextAcc, nextRemaining)
+    }
+    links.get
+  }
+
+  /** u estimation by deterministic modular sampling of each side BEFORE the
+    * cross join (reference estimates u from random record pairs; sampling
+    * first keeps the cross join tiny at any scale). Returns
+    * (comparison, gamma, n, u_hat).
+    */
+  def estimateU(census: DataFrame, input: DataFrame, cfg: LinkageConfig,
+      modL: Int = 41, modR: Int = 43): DataFrame = {
+    val l = prefixed(census.filter(pmod(col("pik"), lit(modL)) === 0), "l_")
+    val r = prefixed(input.filter(pmod(col("rec_id"), lit(modR)) === 0), "r_")
+    val withGammas = cfg.comparisons.foldLeft(l.crossJoin(r)) { (df, c) =>
+      df.withColumn(c.gammaName, FellegiSunter.gammaCol(c))
+    }
+    val stacked = cfg.comparisons
+      .map(c => withGammas.select(lit(c.name).as("comparison"), col(c.gammaName).as("gamma")))
+      .reduce(_ unionByName _)
+    stacked
+      .groupBy("comparison", "gamma")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("u_hat",
+        round(col("n").cast("double") /
+          sum("n").over(Window.partitionBy("comparison")).cast("double"), 6))
+  }
+
+  /** EM for m-probabilities with u and lambda fixed (the reference trains m
+    * via Splink EM on blocked pairs with λ fixed). The comparison-vector
+    * frame is built ONCE and cached; each iteration is a single map-side
+    * aggregate (no extra shuffles), with only per-level scalars collected.
+    */
+  def emTrainM(census: DataFrame, input: DataFrame, trainingPass: BlockingPass,
+      cfg: LinkageConfig, iterations: Int = 5): Seq[(String, Int, Double)] = {
+    val cv = cfg.comparisons
+      .foldLeft(pairs(census, input, trainingPass)) { (df, c) =>
+        df.withColumn(c.gammaName, FellegiSunter.gammaCol(c))
+      }
+      .select(cfg.comparisons.map(c => col(c.gammaName)): _*)
+      .cache()
+
+    // init: strongest level 0.8, rest of the mass uniform over lower levels
+    var m: Map[(String, Int), Double] = cfg.comparisons.flatMap { c =>
+      val lower = c.numLevels // levels 0..n-1 share 0.2
+      c.params.map { case (g, _, _) =>
+        (c.name, g) -> (if (g == c.numLevels) 0.8 else 0.2 / lower)
+      }
+    }.toMap
+
+    def caseOver(c: Comparison, f: Int => Double): Column =
+      c.params.init.foldLeft(Option.empty[Column]) { case (acc, (g, _, _)) =>
+        val cond = col(c.gammaName) === lit(g)
+        Some(acc.fold(when(cond, lit(f(g))))(_.when(cond, lit(f(g)))))
+      }.get.otherwise(lit(f(0)))
+
+    for (_ <- 1 to iterations) {
+      val mProd = cfg.comparisons.map(c => caseOver(c, g => m((c.name, g)))).reduce(_ * _)
+      val uProd = cfg.comparisons.map { c =>
+        val us = c.params.map { case (g, _, u) => g -> u }.toMap
+        caseOver(c, us)
+      }.reduce(_ * _)
+      val p = lit(cfg.lambda) * mProd /
+        (lit(cfg.lambda) * mProd + lit(1.0 - cfg.lambda) * uProd)
+
+      val aggs = sum(p).as("p_total") +:
+        cfg.comparisons.flatMap { c =>
+          c.params.map { case (g, _, _) =>
+            sum(when(col(c.gammaName) === g, p).otherwise(lit(0.0))).as(s"${c.name}__$g")
+          }
+        }
+      val row = cv.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val total = row.getAs[Double]("p_total")
+      m = cfg.comparisons.flatMap { c =>
+        c.params.map { case (g, _, _) =>
+          (c.name, g) -> row.getAs[Double](s"${c.name}__$g") / total
+        }
+      }.toMap
+    }
+    cv.unpersist()
+    cfg.comparisons.flatMap(c => c.params.map { case (g, _, _) => (c.name, g, m((c.name, g))) })
+  }
+}

@@ -1,0 +1,124 @@
+package graft.linkage
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Fellegi-Sunter comparison model, declared once and rendered to BOTH a
+  * Spark Column tree and DuckDB SQL — the two engines cannot drift because
+  * they share the config object.
+  *
+  * Reference semantics: Splink comparison levels
+  * (/root/reference/03_link_datasets.ipynb "Fellegi-Sunter model":
+  * jaro_winkler_at_thresholds, exact middle_initial, numeric abs-diff DOB
+  * levels). Everything here resolves to literals and codegen'd scalar
+  * expressions at plan time, so a predict pass is ONE join + projections —
+  * Catalyst sees through all of it, and at 100 TB the cost is the blocking
+  * shuffle alone.
+  */
+sealed trait LevelPred
+final case class JwAtLeast(threshold: Double) extends LevelPred
+case object ExactMatch extends LevelPred
+final case class AbsDiffAtMost(d: Int) extends LevelPred
+
+/** One agreement level: predicate + fixed m/u probabilities. */
+final case class ComparisonLevel(pred: LevelPred, m: Double, u: Double)
+
+/** A comparison over one column shared by both sides. Levels are ordered
+  * strongest-first; gamma = numLevels..1, else-level gamma = 0.
+  */
+final case class Comparison(
+    name: String,
+    column: String,
+    levels: Seq[ComparisonLevel],
+    elseM: Double,
+    elseU: Double) {
+  def gammaName: String = s"gamma_$name"
+  def numLevels: Int = levels.size
+  /** (gamma → m, u), including the else level at gamma 0. */
+  def params: Seq[(Int, Double, Double)] =
+    levels.zipWithIndex.map { case (l, i) => (numLevels - i, l.m, l.u) } :+ (0, elseM, elseU)
+}
+
+object FellegiSunter {
+
+  private def log2(x: Double): Double = math.log(x) / math.log(2.0)
+
+  // ---- Spark renderers ---------------------------------------------------
+
+  def predCol(p: LevelPred, l: Column, r: Column): Column = p match {
+    case JwAtLeast(t)     => GraftFunctions.jaroWinkler(l, r) >= lit(t)
+    case ExactMatch       => l === r
+    case AbsDiffAtMost(d) => abs(l - r) <= lit(d)
+  }
+
+  /** Gamma level column for a prefixed pair frame (l_/r_ columns). */
+  def gammaCol(c: Comparison): Column = {
+    val l = col(s"l_${c.column}")
+    val r = col(s"r_${c.column}")
+    val chain = c.levels.zipWithIndex.foldLeft(Option.empty[Column]) {
+      case (acc, (level, i)) =>
+        val cond = predCol(level.pred, l, r)
+        Some(acc.fold(when(cond, lit(c.numLevels - i)))(_.when(cond, lit(c.numLevels - i))))
+    }
+    chain.get.otherwise(lit(0))
+  }
+
+  /** log2 Bayes factor selected by this comparison's gamma column. */
+  def weightTermCol(c: Comparison): Column = {
+    val g = col(c.gammaName)
+    val chain = c.params.init.foldLeft(Option.empty[Column]) {
+      case (acc, (gamma, m, u)) =>
+        val cond = g === lit(gamma)
+        val w = lit(log2(m / u))
+        Some(acc.fold(when(cond, w))(_.when(cond, w)))
+    }
+    chain.get.otherwise(lit(log2(c.elseM / c.elseU)))
+  }
+
+  /** Sum of per-comparison weight terms (left-associated, matching SQL). */
+  def matchWeightCol(comparisons: Seq[Comparison]): Column =
+    comparisons.map(weightTermCol).reduceLeft(_ + _)
+
+  /** Posterior match probability from a weight column (round before
+    * comparing across engines — pow may differ in the last ulp).
+    */
+  def probabilityCol(weight: Column, lambda: Double): Column = {
+    val odds = lit(lambda / (1.0 - lambda)) * pow(lit(2.0), weight)
+    odds / (odds + lit(1.0))
+  }
+
+  // ---- DuckDB-SQL renderers (identical semantics by construction) --------
+
+  def predSql(p: LevelPred, l: String, r: String): String = p match {
+    case JwAtLeast(t)     => s"jaro_winkler_similarity($l, $r) >= $t"
+    case ExactMatch       => s"$l = $r"
+    case AbsDiffAtMost(d) => s"abs($l - $r) <= $d"
+  }
+
+  /** Gamma CASE for table aliases (c = left/census, i = right/input). */
+  def gammaSql(c: Comparison, la: String, ra: String): String = {
+    val cases = c.levels.zipWithIndex.map { case (level, i) =>
+      s"WHEN ${predSql(level.pred, s"$la.${c.column}", s"$ra.${c.column}")} THEN ${c.numLevels - i}"
+    }
+    s"CASE ${cases.mkString(" ")} ELSE 0 END"
+  }
+
+  /** Weight CASE over an existing gamma column. Double literals are printed
+    * with shortest-roundtrip repr so both parsers recover identical bits.
+    */
+  def weightTermSql(c: Comparison): String = {
+    val cases = c.params.init.map { case (gamma, m, u) =>
+      s"WHEN ${c.gammaName} = $gamma THEN ${log2(m / u)}"
+    }
+    s"CASE ${cases.mkString(" ")} ELSE ${log2(c.elseM / c.elseU)} END"
+  }
+
+  def matchWeightSql(comparisons: Seq[Comparison]): String =
+    comparisons.map(c => s"(${weightTermSql(c)})").mkString(" + ")
+
+  def probabilitySql(weight: String, lambda: Double): String = {
+    val priorOdds = lambda / (1.0 - lambda)
+    s"(($priorOdds * pow(2, $weight)) / (($priorOdds * pow(2, $weight)) + 1.0))"
+  }
+}

@@ -43,14 +43,31 @@ object People {
   val states: Seq[String] = Seq(
     "CA", "TX", "NY", "FL", "IL", "PA", "OH", "GA", "NC", "MI")
 
+  /** Per-field (multiplier, modulus) pairs for index derivation. The pool
+    * index is ((k*P) % Q) % size with gcd(P, Q) = 1 and Q large, so the
+    * period of every field is Q and the JOINT cycle of (names, DOB) is
+    * astronomically long — a small-modulus scheme would mint exact
+    * "doppelgänger" clones every lcm(periods) rows, which makes blocked
+    * linkage degenerate (every best-link is an ambiguous tie).
+    */
+  private val firstPQ = (7919, 104729)
+  private val lastPQ = (6841, 104723)
+  private val middlePQ = (5801, 104717)
+  private val streetPQ = (4789, 104711)
+  private val cityPQ = (3571, 104707)
+  private val statePQ = (2693, 104701)
+  val yearPQ: (Int, Int) = (6007, 104681)
+  val monthPQ: (Int, Int) = (3511, 104651)
+  val dayPQ: (Int, Int) = (2003, 104647)
+
   // ---- Spark side --------------------------------------------------------
 
-  private def pick(pool: Seq[String], k: Column, mult: Int): Column =
+  private def pick(pool: Seq[String], k: Column, pq: (Int, Int)): Column =
     element_at(array(pool.map(lit): _*),
-      (pmod(k * mult, lit(pool.size)) + 1).cast("int"))
+      (pmod(pmod(k * pq._1, lit(pq._2)), lit(pool.size)) + 1).cast("int"))
 
-  def firstName(k: Column): Column = pick(firstNames, k, 7)
-  def lastName(k: Column): Column = pick(lastNames, k, 11)
+  def firstName(k: Column): Column = pick(firstNames, k, firstPQ)
+  def lastName(k: Column): Column = pick(lastNames, k, lastPQ)
 
   /** Deterministic typo: k%4==0 drop 2nd char, ==1 swap first two chars,
     * ==2 append 'X', else unchanged.
@@ -81,15 +98,15 @@ object People {
     */
   def persons(s: SparkSession, d: String): DataFrame = {
     val k = col("k")
-    val street = pick(streetNames, k, 3)
+    val street = pick(streetNames, k, streetPQ)
     val base = Tables.customer(s, d).select(
       col("c_custkey").as("k"),
       col("c_acctbal").as("acctbal"),
       firstName(col("c_custkey")).as("first_name"),
       lastName(col("c_custkey")).as("last_name"),
-      pick(firstNames, col("c_custkey"), 13).as("middle_name"),
-      pick(cities, col("c_custkey"), 17).as("city"),
-      pick(states, col("c_custkey"), 19).as("state"))
+      pick(firstNames, col("c_custkey"), middlePQ).as("middle_name"),
+      pick(cities, col("c_custkey"), cityPQ).as("city"),
+      pick(states, col("c_custkey"), statePQ).as("state"))
     val mid = base
       .withColumn("middle_initial", substring(col("middle_name"), 1, 1))
       .withColumn("messy_first", typo(col("first_name"), k))
@@ -105,9 +122,12 @@ object People {
           .when(pmod(k, lit(10)) === 5, lit(""))
           .otherwise(lit(null).cast("string")))
       .withColumn("zipcode", (lit(10000) + pmod(k * 7919, lit(90000))).cast("string"))
-      .withColumn("dob_year", (lit(1940) + pmod(k * 17, lit(60))).cast("int"))
-      .withColumn("dob_month", (lit(1) + pmod(k * 5, lit(12))).cast("int"))
-      .withColumn("dob_day", (lit(1) + pmod(k * 7, lit(28))).cast("int"))
+      .withColumn("dob_year",
+        (lit(1940) + pmod(pmod(k * yearPQ._1, lit(yearPQ._2)), lit(60))).cast("int"))
+      .withColumn("dob_month",
+        (lit(1) + pmod(pmod(k * monthPQ._1, lit(monthPQ._2)), lit(12))).cast("int"))
+      .withColumn("dob_day",
+        (lit(1) + pmod(pmod(k * dayPQ._1, lit(dayPQ._2)), lit(28))).cast("int"))
     mid.withColumn("dob_raw",
       when(pmod(k, lit(11)) === 0, lit("UNKNOWN"))
         .when(pmod(k, lit(7)) === 0,
@@ -126,8 +146,8 @@ object People {
   private def sqlList(pool: Seq[String]): String =
     pool.map(n => s"'$n'").mkString("[", ", ", "]")
 
-  private def pickSql(pool: Seq[String], k: String, mult: Int): String =
-    s"${sqlList(pool)}[1 + ($k * $mult) % ${pool.size}]"
+  private def pickSql(pool: Seq[String], k: String, pq: (Int, Int)): String =
+    s"${sqlList(pool)}[1 + (($k * ${pq._1}) % ${pq._2}) % ${pool.size}]"
 
   def typoSql(name: String, k: String): String =
     s"""CASE WHEN ($k) % 4 = 0 THEN ($name)[1:1] || ($name)[3:]
@@ -143,8 +163,8 @@ object People {
        |         ${typoSql("last_name", "k + 1")} AS messy_last
        |  FROM (
        |    SELECT c_custkey AS k,
-       |           ${pickSql(firstNames, "c_custkey", 7)} AS first_name,
-       |           ${pickSql(lastNames, "c_custkey", 11)} AS last_name
+       |           ${pickSql(firstNames, "c_custkey", firstPQ)} AS first_name,
+       |           ${pickSql(lastNames, "c_custkey", lastPQ)} AS last_name
        |    FROM customer))""".stripMargin
 
   /** CTE producing the same columns as [[persons]]. */
@@ -170,16 +190,16 @@ object People {
        |                WHEN k % 10 = 5 THEN ''
        |                ELSE NULL END AS unit_raw,
        |           CAST(10000 + (k * 7919) % 90000 AS VARCHAR) AS zipcode,
-       |           CAST(1940 + (k * 17) % 60 AS INTEGER) AS dob_year,
-       |           CAST(1 + (k * 5) % 12 AS INTEGER) AS dob_month,
-       |           CAST(1 + (k * 7) % 28 AS INTEGER) AS dob_day
+       |           CAST(1940 + ((k * ${yearPQ._1}) % ${yearPQ._2}) % 60 AS INTEGER) AS dob_year,
+       |           CAST(1 + ((k * ${monthPQ._1}) % ${monthPQ._2}) % 12 AS INTEGER) AS dob_month,
+       |           CAST(1 + ((k * ${dayPQ._1}) % ${dayPQ._2}) % 28 AS INTEGER) AS dob_day
        |    FROM (
        |      SELECT c_custkey AS k, c_acctbal AS acctbal,
-       |             ${pickSql(firstNames, "c_custkey", 7)} AS first_name,
-       |             ${pickSql(lastNames, "c_custkey", 11)} AS last_name,
-       |             ${pickSql(firstNames, "c_custkey", 13)} AS middle_name,
-       |             ${pickSql(streetNames, "c_custkey", 3)} AS street,
-       |             ${pickSql(cities, "c_custkey", 17)} AS city,
-       |             ${pickSql(states, "c_custkey", 19)} AS state
+       |             ${pickSql(firstNames, "c_custkey", firstPQ)} AS first_name,
+       |             ${pickSql(lastNames, "c_custkey", lastPQ)} AS last_name,
+       |             ${pickSql(firstNames, "c_custkey", middlePQ)} AS middle_name,
+       |             ${pickSql(streetNames, "c_custkey", streetPQ)} AS street,
+       |             ${pickSql(cities, "c_custkey", cityPQ)} AS city,
+       |             ${pickSql(states, "c_custkey", statePQ)} AS state
        |      FROM customer)))""".stripMargin
 }

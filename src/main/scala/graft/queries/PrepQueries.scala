@@ -160,13 +160,13 @@ object PrepQueries {
             count(lit(1)).as("n_people"),
             (sum(col("acctbal").cast("decimal(28,4)")) / count(lit(1)))
               .cast("decimal(28,6)").cast("double").as("mean_acctbal"))
-          .filter(col("n_people") >= 10),
+          .filter(col("n_people") >= 3),
       Some(s"""$withPersons
               |SELECT city, state, COUNT(*) AS n_people,
               |       CAST(CAST(SUM(CAST(acctbal AS DECIMAL(28,4))) / COUNT(*) AS DECIMAL(28,6)) AS DOUBLE) AS mean_acctbal
               |FROM persons
               |GROUP BY city, state
-              |HAVING COUNT(*) >= 10""".stripMargin)
+              |HAVING COUNT(*) >= 3""".stripMargin)
     )
   )
 }
