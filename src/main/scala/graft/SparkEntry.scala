@@ -9,7 +9,8 @@ object SparkEntry {
     _root_.graft.queries.CoreQueries.defs ++
       _root_.graft.queries.PrepQueries.defs ++
       _root_.graft.queries.StringQueries.defs ++
-      _root_.graft.queries.LinkageQueries.defs
+      _root_.graft.queries.LinkageQueries.defs ++
+      _root_.graft.queries.PipelineQueries.defs
 
   private lazy val (queryMap, oracleMap) = QueryDef.toMaps(allDefs)
 

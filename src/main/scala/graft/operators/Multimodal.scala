@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: opaque binary payloads + typed metadata,
+  * processed per-partition in batches. The Spark-side shape (schema,
+  * partitioning, batch iteration, typed Encoders) is real and tested; the
+  * actual media decode is a clearly-marked deterministic STUB because no
+  * image/audio codecs ship in this environment — swap `decodeStub` for a
+  * real decoder (JNI/FFI or vectorized batch call) without touching the
+  * pipeline around it.
+  */
+object Multimodal {
+
+  /** An opaque media payload with typed metadata. */
+  final case class MediaRecord(
+      doc_id: Long, content: Array[Byte], width: Int, height: Int, fmt: String)
+
+  /** Extracted features (what a real decoder would emit per record). */
+  final case class MediaFeatures(
+      doc_id: Long, n_bytes: Long, width: Int, height: Int, feat_sum: Long)
+
+  /** STUB decoder: deterministic byte-sum "feature". A real implementation
+    * would decode `content` (JPEG/WAV/...) and emit embeddings or frames;
+    * the signature and batch shape are what matter here.
+    */
+  def decodeStub(r: MediaRecord): MediaFeatures = {
+    var s = 0L
+    var i = 0
+    while (i < r.content.length) { s += (r.content(i) & 0xff); i += 1 }
+    MediaFeatures(r.doc_id, r.content.length.toLong, r.width, r.height, s % 1000003L)
+  }
+
+  /** documents → media records: text bytes stand in for media payloads;
+    * metadata derives deterministically from doc properties.
+    */
+  def mediaRecords(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("content"),
+      (pmod(col("n_chars"), lit(640)) + 1).cast("int").as("width"),
+      (pmod(col("n_chars") * 3, lit(480)) + 1).cast("int").as("height"),
+      element_at(array(lit("jpeg"), lit("png"), lit("wav")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("fmt"))
+      .as[MediaRecord]
+  }
+
+  /** The batch-decode pipeline: co-locate by doc_id (so a real decoder's
+    * per-partition model/codec init amortizes over a batch), then decode
+    * each partition iterator — the mapPartitions shape a Pandas-UDF/Arrow
+    * batch decoder would use.
+    */
+  def extractFeatures(spark: SparkSession, docs: DataFrame, partitions: Int = 8): DataFrame = {
+    import spark.implicits._
+    mediaRecords(spark, docs)
+      .repartition(partitions, col("doc_id"))
+      .mapPartitions(_.map(decodeStub))
+      .toDF()
+  }
+}

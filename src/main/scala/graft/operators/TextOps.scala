@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline primitives for LLM training-data curation (dedup,
+  * language-ID, quality scoring, fingerprinting), composed from codegen'd
+  * built-ins and higher-order functions. Everything here is map-side scalar
+  * work — at 100 TB the only shuffles are the bucket joins the dedup
+  * queries add on top.
+  */
+object TextOps {
+
+  /** Whitespace tokens (the testdata corpus is single-space separated). */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles, space-joined. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val w = words(text)
+    array_distinct(
+      transform(sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
+        i => concat_ws(" ", slice(w, i, lit(n)))))
+  }
+
+  /** Murmur3-based minhash signature over shingles: for each of `k` hash
+    * functions h_i(x) = (a_i*x + b_i) mod p, the min over the shingle set.
+    * Array-composed (k array traversals), stays in codegen.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    val p = 2147483647L // 2^31 - 1
+    val sigs = (0 until k).map { i =>
+      // Independent (a, b) per hash function via a seeded PRNG — a LINEAR
+      // family a_i = a_0*(i+1) makes h_i(x) = y*(i+1)+b_i, so any shingle
+      // with small y = x*a_0 mod p is the argmin for most i and signatures
+      // collapse (observed: J=8/9 pairs sharing only 4/32 positions).
+      val rnd = new java.util.Random(987654321L + i)
+      val a = rnd.nextInt(Int.MaxValue - 2).toLong + 1
+      val b = rnd.nextInt(Int.MaxValue - 1).toLong
+      array_min(transform(shingles,
+        s => pmod(abs(hash(s)).cast("long") * a + b, lit(p))))
+    }
+    array(sigs: _*)
+  }
+
+  /** 64-bit SimHash over word hashes: bit j of the fingerprint is the sign
+    * of the sum of ±1 contributions of each word's bit j.
+    */
+  def simhash64(text: Column): Column = {
+    val w = words(text)
+    val bits = (0 until 64).map { j =>
+      val contrib = aggregate(w, lit(0L), (acc, word) => {
+        val h =
+          if (j < 32) shiftright(abs(hash(word)).cast("long"), j)
+          else shiftright(abs(hash(word, lit(77))).cast("long"), j - 32)
+        acc + when(pmod(h, lit(2L)) === 1L, lit(1L)).otherwise(lit(-1L))
+      })
+      when(contrib > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** Per-language stopword lists for the language-ID heuristic. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "de", "los"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "les", "des", "une"),
+    "zh" -> Seq("de5", "shi4", "le5", "he2"))
+
+  def stopwordHits(text: Column, stops: Seq[String]): Column = {
+    val stopArr = array(stops.map(lit): _*)
+    size(filter(words(text), w => array_contains(stopArr, w)))
+  }
+
+  def stopwordHitsSql(textExpr: String, stops: Seq[String]): String = {
+    val list = stops.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"len(list_filter(string_split($textExpr, ' '), w -> list_contains($list, w)))"
+  }
+
+  /** Polynomial rolling hash of the whole document (base 31, mod 1e9+7) —
+    * an order-sensitive fingerprint, unlike the bag-of-words hashes.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(text)), i => ascii(substr(text, i, lit(1))).cast("long")),
+      lit(0L),
+      (acc, x) => pmod(acc * 31 + x, lit(1000000007L)))
+
+  def fingerprintSql(textExpr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  [CAST(ascii(($textExpr)[i:i]) AS BIGINT) FOR i IN range(1, len($textExpr) + 1)]),
+       |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+}

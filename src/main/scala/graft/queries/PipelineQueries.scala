@@ -1,0 +1,349 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.{Multimodal, TextOps, VectorOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.E — LLM training-data pipeline operators over `documents` and
+  * `embeddings`. Near-duplicates don't occur naturally in the synthetic
+  * corpus, so the dedup family runs over deterministic augmented views
+  * (exact copies + drop-first-word text variants + zero-first-component
+  * embedding variants) built identically in Spark and the DuckDB oracle.
+  *
+  * Scale design: every dedup/AAN path is bucketed (LSH bands, simhash
+  * chunks, label blocks, hyperplane buckets) so candidate generation is an
+  * equi-join, never a cross join; the only cross join is KNN against a
+  * broadcast query set, which is the intended brute-force baseline.
+  */
+object PipelineQueries {
+
+  // ---- augmented views (Spark + CTE in lockstep) -------------------------
+
+  /** documents ∪ near-dup variants (doc_id+100000, first word dropped, for
+    * doc_id%10==0) ∪ exact copies (doc_id+200000, for doc_id%7==0).
+    */
+  def docsWithDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text", "lang", "source", "n_chars")
+    val near = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(
+        (col("doc_id") + 100000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val exact = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select((col("doc_id") + 200000).as("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+    docs.unionByName(near).unionByName(exact)
+  }
+
+  val docs2Cte: String =
+    """docs2 AS (
+      |  SELECT doc_id, text, lang, source, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, substr(text, strpos(text, ' ') + 1), lang, source,
+      |         CAST(length(substr(text, strpos(text, ' ') + 1)) AS BIGINT)
+      |  FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text, lang, source, n_chars
+      |  FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
+  /** embeddings ∪ near-dup variants (vec_id+100000, first component zeroed,
+    * for vec_id%20==0).
+    */
+  def embWithDups(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding", "label")
+    val near = e.filter(pmod(col("vec_id"), lit(20)) === 0)
+      .select(
+        (col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, lit(0.0f)).otherwise(x)).as("embedding"),
+        col("label"))
+    e.unionByName(near)
+  }
+
+  val emb2Cte: String =
+    s"""emb2 AS (
+       |  SELECT vec_id, embedding, label FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000,
+       |         [CASE WHEN i = 1 THEN CAST(0 AS FLOAT) ELSE embedding[i] END
+       |          FOR i IN range(1, ${VectorOps.Dim + 1})],
+       |         label
+       |  FROM embeddings WHERE vec_id % 20 = 0)""".stripMargin
+
+  /** norm CTE over a (vec_id, embedding, ...) relation. */
+  private def normsCte(name: String, rel: String, extraCols: String = ""): String =
+    s"""$name AS (
+       |  SELECT vec_id, embedding$extraCols,
+       |         sqrt(${VectorOps.dotDecimalSql("embedding", "embedding")}) AS nrm
+       |  FROM $rel, range(1, ${VectorOps.Dim + 1}) t(i)
+       |  GROUP BY vec_id, embedding$extraCols)""".stripMargin
+
+  private def sparkNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", VectorOps.norm(col("embedding")))
+
+  // ---- queries -----------------------------------------------------------
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q40_dedup_exact",
+      (s, d) =>
+        docsWithDups(s, d)
+          .groupBy(md5(col("text")).as("content_hash"))
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies")),
+      Some(s"""WITH $docs2Cte
+              |SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+              |FROM docs2 GROUP BY md5(text)""".stripMargin)
+    ),
+    QueryDef(
+      // MinHash signatures + LSH banding; bucket join => candidate pairs.
+      // Hash family is Spark murmur3 — no DuckDB equivalent → rows-only;
+      // PipelineSpec asserts the planted near-dups are all recovered.
+      "q41_minhash_lsh",
+      (s, d) => {
+        val bandsPerSig = 16
+        val rowsPerBand = 2
+        val sig = docsWithDups(s, d).select(
+          col("doc_id"),
+          TextOps.minhashSignature(
+            TextOps.wordShingles(col("text"), 3), bandsPerSig * rowsPerBand).as("sig"))
+        val bands = sig.select(
+          col("doc_id"),
+          explode(transform(sequence(lit(0), lit(bandsPerSig - 1)),
+            b => struct(b.as("band"),
+              hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bh"))))
+            .as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+        bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+      }
+    ),
+    QueryDef(
+      // 64-bit SimHash; candidates via 16-bit chunk buckets, verified by
+      // Hamming distance (bit_count of xor). Rows-only (murmur3 basis).
+      "q42_simhash",
+      (s, d) => {
+        val sig = docsWithDups(s, d)
+          .select(col("doc_id"), TextOps.simhash64(col("text")).as("sig"))
+        val chunks = sig.select(
+          col("doc_id"), col("sig"),
+          explode(array((0 until 4).map(c =>
+            struct(lit(c).as("chunk"),
+              pmod(shiftrightunsigned(col("sig"), c * 16), lit(65536L)).as("ch"))): _*))
+            .as("cc"))
+          .select(col("doc_id"), col("sig"), col("cc.chunk").as("chunk"), col("cc.ch").as("ch"))
+        chunks.as("a").join(chunks.as("b"),
+            col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 3)
+      }
+    ),
+    QueryDef(
+      // Verify stage of near-dup detection: word-3gram Jaccard over
+      // same-source candidates with close lengths.
+      "q43_ngram_jaccard_dedup",
+      (s, d) => {
+        val docs = docsWithDups(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            TextOps.wordShingles(col("text"), 3).as("grams"))
+        docs.as("a").join(docs.as("b"),
+            col("a.source") === col("b.source") &&
+              col("a.doc_id") < col("b.doc_id") &&
+              abs(col("a.n_chars") - col("b.n_chars")) <= 20)
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            round(
+              size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
+                size(array_union(col("a.grams"), col("b.grams"))).cast("double"), 6)
+              .as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+      },
+      Some(s"""WITH $docs2Cte,
+              |grams AS (
+              |  SELECT doc_id, source, n_chars,
+              |         list_distinct([array_to_string(w[i:i+2], ' ')
+              |                        FOR i IN range(1, greatest(len(w) - 2, 0) + 1)]) AS grams
+              |  FROM (SELECT doc_id, source, n_chars, string_split(text, ' ') AS w FROM docs2))
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+              |             CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) AS jaccard
+              |FROM grams a JOIN grams b
+              |  ON a.source = b.source AND a.doc_id < b.doc_id
+              | AND abs(a.n_chars - b.n_chars) <= 20
+              |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+              |      CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.5""".stripMargin)
+    ),
+    QueryDef(
+      // Brute-force top-k cosine KNN against a broadcast query set — the
+      // exact baseline the LSH variant approximates.
+      "q44_cosine_knn",
+      (s, d) => {
+        val e = sparkNorm(Tables.embeddings(s, d).select("vec_id", "embedding"))
+        val q = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+        e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("cos",
+            VectorOps.dotDecimal(col("embedding"), col("qe")) / (col("nrm") * col("qn")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("qid"), col("vec_id"), col("rnk"), round(col("cos"), 6).as("cos"))
+      },
+      Some(s"""WITH ${normsCte("nrms", "embeddings")},
+              |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM nrms WHERE vec_id % 100 = 0),
+              |dots AS (
+              |  SELECT c.vec_id, q.qid, MAX(c.nrm) AS nrm, MAX(q.qn) AS qn,
+              |         ${VectorOps.dotDecimalSql("c.embedding", "q.qe")} AS dot
+              |  FROM nrms c CROSS JOIN q, range(1, ${VectorOps.Dim + 1}) t(i)
+              |  WHERE c.vec_id <> q.qid
+              |  GROUP BY c.vec_id, q.qid),
+              |ranked AS (
+              |  SELECT qid, vec_id, dot / (nrm * qn) AS cos,
+              |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot / (nrm * qn) DESC, vec_id ASC) AS rnk
+              |  FROM dots)
+              |SELECT qid, vec_id, rnk, round(cos, 6) AS cos FROM ranked WHERE rnk <= 5""".stripMargin)
+    ),
+    QueryDef(
+      // Random-hyperplane LSH buckets; exact cosine verify within buckets.
+      // Hyperplanes are deterministic arithmetic, but bucket membership
+      // depends on double dot-product signs → rows-only + spec.
+      "q45_ann_lsh",
+      (s, d) => {
+        val e = sparkNorm(embWithDups(s, d))
+          .withColumn("bucket", VectorOps.lshBucket(col("embedding"), 8))
+        e.as("a").join(e.as("b"),
+            col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+          .withColumn("cos",
+            VectorOps.dotDecimal(col("a.embedding"), col("b.embedding")) /
+              (col("a.nrm") * col("b.nrm")))
+          .filter(col("cos") >= 0.8)
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            col("a.bucket").as("bucket"), round(col("cos"), 6).as("cos"))
+      }
+    ),
+    QueryDef(
+      "q46_langid",
+      (s, d) => {
+        val hits = TextOps.stopwords.map { case (lang, stops) =>
+          lang -> TextOps.stopwordHits(col("text"), stops)
+        }
+        val mx = greatest(hits.map(_._2): _*)
+        val pred = hits.foldLeft(when(mx === 0, "und")) { case (acc, (lang, h)) =>
+          acc.when(h === mx, lang)
+        }
+        Tables.documents(s, d).select(
+          col("doc_id"), col("lang"),
+          pred.otherwise("und").as("pred_lang"),
+          mx.as("n_hits"))
+      },
+      Some {
+        val hitsSql = TextOps.stopwords.map { case (lang, stops) =>
+          lang -> TextOps.stopwordHitsSql("text", stops)
+        }
+        val mxSql = s"greatest(${hitsSql.map(_._2).mkString(", ")})"
+        val predCases = hitsSql
+          .map { case (lang, h) => s"WHEN $h = $mxSql THEN '$lang'" }
+          .mkString("\n            ")
+        s"""SELECT doc_id, lang,
+           |       CASE WHEN $mxSql = 0 THEN 'und'
+           |            $predCases
+           |            ELSE 'und' END AS pred_lang,
+           |       $mxSql AS n_hits
+           |FROM documents""".stripMargin
+      }
+    ),
+    QueryDef(
+      "q47_quality_score",
+      (s, d) => {
+        val nWords = size(TextOps.words(col("text")))
+        val nChars = length(col("text"))
+        val stopHits = TextOps.stopwordHits(col("text"), TextOps.stopwords.head._2)
+        val meanWlen = (nChars - nWords + 1).cast("double") / nWords.cast("double")
+        val stopRatio = stopHits.cast("double") / nWords.cast("double")
+        val quality = least(lit(1.0), nWords.cast("double") / 50.0) * 0.6 + stopRatio * 0.4
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          nWords.as("n_words"),
+          round(meanWlen, 6).as("mean_wlen"),
+          round(stopRatio, 6).as("stop_ratio"),
+          round(quality, 6).as("quality"))
+      },
+      Some {
+        val stops = TextOps.stopwordHitsSql("text", TextOps.stopwords.head._2)
+        s"""SELECT doc_id,
+           |       len(string_split(text, ' ')) AS n_words,
+           |       round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE) /
+           |             CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS mean_wlen,
+           |       round(CAST($stops AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stop_ratio,
+           |       round(least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0) * 0.6 +
+           |             (CAST($stops AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.4, 6) AS quality
+           |FROM documents""".stripMargin
+      }
+    ),
+    QueryDef(
+      "q48_token_count",
+      (s, d) =>
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          size(TextOps.words(col("text"))).cast("long").as("ws_tokens"),
+          expr("size(regexp_extract_all(text, '[A-Za-z0-9]+', 0))").cast("long").as("alnum_tokens"),
+          expr("(length(text) + 3) div 4").cast("long").as("bpe_est")),
+      Some("""SELECT doc_id,
+             |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+             |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS alnum_tokens,
+             |       CAST((length(text) + 3) // 4 AS BIGINT) AS bpe_est
+             |FROM documents""".stripMargin)
+    ),
+    QueryDef(
+      "q49_fingerprint",
+      (s, d) =>
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          TextOps.fingerprint(col("text")).as("fp")),
+      Some(s"""SELECT doc_id, ${TextOps.fingerprintSql("text")} AS fp
+              |FROM documents""".stripMargin)
+    ),
+    QueryDef(
+      // Binary media column + typed metadata + batch decode plumbing; the
+      // decode itself is a documented deterministic stub (no codecs here).
+      "q50_multimodal_stub",
+      (s, d) => Multimodal.extractFeatures(s, Tables.documents(s, d))
+    ),
+    QueryDef(
+      // Embedding near-dup pairs, label-blocked (the blocking makes the
+      // candidate join linear per block instead of a global cross join).
+      "q51_embedding_dedup",
+      (s, d) => {
+        val e = sparkNorm(embWithDups(s, d))
+        e.as("a").join(e.as("b"),
+            col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+          .withColumn("cos",
+            VectorOps.dotDecimal(col("a.embedding"), col("b.embedding")) /
+              (col("a.nrm") * col("b.nrm")))
+          .filter(col("cos") >= 0.9)
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            round(col("cos"), 6).as("cos"))
+      },
+      Some(s"""WITH $emb2Cte,
+              |${normsCte("nrms", "emb2", ", label")},
+              |pairs AS (
+              |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              |         MAX(a.nrm) AS na, MAX(b.nrm) AS nb,
+              |         ${VectorOps.dotDecimalSql("a.embedding", "b.embedding")} AS dot
+              |  FROM nrms a JOIN nrms b ON a.label = b.label AND a.vec_id < b.vec_id,
+              |       range(1, ${VectorOps.Dim + 1}) t(i)
+              |  GROUP BY a.vec_id, b.vec_id)
+              |SELECT vec_a, vec_b, round(dot / (na * nb), 6) AS cos
+              |FROM pairs WHERE dot / (na * nb) >= 0.9""".stripMargin)
+    )
+  )
+}

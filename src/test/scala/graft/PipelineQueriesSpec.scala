@@ -1,0 +1,78 @@
+package graft
+
+import graft.queries.PipelineQueries
+import org.apache.spark.sql.functions._
+
+class PipelineQueriesSpec extends SparkTestBase {
+
+  private val byName = PipelineQueries.defs.map(d => d.name -> d).toMap
+
+  test("all pipeline queries run and return rows at sf0.001") {
+    PipelineQueries.defs.foreach { d =>
+      assert(d.query(spark, sfDir).count() > 0, s"${d.name} returned no rows")
+    }
+  }
+
+  test("q40 exact dedup finds exactly the planted copies") {
+    val dups = byName("q40_dedup_exact").query(spark, sfDir)
+      .filter(col("n_copies") > 1).collect()
+    // doc_id%7==0 docs get an exact copy; every dup group keeps the original
+    // id and has exactly 2 copies.
+    assert(dups.nonEmpty)
+    dups.foreach { r =>
+      assert(r.getLong(2) == 2, s"unexpected copy count: $r")
+      assert(r.getLong(1) % 7 == 0, s"kept id is not an original: $r")
+    }
+  }
+
+  test("q41 minhash-LSH recovers every planted near-dup pair") {
+    val pairs = byName("q41_minhash_lsh").query(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docIds = Tables.documents(spark, sfDir).select("doc_id")
+      .collect().map(_.getLong(0))
+    val planted = docIds.filter(_ % 10 == 0).map(id => (id, id + 100000L))
+    planted.foreach(p => assert(pairs.contains(p), s"missed planted near-dup $p"))
+  }
+
+  test("q42 simhash: planted dup pairs all at hamming <= 3") {
+    val pairs = byName("q42_simhash").query(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docIds = Tables.documents(spark, sfDir).select("doc_id")
+      .collect().map(_.getLong(0))
+    val exact = docIds.filter(_ % 7 == 0).map(id => (id, id + 200000L))
+    exact.foreach(p => assert(pairs.contains(p), s"missed planted exact dup $p"))
+  }
+
+  test("q44 KNN returns exactly 5 ordered neighbors per query") {
+    val rows = byName("q44_cosine_knn").query(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == 5, s"query $q has ${rs.length} neighbors")
+      val cs = rs.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, s"not sorted for $q")
+    }
+  }
+
+  test("q51 embedding dedup finds the planted zero-component variants") {
+    val pairs = byName("q51_embedding_dedup").query(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vecIds = Tables.embeddings(spark, sfDir).select("vec_id")
+      .collect().map(_.getLong(0))
+    val planted = vecIds.filter(_ % 20 == 0).map(id => (id, id + 100000L))
+    planted.foreach(p => assert(pairs.contains(p), s"missed planted variant $p"))
+  }
+
+  test("q46 langid predicts en or und on the english-vocabulary corpus") {
+    val preds = byName("q46_langid").query(spark, sfDir)
+      .select("pred_lang").distinct().collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(Set("en", "und")), s"unexpected langs: $preds")
+  }
+
+  test("q50 multimodal features are deterministic byte sums") {
+    val feats = byName("q50_multimodal_stub").query(spark, sfDir)
+    val joined = feats.join(Tables.documents(spark, sfDir), "doc_id")
+      .select(col("doc_id"), col("n_bytes"), length(col("text")).cast("long").as("len"))
+      .collect()
+    joined.foreach(r => assert(r.getLong(1) == r.getLong(2), s"byte count mismatch: $r"))
+  }
+}
