@@ -10,7 +10,8 @@ object SparkEntry {
       _root_.graft.queries.PrepQueries.defs ++
       _root_.graft.queries.StringQueries.defs ++
       _root_.graft.queries.LinkageQueries.defs ++
-      _root_.graft.queries.PipelineQueries.defs
+      _root_.graft.queries.PipelineQueries.defs ++
+      _root_.graft.queries.StreamingQueries.defs
 
   private lazy val (queryMap, oracleMap) = QueryDef.toMaps(allDefs)
 

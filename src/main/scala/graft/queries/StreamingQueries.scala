@@ -1,0 +1,75 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.F — event-stream analytics, verified through batch twins (identical
+  * semantics, DuckDB-checkable); graft.streaming.Sessionizer holds the
+  * Structured Streaming versions (watermark + flatMapGroupsWithState),
+  * exercised by StreamingSpec against these batch results.
+  */
+object StreamingQueries {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(28,4)")).cast("double")
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q60_event_window_agg",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+            col("event_type"), col("n_events"), col("sum_value")),
+      Some("""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start,
+             |       event_type, COUNT(*) AS n_events,
+             |       CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+             |FROM events
+             |GROUP BY 1, 2""".stripMargin)
+    ),
+    QueryDef(
+      // 30-minute-gap sessions (batch twin of Sessionizer.sessionize):
+      // lag → gap flag → running sum = session index → group.
+      "q61_sessionize",
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val events = Tables.events(s, d)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1).otherwise(0))
+          .withColumn("sess_idx",
+            sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        events
+          .groupBy("user_id", "sess_idx")
+          .agg(
+            date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+            count(lit(1)).as("n_events"),
+            dsum(col("value")).as("sum_value"))
+          .select("user_id", "sess_idx", "session_start", "session_end", "n_events", "sum_value")
+      },
+      Some("""WITH flagged AS (
+             |  SELECT user_id, event_id, ts, value,
+             |         CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+             |                OR epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
+             |              THEN 1 ELSE 0 END AS new_sess
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sessions AS (
+             |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                                ROWS UNBOUNDED PRECEDING) AS sess_idx
+             |  FROM flagged)
+             |SELECT user_id, sess_idx,
+             |       strftime(MIN(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |       strftime(MAX(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS session_end,
+             |       COUNT(*) AS n_events,
+             |       CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+             |FROM sessions
+             |GROUP BY user_id, sess_idx""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` stream: watermarked
+  * tumbling-window aggregation and gap-based sessionization with custom
+  * state (flatMapGroupsWithState) — the streaming twins of q60/q61.
+  *
+  * Scale shape: both are keyed-state operators; state is partitioned by
+  * the grouping key across executors, and the watermark bounds state size
+  * (old windows/sessions are evicted once event time passes them).
+  */
+object Sessionizer {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+
+  final case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, sum_value: Double)
+
+  /** Gap that closes a session (matches the batch twin in q61). */
+  val GapMs: Long = 30 * 60 * 1000L
+
+  /** Hourly tumbling-window counts with a 1-hour watermark. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n_events"))
+
+  /** Gap-based sessionization with explicit state: sessions emit when the
+    * event-time watermark passes start-of-gap (EventTimeTimeout), so state
+    * for quiet users is bounded by the watermark, not the stream length.
+    */
+  def sessionize(spark: SparkSession, events: DataFrame): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            // Watermark passed the session gap: emit and clear.
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.sum))
+          } else {
+            // Micro-batch arrival order is not event-time order; fold sorted.
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= GapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed += Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + GapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.queries.StreamingQueries
+import graft.streaming.Sessionizer
+import graft.streaming.Sessionizer.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkTestBase {
+
+  test("batch streaming twins run and return rows") {
+    StreamingQueries.defs.foreach { d =>
+      assert(d.query(spark, sfDir).count() > 0, s"${d.name} returned no rows")
+    }
+  }
+
+  test("streaming sessionizer agrees with the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val events = Tables.events(spark, sfDir)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(_.ts.getTime)
+    val maxTs = events.map(_.ts.getTime).max
+    // Sentinel advances the global watermark far past every real session's
+    // gap so all sessions time out and emit before the stream ends.
+    val sentinel = Event(-1L, new Timestamp(maxTs + 10 * 3600 * 1000L), -1L, "sentinel", 0.0)
+
+    val stream = MemoryStream[Event]
+    val query = Sessionizer.sessionize(spark, stream.toDF())
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      // Two batches: the second's watermark (from batch one's max) must
+      // flush batch-one sessions; the sentinel flushes the rest.
+      val (first, second) = events.splitAt(events.length / 2)
+      stream.addData(first.toIndexedSeq)
+      query.processAllAvailable()
+      stream.addData(second.toIndexedSeq :+ sentinel)
+      query.processAllAvailable()
+      stream.addData(Seq(Event(-2L, new Timestamp(maxTs + 30 * 3600 * 1000L), -2L, "sentinel2", 0.0)))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val streamed = spark.table("sessions_out")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+
+    val batch = StreamingQueries.defs.find(_.name == "q61_sessionize").get
+      .query(spark, sfDir)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+
+    assert(streamed == batch,
+      s"streaming vs batch sessions differ: only-streaming=${(streamed -- batch).take(3)} " +
+        s"only-batch=${(batch -- streamed).take(3)}")
+  }
+
+  test("windowed counts: streaming result matches batch aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val events = Tables.events(spark, sfDir)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect()
+    val maxTs = events.map(_.ts.getTime).max
+    val sentinel = Event(-1L, new Timestamp(maxTs + 10 * 3600 * 1000L), -1L, "sentinel", 0.0)
+
+    val stream = MemoryStream[Event]
+    val query = Sessionizer.windowedCounts(stream.toDF())
+      .writeStream.format("memory").queryName("windows_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(events.toIndexedSeq :+ sentinel)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val streamed = spark.table("windows_out")
+      .filter(col("event_type") =!= "sentinel")
+      .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("h"),
+        col("event_type"), col("n_events"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss"), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+
+    assert(streamed == batch, s"windowed counts differ")
+  }
+}
