@@ -26,37 +26,31 @@ object TextOps {
     * functions h_i(x) = (a_i*x + b_i) mod p, the min over the shingle set.
     * Array-composed (k array traversals), stays in codegen.
     */
-  def minhashSignature(shingles: Column, k: Int): Column = {
-    val p = 2147483647L // 2^31 - 1
-    val sigs = (0 until k).map { i =>
-      // Independent (a, b) per hash function via a seeded PRNG — a LINEAR
-      // family a_i = a_0*(i+1) makes h_i(x) = y*(i+1)+b_i, so any shingle
-      // with small y = x*a_0 mod p is the argmin for most i and signatures
-      // collapse (observed: J=8/9 pairs sharing only 4/32 positions).
-      val rnd = new java.util.Random(987654321L + i)
-      val a = rnd.nextInt(Int.MaxValue - 2).toLong + 1
-      val b = rnd.nextInt(Int.MaxValue - 1).toLong
-      array_min(transform(shingles,
-        s => pmod(abs(hash(s)).cast("long") * a + b, lit(p))))
-    }
-    array(sigs: _*)
+  val MinhashP = 2147483647L // 2^31 - 1
+
+  /** Independent (a, b) pairs per hash function via a seeded PRNG — a
+    * LINEAR family a_i = a_0*(i+1) makes h_i(x) = y*(i+1)+b_i, so any
+    * shingle with small y = x*a_0 mod p is the argmin for most i and
+    * signatures collapse (observed: J=8/9 pairs sharing only 4/32
+    * positions).
+    */
+  def minhashParams(k: Int): Seq[(Long, Long)] = (0 until k).map { i =>
+    val rnd = new java.util.Random(987654321L + i)
+    (rnd.nextInt(Int.MaxValue - 2).toLong + 1, rnd.nextInt(Int.MaxValue - 1).toLong)
   }
 
-  /** 64-bit SimHash over word hashes: bit j of the fingerprint is the sign
-    * of the sum of ±1 contributions of each word's bit j.
+  /** Per-row minhash signature (k traversals of the shingle array). Fine
+    * for short shingle lists; the LSH query uses the explode + hash-agg
+    * formulation instead, which murmurs each shingle ONCE and gets
+    * map-side partial mins (the scalable shape — per-row higher-order
+    * functions re-evaluate the shingle expression per hash function).
     */
-  def simhash64(text: Column): Column = {
-    val w = words(text)
-    val bits = (0 until 64).map { j =>
-      val contrib = aggregate(w, lit(0L), (acc, word) => {
-        val h =
-          if (j < 32) shiftright(abs(hash(word)).cast("long"), j)
-          else shiftright(abs(hash(word, lit(77))).cast("long"), j - 32)
-        acc + when(pmod(h, lit(2L)) === 1L, lit(1L)).otherwise(lit(-1L))
-      })
-      when(contrib > 0, lit(1L << j)).otherwise(lit(0L))
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    val sigs = minhashParams(k).map { case (a, b) =>
+      array_min(transform(shingles,
+        s => pmod(abs(hash(s)).cast("long") * a + b, lit(MinhashP))))
     }
-    bits.reduce(_ bitwiseOR _)
+    array(sigs: _*)
   }
 
   /** Per-language stopword lists for the language-ID heuristic. */

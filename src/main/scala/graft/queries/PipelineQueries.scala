@@ -106,16 +106,25 @@ object PipelineQueries {
       (s, d) => {
         val bandsPerSig = 16
         val rowsPerBand = 2
-        val sig = docsWithDups(s, d).select(
-          col("doc_id"),
-          TextOps.minhashSignature(
-            TextOps.wordShingles(col("text"), 3), bandsPerSig * rowsPerBand).as("sig"))
+        // Explode shingles and murmur each ONCE; the k min-hashes are then
+        // cheap arithmetic inside a codegen'd hash-aggregate with map-side
+        // partial mins — one shuffle of (doc, k mins), no re-evaluation of
+        // the shingle expression per hash function.
+        val hx = docsWithDups(s, d)
+          .select(col("doc_id"),
+            explode(TextOps.wordShingles(col("text"), 3)).as("shingle"))
+          .select(col("doc_id"), abs(hash(col("shingle"))).cast("long").as("x"))
+        val aggs = TextOps.minhashParams(bandsPerSig * rowsPerBand).zipWithIndex.map {
+          case ((a, b), i) =>
+            min(pmod(col("x") * a + b, lit(TextOps.MinhashP))).as(s"m$i")
+        }
+        val sig = hx.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
         val bands = sig.select(
           col("doc_id"),
-          explode(transform(sequence(lit(0), lit(bandsPerSig - 1)),
-            b => struct(b.as("band"),
-              hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bh"))))
-            .as("bb"))
+          explode(array((0 until bandsPerSig).map(bi =>
+            struct(lit(bi).as("band"),
+              hash((0 until rowsPerBand).map(r => col(s"m${bi * rowsPerBand + r}")): _*)
+                .as("bh"))): _*)).as("bb"))
           .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
         bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -129,8 +138,23 @@ object PipelineQueries {
       // Hamming distance (bit_count of xor). Rows-only (murmur3 basis).
       "q42_simhash",
       (s, d) => {
-        val sig = docsWithDups(s, d)
-          .select(col("doc_id"), TextOps.simhash64(col("text")).as("sig"))
+        // Same explode + hash-agg shape as q41: each word is murmured once
+        // (two seeds → 64 bits); the 64 ±1 bit sums are map-side partial
+        // aggregates, then the fingerprint packs from the per-bit sums.
+        val h = docsWithDups(s, d)
+          .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
+          .select(col("doc_id"),
+            abs(hash(col("word"))).cast("long").as("h1"),
+            abs(hash(col("word"), lit(77))).cast("long").as("h2"))
+        val bitAggs = (0 until 64).map { j =>
+          val (src, sh) = if (j < 32) (col("h1"), j) else (col("h2"), j - 32)
+          sum(when(pmod(shiftrightunsigned(src, sh), lit(2L)) === 1L, 1L).otherwise(-1L))
+            .as(s"b$j")
+        }
+        val sig = h.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+          .select(col("doc_id"),
+            (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+              .reduce(_ bitwiseOR _).as("sig"))
         val chunks = sig.select(
           col("doc_id"), col("sig"),
           explode(array((0 until 4).map(c =>

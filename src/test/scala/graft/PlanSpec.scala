@@ -1,0 +1,56 @@
+package graft
+
+import graft.functions.GraftFunctions
+
+/** Explain-plan audits: the properties that make these operators scale are
+  * asserted here so a refactor can't silently regress them (SURVEY.md §6).
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(name: String): String = {
+    GraftFunctions.register(spark)
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+  }
+
+  test("q01: filters and projection are pushed to the parquet scan") {
+    val p = plan("q01_scan_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_quantity), GreaterThanOrEqual"),
+      s"filters not pushed:\n$p")
+    assert(!p.contains("l_comment"), "scan reads columns the query never uses")
+  }
+
+  test("q03: dimension joins broadcast") {
+    val p = plan("q03_join_broadcast")
+    assert(p.split("BroadcastHashJoin").length >= 3, s"expected 2 broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim join fell back to SMJ:\n$p")
+  }
+
+  test("linkage predict: single equi-join, no cartesian, no BNLJ") {
+    val p = plan("q29_predict_links")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"blocking degenerated into a cross join:\n$p")
+  }
+
+  test("cascade: every pass joins on its block keys, never cross-joins") {
+    val p = plan("q32_cascade_best_link")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"cascade contains a cross join:\n$p")
+  }
+
+  test("minhash LSH: bucket join is an equi-join with partial aggregation") {
+    val p = plan("q41_minhash_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"LSH bucket join is not an equi-join:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial min") || p.contains("HashAggregate"),
+      s"minhash aggregation lost map-side partials:\n$p")
+  }
+
+  test("whole-stage codegen covers the scoring projections") {
+    GraftFunctions.register(spark)
+    val df = SparkEntry.queries("q28_match_weights")(spark, sfDir)
+    df.collect() // materialize THIS plan so AQE reports it final w/ codegen marks
+    val p = df.queryExecution.executedPlan.toString
+    val jwLine = p.linesIterator.find(_.contains("jaro_winkler")).getOrElse("")
+    assert(jwLine.contains("*("), s"FS scoring not inside WholeStageCodegen:\n$p")
+  }
+}
