@@ -22,22 +22,31 @@ object Preprocess {
     "DRIVE" -> "DR", "LANE" -> "LN", "APARTMENT" -> "APT", "NORTH" -> "N",
     "SOUTH" -> "S", "EAST" -> "E", "WEST" -> "W")
 
-  /** trim → collapse whitespace → upper → word-normalize → empty→NULL. */
+  /** trim → collapse whitespace → upper → whole-token abbreviation →
+    * empty→NULL. Token mapping is split → per-word CASE → rejoin (one
+    * codegen'd pass), NOT one \b-regex per rule — N regex passes scan the
+    * string N times, which at 100 TB is the difference between scan-bound
+    * and regex-bound preprocessing.
+    */
   def standardizeAddressPart(c: Column): Column = {
     val cleaned = regexp_replace(trim(upper(c)), "\\s+", " ")
-    val normalized = addressWordRules.foldLeft(cleaned) { case (acc, (from, to)) =>
-      regexp_replace(acc, s"\\b$from\\b", to)
-    }
+    val mapWord: Column => Column = w =>
+      addressWordRules.foldLeft(Option.empty[Column]) { case (acc, (from, to)) =>
+        Some(acc.fold(when(w === from, to))(_.when(w === from, to)))
+      }.get.otherwise(w)
+    val normalized = array_join(transform(split(cleaned, " "), mapWord), " ")
     when(normalized === "", lit(null).cast("string")).otherwise(normalized)
   }
 
   /** DuckDB SQL with identical semantics to [[standardizeAddressPart]]. */
   def standardizeAddressPartSql(x: String): String = {
     val cleaned = s"regexp_replace(trim(upper($x)), '\\s+', ' ', 'g')"
-    val normalized = addressWordRules.foldLeft(cleaned) { case (acc, (from, to)) =>
-      s"regexp_replace($acc, '\\b$from\\b', '$to', 'g')"
-    }
-    s"nullif($normalized, '')"
+    val cases = addressWordRules
+      .map { case (from, to) => s"WHEN w = '$from' THEN '$to'" }
+      .mkString(" ")
+    val mapped =
+      s"array_to_string(list_transform(string_split($cleaned, ' '), w -> CASE $cases ELSE w END), ' ')"
+    s"nullif($mapped, '')"
   }
 
   /** PVS-style geokey: '|'-joined standardized address parts, NULL-safe
