@@ -18,7 +18,9 @@ object GraftFunctions {
 
   val expressions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "jaro_winkler" -> (es => JaroWinklerSimilarity(es(0), es(1))),
-    "nysiis" -> (es => Nysiis(es.head))
+    "nysiis" -> (es => Nysiis(es.head)),
+    "vec_dot_decimal" -> (es => VectorDotDecimal(es(0), es(1))),
+    "vec_dot" -> (es => VectorDotDouble(es(0), es(1)))
   )
 
   def register(spark: SparkSession): Unit = {
@@ -44,6 +46,12 @@ object GraftFunctions {
 
   /** jellyfish-parity NYSIIS phonetic code. */
   def nysiis(c: Column): Column = call_function("nysiis", c)
+
+  /** Decimal-exact float-vector dot product (see VectorDotDecimal). */
+  def vecDotDecimal(a: Column, b: Column): Column = call_function("vec_dot_decimal", a, b)
+
+  /** Plain-double float-vector dot product — the fast production path. */
+  def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   /** Soundex of the reversed string (PVS blocking key; reference
     * 03_link_datasets.ipynb `reverse_soundex`). Composed from built-ins.

@@ -16,16 +16,39 @@ object VectorOps {
   /** Embedding dimensionality of the testdata tables (TESTDATA.md). */
   val Dim = 64
 
-  private val decT = "decimal(38,18)"
+  // Accumulate at precision 30 so decimal ADD yields (31,18) — SAME scale,
+  // exact. At (38,18) the add result is (38,17): one digit rounded away
+  // per element, which silently diverges from an exact decimal sum.
+  private val decT = "decimal(30,18)"
 
-  /** Exact, order-independent dot product: double products → decimal sum. */
+  /** Exact, order-independent dot product: double products → decimal sum.
+    * Dispatches to the native codegen'd VectorDotDecimal expression
+    * (requires GraftFunctions.register on the session); semantics are
+    * identical to [[dotDecimalFold]], the declarative reference variant.
+    */
   def dotDecimal(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.vecDotDecimal(a, b)
+
+  /** Declarative fold with the same decimal semantics — kept as the
+    * executable specification of [[dotDecimal]] (VectorOpsSpec asserts
+    * they agree bitwise); interpreted per-element, so hot paths use the
+    * native expression instead.
+    */
+  def dotDecimalFold(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(java.math.BigDecimal.ZERO).cast(decT),
       (acc, x) => (acc + x.cast(decT)).cast(decT)).cast("double")
 
   def norm(a: Column): Column = sqrt(dotDecimal(a, a))
+
+  /** Fast production path: plain-double codegen'd dot/norm (no decimal
+    * boxing). Use for ANN/scoring where no cross-engine oracle must
+    * reproduce sums order-independently.
+    */
+  def dotFast(a: Column, b: Column): Column = graft.functions.GraftFunctions.vecDot(a, b)
+
+  def normFast(a: Column): Column = sqrt(dotFast(a, a))
 
   /** Cosine similarity with precomputed norms. */
   def cosine(dot: Column, na: Column, nb: Column): Column = dot / (na * nb)

@@ -210,6 +210,7 @@ object PipelineQueries {
       // exact baseline the LSH variant approximates.
       "q44_cosine_knn",
       (s, d) => {
+        graft.functions.GraftFunctions.register(s)
         val e = sparkNorm(Tables.embeddings(s, d).select("vec_id", "embedding"))
         val q = e.filter(pmod(col("vec_id"), lit(100)) === 0)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
@@ -242,12 +243,15 @@ object PipelineQueries {
       // depends on double dot-product signs → rows-only + spec.
       "q45_ann_lsh",
       (s, d) => {
-        val e = sparkNorm(embWithDups(s, d))
+        graft.functions.GraftFunctions.register(s)
+        // Rows-only query → no oracle to reproduce → plain-double fast path.
+        val e = embWithDups(s, d)
+          .withColumn("nrm", VectorOps.normFast(col("embedding")))
           .withColumn("bucket", VectorOps.lshBucket(col("embedding"), 8))
         e.as("a").join(e.as("b"),
             col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
           .withColumn("cos",
-            VectorOps.dotDecimal(col("a.embedding"), col("b.embedding")) /
+            VectorOps.dotFast(col("a.embedding"), col("b.embedding")) /
               (col("a.nrm") * col("b.nrm")))
           .filter(col("cos") >= 0.8)
           .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -347,6 +351,7 @@ object PipelineQueries {
       // candidate join linear per block instead of a global cross join).
       "q51_embedding_dedup",
       (s, d) => {
+        graft.functions.GraftFunctions.register(s)
         val e = sparkNorm(embWithDups(s, d))
         e.as("a").join(e.as("b"),
             col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
