@@ -9,8 +9,14 @@ import org.apache.spark.sql.functions._
   * shuffle-on-key hash join Catalyst can plan freely; `salt > 1` splits
   * skewed blocks the way the reference's salting_partitions does
   * (/root/reference/03_link_datasets.ipynb `salting_partitions`).
+  *
+  * `rightRemap` renames right-side columns before pairing — the PVS
+  * "name-switch" passes (reference geosearch: "geokey+name-switch") score
+  * first-vs-last to recover records with transposed names; e.g.
+  * Map("first_name" -> "last_name", "last_name" -> "first_name").
   */
-final case class BlockingPass(name: String, keys: Seq[String], salt: Int = 1)
+final case class BlockingPass(name: String, keys: Seq[String], salt: Int = 1,
+    rightRemap: Map[String, String] = Map.empty)
 
 final case class LinkageConfig(
     comparisons: Seq[Comparison],
@@ -39,8 +45,12 @@ object LinkageCascade {
     * the block key + a hash of the left row id (joined against all salts).
     */
   def pairs(census: DataFrame, input: DataFrame, pass: BlockingPass): DataFrame = {
+    val right =
+      if (pass.rightRemap.isEmpty) input
+      else input.select(input.columns.map(c =>
+        col(pass.rightRemap.getOrElse(c, c)).as(c)): _*)
     val l = prefixed(census, "l_")
-    val r = prefixed(input, "r_")
+    val r = prefixed(right, "r_")
     val cond = pass.keys.map(k => col(s"l_$k") === col(s"r_$k")).reduce(_ && _)
     if (pass.salt <= 1) l.join(r, cond)
     else {

@@ -34,7 +34,11 @@ object LinkageQueries {
   val passes: Seq[BlockingPass] = Seq(
     BlockingPass("p1_zip", Seq("zipcode")),
     BlockingPass("p2_name_yob", Seq("fn2", "dob_year")),
-    BlockingPass("p3_dob_ln", Seq("dob_month", "dob_day", "ln1")))
+    BlockingPass("p3_dob_ln", Seq("dob_month", "dob_day", "ln1")),
+    // PVS-style name-switch pass: recovers records with transposed
+    // first/last names (reference geosearch "name-switch" passes).
+    BlockingPass("p4_switch", Seq("dob_year", "dob_month"),
+      rightRemap = Map("first_name" -> "last_name", "last_name" -> "first_name")))
 
   val config: LinkageConfig = LinkageConfig(comparisons, lambda = 0.5,
     thresholdWeight = 9.0, passes = passes)
@@ -56,13 +60,18 @@ object LinkageQueries {
         substring(col("first_name"), 1, 2).as("fn2"),
         substring(col("last_name"), 1, 1).as("ln1"))
 
-  /** Messy input file: typo'd names; k%13==0 records carry a wrong DOB day. */
+  /** Messy input file: typo'd names; k%13==0 records carry a wrong DOB day;
+    * k%23==0 records arrive with first/last names transposed (recovered by
+    * the name-switch pass).
+    */
   def input(s: SparkSession, d: String): DataFrame =
     People.persons(s, d)
       .select(
         col("k").as("rec_id"),
-        col("messy_first").as("first_name"),
-        col("messy_last").as("last_name"),
+        when(pmod(col("k"), lit(23)) === 0, col("messy_last"))
+          .otherwise(col("messy_first")).as("first_name"),
+        when(pmod(col("k"), lit(23)) === 0, col("messy_first"))
+          .otherwise(col("messy_last")).as("last_name"),
         col("middle_initial"),
         col("dob_year"), col("dob_month"),
         when(pmod(col("k"), lit(13)) === 0, pmod(col("dob_day"), lit(28)) + 1)
@@ -72,9 +81,9 @@ object LinkageQueries {
         when(pmod(col("k"), lit(17)) === 0,
           concat(substring(col("zipcode"), 1, 3), lit("99")))
           .otherwise(col("zipcode")).as("zipcode"),
-        substring(col("zipcode"), 1, 3).as("zip3"),
-        substring(col("messy_first"), 1, 2).as("fn2"),
-        substring(col("messy_last"), 1, 1).as("ln1"))
+        substring(col("zipcode"), 1, 3).as("zip3"))
+      .withColumn("fn2", substring(col("first_name"), 1, 2))
+      .withColumn("ln1", substring(col("last_name"), 1, 1))
 
   private val censusCte: String =
     """census AS (
@@ -87,14 +96,19 @@ object LinkageQueries {
 
   private val inputCte: String =
     """input AS (
-      |  SELECT k AS rec_id, messy_first AS first_name, messy_last AS last_name,
-      |         middle_initial, dob_year, dob_month,
-      |         CAST(CASE WHEN k % 13 = 0 THEN (dob_day % 28) + 1 ELSE dob_day END AS INTEGER) AS dob_day,
-      |         CASE WHEN k % 17 = 0 THEN substr(zipcode, 1, 3) || '99' ELSE zipcode END AS zipcode,
-      |         substr(zipcode, 1, 3) AS zip3,
-      |         substr(messy_first, 1, 2) AS fn2,
-      |         substr(messy_last, 1, 1) AS ln1
-      |  FROM persons)""".stripMargin
+      |  SELECT rec_id, first_name, last_name, middle_initial,
+      |         dob_year, dob_month, dob_day, zipcode, zip3,
+      |         substr(first_name, 1, 2) AS fn2,
+      |         substr(last_name, 1, 1) AS ln1
+      |  FROM (
+      |    SELECT k AS rec_id,
+      |           CASE WHEN k % 23 = 0 THEN messy_last ELSE messy_first END AS first_name,
+      |           CASE WHEN k % 23 = 0 THEN messy_first ELSE messy_last END AS last_name,
+      |           middle_initial, dob_year, dob_month,
+      |           CAST(CASE WHEN k % 13 = 0 THEN (dob_day % 28) + 1 ELSE dob_day END AS INTEGER) AS dob_day,
+      |           CASE WHEN k % 17 = 0 THEN substr(zipcode, 1, 3) || '99' ELSE zipcode END AS zipcode,
+      |           substr(zipcode, 1, 3) AS zip3
+      |    FROM persons))""".stripMargin
 
   private val base = s"WITH ${People.personsCte},\n$censusCte,\n$inputCte"
 
@@ -102,6 +116,19 @@ object LinkageQueries {
 
   private def keysOn(keys: Seq[String]): String =
     keys.map(k => s"c.$k = i.$k").mkString(" AND ")
+
+  private val inputCols = Seq("rec_id", "first_name", "last_name", "middle_initial",
+    "dob_year", "dob_month", "dob_day", "zipcode", "zip3", "fn2", "ln1")
+
+  /** Mirror of LinkageCascade's rightRemap: rename right-side columns
+    * before pairing (the name-switch pass).
+    */
+  private def remappedRel(rel: String, remap: Map[String, String]): String =
+    if (remap.isEmpty) rel
+    else {
+      val sel = inputCols.map(c => s"${remap.getOrElse(c, c)} AS $c").mkString(", ")
+      s"(SELECT $sel FROM $rel remap_t)"
+    }
 
   private def gammaSelects: String =
     comparisons.map(c => s"${FellegiSunter.gammaSql(c, "c", "i")} AS ${c.gammaName}").mkString(",\n         ")
@@ -138,7 +165,7 @@ object LinkageQueries {
           val excluded = prevBest.map(b => s"SELECT rec_id FROM $b").mkString(" UNION ALL ")
           s"(SELECT * FROM input WHERE rec_id NOT IN ($excluded))"
         }
-      parts.append(",\n").append(passSql(pass, rel, tag))
+      parts.append(",\n").append(passSql(pass, remappedRel(rel, pass.rightRemap), tag))
       prevBest = prevBest :+ s"best_$tag"
     }
     parts.toString

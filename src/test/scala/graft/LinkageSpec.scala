@@ -59,6 +59,20 @@ class LinkageSpec extends SparkTestBase {
     u.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-3, r.toString))
   }
 
+  test("name-switch pass recovers transposed-name records") {
+    GraftFunctions.register(spark)
+    val links = LinkageCascade.run(census, input, cfg)
+      .filter(col("pass") === "p4_switch").cache()
+    assert(links.count() > 0, "name-switch pass linked nothing")
+    // everything it links is a swapped-name record (k%23==0) it got RIGHT
+    links.collect().foreach { r =>
+      val pik = r.getLong(0); val rec = r.getLong(1)
+      assert(pik == rec, s"name-switch mislink $pik -> $rec")
+      assert(rec % 23 == 0, s"name-switch linked a non-swapped record $rec")
+    }
+    links.unpersist()
+  }
+
   test("predict pass plans as a single equi-join, no cartesian product") {
     GraftFunctions.register(spark)
     val plan = LinkageCascade
