@@ -106,6 +106,18 @@ object LinkageCascade {
     links.get
   }
 
+  /** λ (prior match probability over the full cross product) from record
+    * counts, the reference's probability_two_random_records_match estimate:
+    * expected matches ≈ the smaller side fully covered →
+    * min(nL,nR)/(nL·nR). For λ WITHIN a blocked pass, divide instead by
+    * the pass's candidate-pair count.
+    */
+  def estimateLambda(census: DataFrame, input: DataFrame): Double = {
+    val nL = census.count().toDouble
+    val nR = input.count().toDouble
+    math.min(nL, nR) / (nL * nR)
+  }
+
   /** u estimation by deterministic modular sampling of each side BEFORE the
     * cross join (reference estimates u from random record pairs; sampling
     * first keeps the cross join tiny at any scale). Returns
@@ -135,9 +147,22 @@ object LinkageCascade {
     * aggregate (no extra shuffles), with only per-level scalars collected.
     */
   def emTrainM(census: DataFrame, input: DataFrame, trainingPass: BlockingPass,
+      cfg: LinkageConfig, iterations: Int = 5): Seq[(String, Int, Double)] =
+    emTrainMMulti(census, input, Seq(trainingPass), cfg, iterations)
+
+  /** EM over the UNION of several training blockings (the reference trains
+    * on two: first_name+zipcode and geokey — each blocking only has to
+    * assume ITS keys agree among matches). Pairs produced by more than one
+    * blocking are deduped so they aren't double-weighted.
+    */
+  def emTrainMMulti(census: DataFrame, input: DataFrame, trainingPasses: Seq[BlockingPass],
       cfg: LinkageConfig, iterations: Int = 5): Seq[(String, Int, Double)] = {
+    val pairFrames = trainingPasses
+      .map(p => pairs(census, input, p))
+      .reduce(_ unionByName _)
+      .dropDuplicates("l_pik", "r_rec_id")
     val cv = cfg.comparisons
-      .foldLeft(pairs(census, input, trainingPass)) { (df, c) =>
+      .foldLeft(pairFrames) { (df, c) =>
         df.withColumn(c.gammaName, FellegiSunter.gammaCol(c))
       }
       .select(cfg.comparisons.map(c => col(c.gammaName)): _*)
