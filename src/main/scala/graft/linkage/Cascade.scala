@@ -106,6 +106,13 @@ object LinkageCascade {
     links.get
   }
 
+  /** Post-search confirm (reference "post-search confirm" cells): drop
+    * links whose PIK belongs to a deceased person (date_of_death file) —
+    * an anti-join against a (usually broadcastable) exclusion list.
+    */
+  def confirm(links: DataFrame, deceasedPiks: DataFrame): DataFrame =
+    links.join(broadcast(deceasedPiks.select("pik")), Seq("pik"), "left_anti")
+
   /** λ (prior match probability over the full cross product) from record
     * counts, the reference's probability_two_random_records_match estimate:
     * expected matches ≈ the smaller side fully covered →

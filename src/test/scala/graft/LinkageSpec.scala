@@ -73,6 +73,17 @@ class LinkageSpec extends SparkTestBase {
     links.unpersist()
   }
 
+  test("confirm drops links to deceased PIKs") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.lit
+    val links = LinkageCascade.run(census, input, cfg).cache()
+    val deceased = census.filter(pmod(col("pik"), lit(29)) === 0).select("pik")
+    val confirmed = LinkageCascade.confirm(links, deceased)
+    assert(confirmed.count() < links.count())
+    assert(confirmed.filter(pmod(col("pik"), lit(29)) === 0).count() == 0)
+    links.unpersist()
+  }
+
   test("predict pass plans as a single equi-join, no cartesian product") {
     GraftFunctions.register(spark)
     val plan = LinkageCascade

@@ -45,6 +45,19 @@ class PlanSpec extends SparkTestBase {
       s"minhash aggregation lost map-side partials:\n$p")
   }
 
+  test("no query plans a cartesian product except the intended cross joins") {
+    GraftFunctions.register(spark)
+    // q30 samples both sides then cross-joins (intended); q44 is the
+    // brute-force KNN baseline against a broadcast query set (intended);
+    // q33 cross-joins a single-row totals frame (intended).
+    val intendedCross = Set("q30_u_estimation", "q44_cosine_knn", "q33_accuracy_eval")
+    SparkEntry.queries.keys.filterNot(intendedCross).foreach { name =>
+      val p = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoop"), s"$name plans a BNLJ")
+    }
+  }
+
   test("whole-stage codegen covers the scoring projections") {
     GraftFunctions.register(spark)
     val df = SparkEntry.queries("q28_match_weights")(spark, sfDir)
