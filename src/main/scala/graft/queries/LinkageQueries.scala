@@ -280,11 +280,16 @@ object LinkageQueries {
     ),
     QueryDef(
       // EM is iterative driver-orchestrated training → rows-only oracle;
-      // EmSpec asserts convergence properties instead.
+      // LinkageSpec asserts convergence properties instead. Two training
+      // blockings, like the reference (first_name+zipcode, geokey): each
+      // blocking only assumes ITS keys agree among matches.
       "q31_em_training",
       (s, d) => {
         reg(s)
-        val result = LinkageCascade.emTrainM(census(s, d), input(s, d), blockPass, config)
+        val result = LinkageCascade.emTrainMMulti(
+          census(s, d), input(s, d),
+          Seq(blockPass, BlockingPass("em_name_yob", Seq("fn2", "dob_year"))),
+          config)
         s.createDataFrame(result.map { case (c, g, m) => (c, g, BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) })
           .toDF("comparison", "gamma", "m_hat")
       }
