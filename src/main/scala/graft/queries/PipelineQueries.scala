@@ -176,11 +176,21 @@ object PipelineQueries {
       // same-source candidates with close lengths.
       "q43_ngram_jaccard_dedup",
       (s, d) => {
+        // Length-banded candidate join: |n_chars diff| <= 20 confines a
+        // match to the same or an adjacent 32-char bucket, so emitting the
+        // right side under its 3 candidate buckets makes the join a pure
+        // equi-join on (source, bucket) — linear in block size instead of
+        // quadratic per source, with an IDENTICAL result set (each
+        // qualifying pair matches exactly one of the 3 bucket keys).
         val docs = docsWithDups(s, d)
           .select(col("doc_id"), col("source"), col("n_chars"),
             TextOps.wordShingles(col("text"), 3).as("grams"))
-        docs.as("a").join(docs.as("b"),
+        val left = docs.withColumn("bucket", (col("n_chars") / 32).cast("long"))
+        val right = docs.withColumn("bucket",
+          explode(array(Seq(-1, 0, 1).map(o => (col("n_chars") / 32).cast("long") + o): _*)))
+        left.as("a").join(right.as("b"),
             col("a.source") === col("b.source") &&
+              col("a.bucket") === col("b.bucket") &&
               col("a.doc_id") < col("b.doc_id") &&
               abs(col("a.n_chars") - col("b.n_chars")) <= 20)
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
