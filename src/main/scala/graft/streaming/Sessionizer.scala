@@ -27,6 +27,20 @@ object Sessionizer {
   /** Gap that closes a session (matches the batch twin in q61). */
   val GapMs: Long = 30 * 60 * 1000L
 
+  /** Exactly-once event dedup: drops event_id repeats, with state bounded
+    * by the watermark (late duplicates past the watermark age out of state;
+    * the upstream source's replay window must fit inside it).
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+
+  /** Stream-static enrichment: the static side is broadcast per micro-batch
+    * (no stateful shuffle) — the streaming twin of the dimension joins in
+    * the batch queries.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Hourly tumbling-window counts with a 1-hour watermark. */
   def windowedCounts(events: DataFrame): DataFrame =
     events

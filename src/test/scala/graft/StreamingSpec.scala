@@ -62,6 +62,51 @@ class StreamingSpec extends SparkTestBase {
         s"only-batch=${(batch -- streamed).take(3)}")
   }
 
+  test("streaming dedup drops exact event replays") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.events(spark, sfDir)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().take(200)
+
+    val stream = MemoryStream[Event]
+    val query = Sessionizer.dedupEvents(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      stream.addData((events ++ events ++ events.take(50)).toIndexedSeq) // replays
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val out = spark.table("dedup_out").select("event_id").collect().map(_.getLong(0))
+    assert(out.length == 200, s"expected 200 unique events, got ${out.length}")
+    assert(out.toSet.size == 200)
+  }
+
+  test("stream-static enrichment joins the broadcast dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.events(spark, sfDir)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().take(100)
+    val dim = Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct()
+      .withColumn("segment", pmod(col("user_id"), lit(3)))
+
+    val stream = MemoryStream[Event]
+    val query = Sessionizer.enrich(stream.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(events.toIndexedSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val out = spark.table("enrich_out")
+    assert(out.count() == 100)
+    assert(out.filter(col("segment").isNull).count() == 0, "dimension join missed rows")
+  }
+
   test("windowed counts: streaming result matches batch aggregation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
