@@ -85,6 +85,52 @@ object PipelineQueries {
   private def sparkNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", VectorOps.norm(col("embedding")))
 
+  /** Verified near-dup pairs (doc_a, doc_b, jaccard >= 0.5) — q43's body,
+    * shared with q52's clustering. Length-banded candidate join: the
+    * |n_chars diff| <= 20 predicate confines a match to the same or an
+    * adjacent 32-char bucket, so emitting the right side under its 3
+    * candidate buckets makes this a pure equi-join on (source, bucket) —
+    * linear in block size instead of quadratic per source, with an
+    * IDENTICAL result set (each qualifying pair matches exactly one key).
+    */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = docsWithDups(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        TextOps.wordShingles(col("text"), 3).as("grams"))
+    val left = docs.withColumn("bucket", (col("n_chars") / 32).cast("long"))
+    val right = docs.withColumn("bucket",
+      explode(array(Seq(-1, 0, 1).map(o => (col("n_chars") / 32).cast("long") + o): _*)))
+    left.as("a").join(right.as("b"),
+        col("a.source") === col("b.source") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.n_chars") - col("b.n_chars")) <= 20)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(
+          size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
+            size(array_union(col("a.grams"), col("b.grams"))).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  /** CTE chain ending in `jpairs(doc_a, doc_b, jaccard)` ≡ [[jaccardPairs]]. */
+  private val jaccardPairsCtes: String =
+    s"""$docs2Cte,
+       |grams AS (
+       |  SELECT doc_id, source, n_chars,
+       |         list_distinct([array_to_string(w[i:i+2], ' ')
+       |                        FOR i IN range(1, greatest(len(w) - 2, 0) + 1)]) AS grams
+       |  FROM (SELECT doc_id, source, n_chars, string_split(text, ' ') AS w FROM docs2)),
+       |jpairs AS (
+       |  SELECT doc_a, doc_b, jaccard FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+       |                 CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) AS jaccard
+       |    FROM grams a JOIN grams b
+       |      ON a.source = b.source AND a.doc_id < b.doc_id
+       |     AND abs(a.n_chars - b.n_chars) <= 20) t
+       |  WHERE jaccard >= 0.5)""".stripMargin
+
   // ---- queries -----------------------------------------------------------
 
   val defs: Seq[QueryDef] = Seq(
@@ -175,45 +221,36 @@ object PipelineQueries {
       // Verify stage of near-dup detection: word-3gram Jaccard over
       // same-source candidates with close lengths.
       "q43_ngram_jaccard_dedup",
+      (s, d) => jaccardPairs(s, d),
+      Some(s"""WITH $jaccardPairsCtes
+              |SELECT doc_a, doc_b, jaccard FROM jpairs""".stripMargin)
+    ),
+    QueryDef(
+      // Verified pairs → duplicate CLUSTERS: distributed min-label
+      // propagation (graft.operators.Components); the oracle computes the
+      // same fixpoint with a recursive transitive-closure CTE. The kept
+      // representative per cluster is the min doc_id.
+      "q52_dup_clusters",
       (s, d) => {
-        // Length-banded candidate join: |n_chars diff| <= 20 confines a
-        // match to the same or an adjacent 32-char bucket, so emitting the
-        // right side under its 3 candidate buckets makes the join a pure
-        // equi-join on (source, bucket) — linear in block size instead of
-        // quadratic per source, with an IDENTICAL result set (each
-        // qualifying pair matches exactly one of the 3 bucket keys).
-        val docs = docsWithDups(s, d)
-          .select(col("doc_id"), col("source"), col("n_chars"),
-            TextOps.wordShingles(col("text"), 3).as("grams"))
-        val left = docs.withColumn("bucket", (col("n_chars") / 32).cast("long"))
-        val right = docs.withColumn("bucket",
-          explode(array(Seq(-1, 0, 1).map(o => (col("n_chars") / 32).cast("long") + o): _*)))
-        left.as("a").join(right.as("b"),
-            col("a.source") === col("b.source") &&
-              col("a.bucket") === col("b.bucket") &&
-              col("a.doc_id") < col("b.doc_id") &&
-              abs(col("a.n_chars") - col("b.n_chars")) <= 20)
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            round(
-              size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
-                size(array_union(col("a.grams"), col("b.grams"))).cast("double"), 6)
-              .as("jaccard"))
-          .filter(col("jaccard") >= 0.5)
+        val nodes = docsWithDups(s, d).select(col("doc_id").as("node"))
+        val edges = jaccardPairs(s, d)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        graft.operators.Components.connectedComponents(nodes, edges)
+          .select(col("node").as("doc_id"), col("cluster_id"),
+            (col("node") === col("cluster_id")).as("is_kept"))
       },
-      Some(s"""WITH $docs2Cte,
-              |grams AS (
-              |  SELECT doc_id, source, n_chars,
-              |         list_distinct([array_to_string(w[i:i+2], ' ')
-              |                        FOR i IN range(1, greatest(len(w) - 2, 0) + 1)]) AS grams
-              |  FROM (SELECT doc_id, source, n_chars, string_split(text, ' ') AS w FROM docs2))
-              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              |       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-              |             CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) AS jaccard
-              |FROM grams a JOIN grams b
-              |  ON a.source = b.source AND a.doc_id < b.doc_id
-              | AND abs(a.n_chars - b.n_chars) <= 20
-              |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-              |      CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.5""".stripMargin)
+      Some(s"""WITH RECURSIVE $jaccardPairsCtes,
+              |sym AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+              |        UNION SELECT doc_b, doc_a FROM jpairs),
+              |reach(src, dst) AS (
+              |  SELECT a, b FROM sym
+              |  UNION
+              |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
+              |minreach AS (SELECT src, MIN(dst) AS m FROM reach GROUP BY src)
+              |SELECT d.doc_id,
+              |       least(d.doc_id, coalesce(m.m, d.doc_id)) AS cluster_id,
+              |       d.doc_id = least(d.doc_id, coalesce(m.m, d.doc_id)) AS is_kept
+              |FROM docs2 d LEFT JOIN minreach m ON d.doc_id = m.src""".stripMargin)
     ),
     QueryDef(
       // Brute-force top-k cosine KNN against a broadcast query set — the

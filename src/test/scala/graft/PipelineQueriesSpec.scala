@@ -62,6 +62,23 @@ class PipelineQueriesSpec extends SparkTestBase {
     planted.foreach(p => assert(pairs.contains(p), s"missed planted variant $p"))
   }
 
+  test("q52 clusters the planted dup triangles under the original doc_id") {
+    val rows = byName("q52_dup_clusters").query(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docIds = Tables.documents(spark, sfDir).select("doc_id")
+      .collect().map(_.getLong(0))
+    // doc_id%70==0 has BOTH a near-dup (+100000) and an exact copy
+    // (+200000): all three must share the original's cluster id.
+    docIds.filter(_ % 70 == 0).foreach { id =>
+      assert(rows(id) == id, s"original $id not its own representative")
+      assert(rows(id + 100000L) == id, s"near-dup of $id in cluster ${rows(id + 100000L)}")
+      assert(rows(id + 200000L) == id, s"exact copy of $id in cluster ${rows(id + 200000L)}")
+    }
+    // isolated docs are their own singleton clusters
+    val isolated = docIds.filter(id => id % 10 != 0 && id % 7 != 0)
+    isolated.take(20).foreach(id => assert(rows(id) == id))
+  }
+
   test("q46 langid predicts en or und on the english-vocabulary corpus") {
     val preds = byName("q46_langid").query(spark, sfDir)
       .select("pred_lang").distinct().collect().map(_.getString(0)).toSet
