@@ -388,6 +388,36 @@ object PipelineQueries {
               |FROM documents""".stripMargin)
     ),
     QueryDef(
+      // TF-IDF term scoring: tf per (doc, word), df per word, idf from the
+      // corpus size. Row set is pure integer arithmetic (deterministic);
+      // the score is the only double and is rounded. Two hash-aggregates +
+      // one broadcastable join — the vocabulary side is small by Zipf.
+      "q53_tfidf",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val words = docs.select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
+        val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        val dfq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        tf.join(dfq, "word")
+          .crossJoin(broadcast(n))
+          .filter(col("tf") >= 3)
+          .select(col("doc_id"), col("word"), col("tf"), col("df"),
+            round(col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")), 6)
+              .as("tfidf"))
+      },
+      Some("""WITH tf AS (
+             |  SELECT doc_id, w AS word, COUNT(*) AS tf
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+             |  GROUP BY doc_id, w),
+             |dfq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+             |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+             |SELECT tf.doc_id, tf.word, tf.tf, dfq.df,
+             |       round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(dfq.df AS DOUBLE)), 6) AS tfidf
+             |FROM tf JOIN dfq ON tf.word = dfq.word CROSS JOIN n
+             |WHERE tf.tf >= 3""".stripMargin)
+    ),
+    QueryDef(
       // Binary media column + typed metadata + batch decode plumbing; the
       // decode itself is a documented deterministic stub (no codecs here).
       "q50_multimodal_stub",

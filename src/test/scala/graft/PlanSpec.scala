@@ -49,8 +49,9 @@ class PlanSpec extends SparkTestBase {
     GraftFunctions.register(spark)
     // q30 samples both sides then cross-joins (intended); q44 is the
     // brute-force KNN baseline against a broadcast query set (intended);
-    // q33 cross-joins a single-row totals frame (intended).
-    val intendedCross = Set("q30_u_estimation", "q44_cosine_knn", "q33_accuracy_eval")
+    // q33/q53 cross-join a single-row totals frame (intended).
+    val intendedCross = Set(
+      "q30_u_estimation", "q44_cosine_knn", "q33_accuracy_eval", "q53_tfidf")
     SparkEntry.queries.keys.filterNot(intendedCross).foreach { name =>
       val p = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
