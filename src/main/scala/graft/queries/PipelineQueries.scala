@@ -388,6 +388,62 @@ object PipelineQueries {
               |FROM documents""".stripMargin)
     ),
     QueryDef(
+      // PII scrubbing: deterministic planted emails/phones (doc_id%9==0),
+      // counted and redacted with the same patterns in both engines. Pure
+      // map-side regex work.
+      "q54_pii_redact",
+      (s, d) => {
+        val planted = concat(col("text"),
+          when(pmod(col("doc_id"), lit(9)) === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
+              lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+            .otherwise(lit("")))
+        val emailRe = "[a-z0-9]+@[a-z0-9.]+[a-z]"
+        val phoneRe = "\\+1-555-[0-9]{4}"
+        Tables.documents(s, d)
+          .withColumn("text2", planted)
+          .select(
+            col("doc_id"),
+            regexp_count(col("text2"), lit(emailRe)).cast("long").as("n_emails"),
+            regexp_count(col("text2"), lit(phoneRe)).cast("long").as("n_phones"),
+            regexp_replace(regexp_replace(col("text2"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>").as("redacted"))
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |         text || CASE WHEN doc_id % 9 = 0
+             |                      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' ||
+             |                           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             |                      ELSE '' END AS text2
+             |  FROM documents)
+             |SELECT doc_id,
+             |       len(regexp_extract_all(text2, '[a-z0-9]+@[a-z0-9.]+[a-z]')) AS n_emails,
+             |       len(regexp_extract_all(text2, '\+1-555-[0-9]{4}')) AS n_phones,
+             |       regexp_replace(regexp_replace(text2, '[a-z0-9]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
+             |                      '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+             |FROM planted""".stripMargin)
+    ),
+    QueryDef(
+      // Degenerate-repetition signal: share of adjacent word pairs that are
+      // identical ("batch batch batch" inflation) — a standard quality cut
+      // for LLM training text.
+      "q55_repetition",
+      (s, d) => {
+        val w = TextOps.words(col("text"))
+        val adjacentDups = size(filter(sequence(lit(1), size(w) - 1),
+          i => element_at(w, i) === element_at(w, i + 1)))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          adjacentDups.as("n_adjacent_dups"),
+          round(adjacentDups.cast("double") / (size(w) - 1).cast("double"), 6).as("rep_ratio"))
+      },
+      Some("""SELECT doc_id,
+             |       len([i FOR i IN range(1, len(w)) IF w[i] = w[i+1]]) AS n_adjacent_dups,
+             |       round(CAST(len([i FOR i IN range(1, len(w)) IF w[i] = w[i+1]]) AS DOUBLE) /
+             |             CAST(len(w) - 1 AS DOUBLE), 6) AS rep_ratio
+             |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin)
+    ),
+    QueryDef(
       // TF-IDF term scoring: tf per (doc, word), df per word, idf from the
       // corpus size. Row set is pure integer arithmetic (deterministic);
       // the score is the only double and is rounded. Two hash-aggregates +
