@@ -20,7 +20,16 @@ object GraftFunctions {
     "jaro_winkler" -> (es => JaroWinklerSimilarity(es(0), es(1))),
     "nysiis" -> (es => Nysiis(es.head)),
     "vec_dot_decimal" -> (es => VectorDotDecimal(es(0), es(1))),
-    "vec_dot" -> (es => VectorDotDouble(es(0), es(1)))
+    "vec_dot" -> (es => VectorDotDouble(es(0), es(1))),
+    "topk_by_score" -> (es => {
+      val k = es(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+          v.asInstanceOf[Number].intValue()
+        case other =>
+          throw new IllegalArgumentException(s"topk_by_score k must be a literal, got $other")
+      }
+      TopKByScore(es(0), es(1), k).toAggregateExpression()
+    })
   )
 
   def register(spark: SparkSession): Unit = {
@@ -52,6 +61,10 @@ object GraftFunctions {
 
   /** Plain-double float-vector dot product — the fast production path. */
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** Top-k (score desc, id asc) aggregate → array<struct<score,id>>. */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    call_function("topk_by_score", score, id, lit(k))
 
   /** Soundex of the reversed string (PVS blocking key; reference
     * 03_link_datasets.ipynb `reverse_soundex`). Composed from built-ins.

@@ -261,14 +261,18 @@ object PipelineQueries {
         val e = sparkNorm(Tables.embeddings(s, d).select("vec_id", "embedding"))
         val q = e.filter(pmod(col("vec_id"), lit(100)) === 0)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+        // Top-k via the TypedImperativeAggregate: map-side partial top-5
+        // buffers instead of a per-query sort of every candidate.
         e.crossJoin(broadcast(q))
           .filter(col("vec_id") =!= col("qid"))
           .withColumn("cos",
             VectorOps.dotDecimal(col("embedding"), col("qe")) / (col("nrm") * col("qn")))
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 5)
-          .select(col("qid"), col("vec_id"), col("rnk"), round(col("cos"), 6).as("cos"))
+          .groupBy("qid")
+          .agg(graft.functions.GraftFunctions
+            .topKByScore(col("cos"), col("vec_id"), 5).as("top"))
+          .select(col("qid"), posexplode(col("top")))
+          .select(col("qid"), col("col.id").as("vec_id"),
+            (col("pos") + 1).as("rnk"), round(col("col.score"), 6).as("cos"))
       },
       Some(s"""WITH ${normsCte("nrms", "embeddings")},
               |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM nrms WHERE vec_id % 100 = 0),
