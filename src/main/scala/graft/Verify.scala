@@ -12,6 +12,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Same join-planning envelope as Bench: shingle/gram frames at these
+      // scale factors sit between the 10MB default and 64MB, and the
+      // broadcast plan is several times faster than shuffling array columns
+      // through a sort-merge join.
+      .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+      .config("spark.sql.adaptive.enabled", "true")
       // events.parquet stores TIMESTAMP(NANOS); Spark 4 refuses it unless
       // read as long (Tables.events converts back to a µs timestamp).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

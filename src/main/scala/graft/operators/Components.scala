@@ -21,9 +21,11 @@ object Components {
     * @return (node, cluster_id) where cluster_id = min node id reachable
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 15): DataFrame = {
-    val sym = edges.select(col("a"), col("b"))
-      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
-      .cache()
+    // Cache the edge list BEFORE symmetrizing: the union's two branches
+    // would otherwise each re-evaluate the (possibly expensive) edge
+    // lineage — e.g. a full near-dup candidate join — from scratch.
+    val e = edges.select(col("a"), col("b")).cache()
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b"))).cache()
     var labels = nodes.select(col("node"), col("node").as("cluster_id")).cache()
     var iter = 0
     var converged = false
@@ -46,6 +48,7 @@ object Components {
       iter += 1
     }
     sym.unpersist()
+    e.unpersist()
     labels
   }
 }

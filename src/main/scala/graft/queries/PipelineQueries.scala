@@ -94,22 +94,44 @@ object PipelineQueries {
     * IDENTICAL result set (each qualifying pair matches exactly one key).
     */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    // Cached: three consumers below (sizes, both token-join sides) would
+    // otherwise each recompute the shingle construction from scratch —
+    // Spark does not share work across join branches without explicit
+    // materialization. (~2KB/doc; the cache is small and LRU-evicted.)
     val docs = docsWithDups(s, d)
       .select(col("doc_id"), col("source"), col("n_chars"),
         TextOps.wordShingles(col("text"), 3).as("grams"))
-    val left = docs.withColumn("bucket", (col("n_chars") / 32).cast("long"))
-    val right = docs.withColumn("bucket",
+      .cache()
+    // Candidate pairs carry only ids + set sizes (no arrays through the
+    // join): banded equi-join on (source, 32-char bucket) — |diff|<=20
+    // confines a match to the same or an adjacent bucket, so the 3-bucket
+    // fanout is exhaustive and each qualifying pair matches exactly once.
+    val sizes = docs.select(col("doc_id"), col("source"), col("n_chars"),
+      size(col("grams")).as("g_sz"))
+    val left = sizes.withColumn("bucket", (col("n_chars") / 32).cast("long"))
+    val right = sizes.withColumn("bucket",
       explode(array(Seq(-1, 0, 1).map(o => (col("n_chars") / 32).cast("long") + o): _*)))
-    left.as("a").join(right.as("b"),
+    val cand = left.as("a").join(right.as("b"),
         col("a.source") === col("b.source") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id") &&
           abs(col("a.n_chars") - col("b.n_chars")) <= 20)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(
-          size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
-            size(array_union(col("a.grams"), col("b.grams"))).cast("double"), 6)
-          .as("jaccard"))
+        col("a.g_sz").as("sz_a"), col("b.g_sz").as("sz_b"))
+    // Intersection sizes via token equi-joins (set-similarity join shape):
+    // per-pair array_intersect on string arrays is O(|A|·|B|) scans — 150µs
+    // per pair — while exploded tokens hash-join and count in bulk.
+    val tokens = docs.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val inter = cand
+      .join(tokens.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(tokens.as("tb"),
+        col("doc_b") === col("tb.doc_id") && col("ta.gram") === col("tb.gram"))
+      .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
   }
 
