@@ -27,6 +27,8 @@ case class TopKByScore(
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[ArrayBuffer[(Double, Long)]] {
 
+  require(k > 0, s"topk_by_score requires k > 0, got $k")
+
   override def children: Seq[Expression] = Seq(score, id)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(

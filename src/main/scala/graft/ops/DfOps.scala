@@ -49,13 +49,14 @@ object DfOps {
     * explicit null-handling branch). One window over the shuffle on
     * `subset` — no extra exchange.
     */
-  def dropDuplicates(df: DataFrame, subset: Seq[String], sortCol: Option[String] = None,
+  def dropDuplicates(df: DataFrame, subset: Seq[String] = Nil, sortCol: Option[String] = None,
       keepLast: Boolean = true): DataFrame = {
+    val keys = if (subset.nonEmpty) subset else df.columns.toSeq // reference: subset=None → all
     val tiebreak = df.columns.map(col) // total order for determinism on ties
     val ordering = sortCol.map(c => if (keepLast) col(c).desc else col(c).asc).toSeq ++
       (if (keepLast) tiebreak.map(_.desc) else tiebreak.map(_.asc))
-    val w = Window.partitionBy(subset.map(col): _*).orderBy(ordering: _*)
-    val hasNullKey = subset.map(col(_).isNull).reduce(_ || _)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+    val hasNullKey = keys.map(col(_).isNull).reduce(_ || _)
     val deduped = df.filter(!hasNullKey)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
