@@ -31,18 +31,32 @@ object Bench {
       try Tables.load(spark, sfDir, t).limit(1000).count() catch { case _: Throwable => })
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try {
-        val df = fn(spark, sfDir)
-        // hash of every column per row, summed: forces complete evaluation
-        df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
-          .agg(sum("h")).collect()
-      } catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try {
+          val df = fn(spark, sfDir)
+          // hash of every column per row, XOR-reduced: forces complete
+          // evaluation of the user-visible plan. XOR (unlike SUM) cannot
+          // overflow, so ANSI mode never aborts the job mid-benchmark.
+          df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+            .agg(expr("bit_xor(h)")).collect()
+          None
+        } catch { case e: Throwable => Some(e.toString.take(200)) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    results.collect { case (name, _, Some(e)) =>
+      System.err.println(s"BENCH ERROR $name: $e")
+    }
+    val qs = results.map { case (k, v, err) =>
+      // A crashed query must not masquerade as a fast one: report -1.
+      val shown = if (err.isDefined) -1.0 else v
+      s"\"" + k + "\":" + shown
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      s"\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    val nErr = results.count(_._3.isDefined)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

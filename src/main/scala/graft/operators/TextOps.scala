@@ -14,12 +14,18 @@ object TextOps {
   /** Whitespace tokens (the testdata corpus is single-space separated). */
   def words(text: Column): Column = split(text, " ")
 
-  /** Distinct word n-gram shingles, space-joined. */
+  /** Distinct word n-gram shingles, space-joined. Documents shorter than
+    * `n` words yield an EMPTY list — the guard is load-bearing: Spark's
+    * sequence(1, 0) defaults to step -1 and returns the descending [1, 0],
+    * whose index 0 makes slice() throw at runtime (unlike DuckDB's
+    * range(1, 1), which is empty).
+    */
   def wordShingles(text: Column, n: Int): Column = {
     val w = words(text)
-    array_distinct(
-      transform(sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
-        i => concat_ws(" ", slice(w, i, lit(n)))))
+    when(size(w) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), size(w) - (n - 1)),
+          i => concat_ws(" ", slice(w, i, lit(n))))))
   }
 
   /** Murmur3-based minhash signature over shingles: for each of `k` hash

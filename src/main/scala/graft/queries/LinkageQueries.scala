@@ -189,7 +189,7 @@ object LinkageQueries {
        |links AS (
        |  $links)
        |SELECT COUNT(*) AS n_links,
-       |       SUM(CASE WHEN pik = rec_id THEN 1 ELSE 0 END) AS n_correct,
+       |       CAST(SUM(CASE WHEN pik = rec_id THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
        |       (SELECT COUNT(*) FROM census) AS n_true,
        |       round(CAST(SUM(CASE WHEN pik = rec_id THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS precision_,
        |       round(CAST(SUM(CASE WHEN pik = rec_id THEN 1 ELSE 0 END) AS DOUBLE) / CAST((SELECT COUNT(*) FROM census) AS DOUBLE), 6) AS recall_

@@ -456,17 +456,24 @@ object PipelineQueries {
       "q55_repetition",
       (s, d) => {
         val w = TextOps.words(col("text"))
-        val adjacentDups = size(filter(sequence(lit(1), size(w) - 1),
-          i => element_at(w, i) === element_at(w, i + 1)))
+        // One-word docs: sequence(1, 0) is the DESCENDING [1, 0] in Spark
+        // (element_at index 0 throws), and the ratio divides by zero — guard
+        // both explicitly; rep_ratio is NULL when no adjacent pair exists.
+        val adjacentDups = when(size(w) <= 1, lit(0)).otherwise(
+          size(filter(sequence(lit(1), size(w) - 1),
+            i => element_at(w, i) === element_at(w, i + 1))))
         Tables.documents(s, d).select(
           col("doc_id"),
           adjacentDups.as("n_adjacent_dups"),
-          round(adjacentDups.cast("double") / (size(w) - 1).cast("double"), 6).as("rep_ratio"))
+          when(size(w) <= 1, lit(null).cast("double"))
+            .otherwise(round(adjacentDups.cast("double") / (size(w) - 1).cast("double"), 6))
+            .as("rep_ratio"))
       },
       Some("""SELECT doc_id,
              |       len([i FOR i IN range(1, len(w)) IF w[i] = w[i+1]]) AS n_adjacent_dups,
-             |       round(CAST(len([i FOR i IN range(1, len(w)) IF w[i] = w[i+1]]) AS DOUBLE) /
-             |             CAST(len(w) - 1 AS DOUBLE), 6) AS rep_ratio
+             |       CASE WHEN len(w) <= 1 THEN NULL
+             |            ELSE round(CAST(len([i FOR i IN range(1, len(w)) IF w[i] = w[i+1]]) AS DOUBLE) /
+             |                       CAST(len(w) - 1 AS DOUBLE), 6) END AS rep_ratio
              |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin)
     ),
     QueryDef(

@@ -60,8 +60,8 @@ object StreamingQueries {
              |  FROM events
              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
              |sessions AS (
-             |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |                                ROWS UNBOUNDED PRECEDING) AS sess_idx
+             |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_idx
              |  FROM flagged)
              |SELECT user_id, sess_idx,
              |       strftime(MIN(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS session_start,

@@ -13,6 +13,27 @@ class PipelineQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("short documents: wordShingles is empty, repetition guards div-by-zero") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = Seq("one", "two words", "a b c", "x").toDF("text")
+    val grams = docs.select(TextOps.wordShingles(col("text"), 3).as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(grams.map(_.size).toSeq == Seq(0, 0, 1, 0))
+    // q55's repetition arithmetic on a one-word doc must not throw and must
+    // yield NULL ratio (no adjacent pair exists).
+    val w = TextOps.words(col("text"))
+    val adj = when(size(w) <= 1, lit(0)).otherwise(
+      size(filter(sequence(lit(1), size(w) - 1),
+        i => element_at(w, i) === element_at(w, i + 1))))
+    val r = docs.select(adj.as("n"),
+      when(size(w) <= 1, lit(null).cast("double"))
+        .otherwise(adj.cast("double") / (size(w) - 1).cast("double")).as("ratio"))
+      .collect()
+    assert(r.map(_.getInt(0)).toSeq == Seq(0, 0, 0, 0))
+    assert(r(0).isNullAt(1) && r(3).isNullAt(1) && !r(1).isNullAt(1))
+  }
+
   test("q40 exact dedup finds exactly the planted copies") {
     val dups = byName("q40_dedup_exact").query(spark, sfDir)
       .filter(col("n_copies") > 1).collect()

@@ -25,8 +25,9 @@ def canon(df):
     df = df[sorted(df.columns)]
     # normalize dtypes to strings for robust compare
     def cell(v):
-        if isinstance(v, float):
-            return f"{v:.10g}"
+        # Strict like the driver's hash: 1228.0 (float64 from a HUGEINT sum)
+        # must NOT compare equal to 1228 (int64) — dtype drift is a real
+        # failure mode the oracle SQL has to fix with explicit CASTs.
         return str(v)
     rows = sorted(tuple(cell(v) for v in row) for row in df.itertuples(index=False, name=None))
     return rows
