@@ -129,9 +129,20 @@ object LinkageCascade {
     * cross join (reference estimates u from random record pairs; sampling
     * first keeps the cross join tiny at any scale). Returns
     * (comparison, gamma, n, u_hat).
+    *
+    * The sampling modulus DERIVES from the row count — each side's sample
+    * stays at ~perSideTarget rows, so the sampled cross join is a fixed
+    * ~perSideTarget² pairs whether the input has 10³ or 10⁹ rows. (A
+    * constant modulus samples a constant FRACTION, and the cross join then
+    * grows quadratically with the data.) Integer count/target arithmetic
+    * is reproduced exactly by the DuckDB oracle.
     */
+  val uSampleTarget: Long = 200L
+
   def estimateU(census: DataFrame, input: DataFrame, cfg: LinkageConfig,
-      modL: Int = 41, modR: Int = 43): DataFrame = {
+      perSideTarget: Long = uSampleTarget): DataFrame = {
+    val modL = math.max(1L, census.count() / perSideTarget)
+    val modR = math.max(1L, input.count() / perSideTarget)
     val l = prefixed(census.filter(pmod(col("pik"), lit(modL)) === 0), "l_")
     val r = prefixed(input.filter(pmod(col("rec_id"), lit(modR)) === 0), "r_")
     val withGammas = cfg.comparisons.foldLeft(l.crossJoin(r)) { (df, c) =>

@@ -79,10 +79,17 @@ object TextOps {
 
   /** Polynomial rolling hash of the whole document (base 31, mod 1e9+7) —
     * an order-sensitive fingerprint, unlike the bag-of-words hashes.
+    *
+    * Linear: the text splits into a char array ONCE and the fold walks it.
+    * (A sequence(1, length) + substr(text, i) formulation is O(n²) per row:
+    * Spark re-evaluates the lambda's input per element and each substr
+    * re-scans the string's bytes.) Java-regex split on the empty pattern
+    * emits a trailing "" — slice(…, 1, length) drops it in the same pass.
     */
   def fingerprint(text: Column): Column =
     aggregate(
-      transform(sequence(lit(1), length(text)), i => ascii(substr(text, i, lit(1))).cast("long")),
+      transform(slice(split(text, ""), lit(1), length(text)),
+        c => ascii(c).cast("long")),
       lit(0L),
       (acc, x) => pmod(acc * 31 + x, lit(1000000007L)))
 

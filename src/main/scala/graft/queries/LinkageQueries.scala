@@ -265,8 +265,10 @@ object LinkageQueries {
         LinkageCascade.estimateU(census(s, d), input(s, d), config)
       },
       Some(s"""$base,
-              |csamp AS (SELECT * FROM census WHERE pik % 41 = 0),
-              |isamp AS (SELECT * FROM input WHERE rec_id % 43 = 0),
+              |csamp AS (SELECT * FROM census
+              |          WHERE pik % greatest(1, (SELECT COUNT(*) FROM census) // ${LinkageCascade.uSampleTarget}) = 0),
+              |isamp AS (SELECT * FROM input
+              |          WHERE rec_id % greatest(1, (SELECT COUNT(*) FROM input) // ${LinkageCascade.uSampleTarget}) = 0),
               |prs AS (
               |  SELECT $gammaSelects
               |  FROM csamp c CROSS JOIN isamp i),

@@ -74,6 +74,15 @@ object PipelineQueries {
        |         label
        |  FROM embeddings WHERE vec_id % 20 = 0)""".stripMargin
 
+  /** q44's fixed query-point ids: deterministic, all < 500 so they exist
+    * at every scale factor (TESTDATA embeddings always cover vec_id
+    * 0..499). Fixed size keeps the KNN broadcast side O(1) as the
+    * candidate table scales.
+    */
+  val KnnQueryIds: Seq[Long] =
+    Seq(7L, 23L, 41L, 59L, 83L, 101L, 127L, 149L, 173L, 199L, 223L, 251L,
+      277L, 307L, 331L, 353L)
+
   /** norm CTE over a (vec_id, embedding, ...) relation. */
   private def normsCte(name: String, rel: String, extraCols: String = ""): String =
     s"""$name AS (
@@ -276,12 +285,16 @@ object PipelineQueries {
     ),
     QueryDef(
       // Brute-force top-k cosine KNN against a broadcast query set — the
-      // exact baseline the LSH variant approximates.
+      // exact baseline the LSH variant approximates. The query set is a
+      // FIXED list of ids (all < 500, present at every scale factor), so
+      // the broadcast side is O(1) in table size and the scan side does
+      // O(n·|Q|) work — a vec_id % k predicate would grow |Q| linearly
+      // with the table and turn this into a quadratic crossJoin.
       "q44_cosine_knn",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         val e = sparkNorm(Tables.embeddings(s, d).select("vec_id", "embedding"))
-        val q = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+        val q = e.filter(col("vec_id").isin(KnnQueryIds: _*))
           .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
         // Top-k via the TypedImperativeAggregate: map-side partial top-5
         // buffers instead of a per-query sort of every candidate.
@@ -297,7 +310,8 @@ object PipelineQueries {
             (col("pos") + 1).as("rnk"), round(col("col.score"), 6).as("cos"))
       },
       Some(s"""WITH ${normsCte("nrms", "embeddings")},
-              |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM nrms WHERE vec_id % 100 = 0),
+              |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM nrms
+              |      WHERE vec_id IN (${KnnQueryIds.mkString(", ")})),
               |dots AS (
               |  SELECT c.vec_id, q.qid, MAX(c.nrm) AS nrm, MAX(q.qn) AS qn,
               |         ${VectorOps.dotDecimalSql("c.embedding", "q.qe")} AS dot
@@ -455,19 +469,30 @@ object PipelineQueries {
       // for LLM training text.
       "q55_repetition",
       (s, d) => {
-        val w = TextOps.words(col("text"))
-        // One-word docs: sequence(1, 0) is the DESCENDING [1, 0] in Spark
-        // (element_at index 0 throws), and the ratio divides by zero — guard
-        // both explicitly; rep_ratio is NULL when no adjacent pair exists.
+        // Linear single-pass shape: the word array materializes ONCE in a
+        // prior projection, and adjacent dups are counted by zipping the
+        // array against itself shifted by one — O(n) per row. (The
+        // sequence(1, n-1) + element_at(w, i) formulation was O(n²) ×3:
+        // Spark re-evaluates the lambda's input expression per element and
+        // the whole HOF appeared in three output columns.) One-word docs:
+        // slice length 0 and a 0/0 ratio — both guarded; rep_ratio is NULL
+        // when no adjacent pair exists.
+        val w = col("w")
         val adjacentDups = when(size(w) <= 1, lit(0)).otherwise(
-          size(filter(sequence(lit(1), size(w) - 1),
-            i => element_at(w, i) === element_at(w, i + 1))))
-        Tables.documents(s, d).select(
-          col("doc_id"),
-          adjacentDups.as("n_adjacent_dups"),
-          when(size(w) <= 1, lit(null).cast("double"))
-            .otherwise(round(adjacentDups.cast("double") / (size(w) - 1).cast("double"), 6))
-            .as("rep_ratio"))
+          size(filter(
+            zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+              (a, b) => a === b),
+            x => x)))
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+          .select(col("doc_id"), size(w).as("nw"), adjacentDups.as("n_adjacent_dups"))
+          .select(
+            col("doc_id"),
+            col("n_adjacent_dups"),
+            when(col("nw") <= 1, lit(null).cast("double"))
+              .otherwise(round(col("n_adjacent_dups").cast("double") /
+                (col("nw") - 1).cast("double"), 6))
+              .as("rep_ratio"))
       },
       Some("""SELECT doc_id,
              |       len([i FOR i IN range(1, len(w)) IF w[i] = w[i+1]]) AS n_adjacent_dups,
@@ -513,20 +538,36 @@ object PipelineQueries {
       (s, d) => Multimodal.extractFeatures(s, Tables.documents(s, d))
     ),
     QueryDef(
-      // Embedding near-dup pairs, label-blocked (the blocking makes the
-      // candidate join linear per block instead of a global cross join).
+      // Embedding near-dup pairs, label-blocked, with TWO-PHASE scoring:
+      // the codegen'd plain-double dot prefilters candidates at a slack
+      // threshold inside the join condition (64 FMAs per pair), and only
+      // near-threshold survivors pay the decimal-boxed exact dot that the
+      // cross-engine oracle hash requires. The 1e-6 slack strictly bounds
+      // double-vs-decimal summation disagreement for 64 unit-scale terms
+      // (≤ ~64·ulp ≈ 1e-14), so the exact result set is UNCHANGED — the
+      // previous plan ran the decimal dot on every candidate and was ~30×
+      // slower. Exact threshold joins over isotropic embeddings have no
+      // sub-quadratic candidate scheme (any per-coordinate or projection
+      // bucket admits false negatives); the engine's sub-quadratic path is
+      // q45's hyperplane LSH, which trades exactness for an equi-join.
       "q51_embedding_dedup",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         val e = sparkNorm(embWithDups(s, d))
+        val naNb = col("a.nrm") * col("b.nrm")
+        val fastOk = VectorOps.dotFast(col("a.embedding"), col("b.embedding")) >=
+          (lit(0.9) - lit(1e-6)) * naNb
+        val exactCos = VectorOps.dotDecimal(col("a.embedding"), col("b.embedding")) / naNb
+        // The when() is load-bearing: a plain `fastOk && exactCos >= 0.9`
+        // filter gets merged into the join condition where conjunct order
+        // is not guaranteed, and the decimal dot then runs on every
+        // candidate pair (measured 15× slower). CaseWhen branches stay
+        // lazy wherever the optimizer moves the predicate.
         e.as("a").join(e.as("b"),
-            col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-          .withColumn("cos",
-            VectorOps.dotDecimal(col("a.embedding"), col("b.embedding")) /
-              (col("a.nrm") * col("b.nrm")))
-          .filter(col("cos") >= 0.9)
+            col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id") &&
+              when(fastOk, exactCos >= 0.9).otherwise(lit(false)))
           .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-            round(col("cos"), 6).as("cos"))
+            round(exactCos, 6).as("cos"))
       },
       Some(s"""WITH $emb2Cte,
               |${normsCte("nrms", "emb2", ", label")},
