@@ -56,8 +56,20 @@ object Bench {
       val shown = if (err.isDefined) -1.0 else v
       s"\"" + k + "\":" + shown
     }.mkString("{", ",", "}")
+    // Full JSON string escape: Spark exception toString often carries
+    // newlines/control chars (AnalysisException plan fragments) that would
+    // make the emitted line unparsable exactly when a query fails.
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case '\n'         => "\\n"
+      case '\r'         => "\\r"
+      case '\t'         => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    } + "\""
     val errs = results.collect { case (k, _, Some(e)) =>
-      s"\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      s"\"" + k + "\":" + jstr(e)
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     val nErr = results.count(_._3.isDefined)

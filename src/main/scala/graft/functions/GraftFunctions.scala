@@ -36,7 +36,10 @@ object GraftFunctions {
     val registry =
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState.functionRegistry
     expressions.foreach { case (name, builder) =>
-      registry.createOrReplaceTempFunction(name, builder, "built-in")
+      // Register-once: re-registering is harmless but logs a "replaced a
+      // previously registered function" warning per query.
+      if (!registry.functionExists(FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
   }
 

