@@ -12,32 +12,26 @@ import org.apache.spark.sql.functions._
   */
 object TemporalOps {
 
-  /** @param payloadCols right-side columns to attach (prefixed `asof_`)
+  /** Backward (inclusive) as-of join, DuckDB `ASOF LEFT JOIN` semantics:
+    * each left row picks the right row with the greatest time <= its own,
+    * per key. Ties between right rows on (keys, timeCol) are resolved
+    * arbitrarily — dedupe the right side first when that matters.
+    *
+    * @param payloadCols right-side columns to attach (prefixed `asof_`)
     * @return left rows + asof_<timeCol> + asof_<payload...> (nulls when no
     *         right row precedes)
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String], timeCol: String,
       payloadCols: Seq[String]): DataFrame = {
     val payload = struct((col(timeCol) +: payloadCols.map(col)).map(c => c): _*)
-    val rightT = right.select(
-      keys.map(col) ++ Seq(col(timeCol), lit(0).as("__tag"), payload.as("__p"),
-        lit(null).cast("string").as("__lrow_marker")): _*)
-      .withColumn("__lrow", lit(null).cast(org.apache.spark.sql.types.StringType))
     // carry the whole left row as a struct so arbitrary left schemas survive
     val leftStruct = struct(left.columns.map(col): _*)
-    val leftT = left.select(
-      keys.map(col) ++ Seq(col(timeCol), lit(1).as("__tag"),
-        lit(null).cast(rightT.schema("__p").dataType).as("__p"),
-        lit(null).cast("string").as("__lrow_marker")): _*)
-      .withColumn("__lrow", lit(null).cast(org.apache.spark.sql.types.StringType))
-
-    // Recompute with proper __lrow types (can't mix: build explicitly)
     val rT = right.select(
       keys.map(col) ++ Seq(col(timeCol).as("__t"), lit(0).as("__tag"), payload.as("__p")): _*)
     val lT = left.select(
       keys.map(col) ++ Seq(col(timeCol).as("__t"), lit(1).as("__tag"),
-        lit(null).cast(rT.schema("__p").dataType).as("__p")): _*)
-      .withColumn("__lrow", leftStruct)
+        lit(null).cast(rT.schema("__p").dataType).as("__p"),
+        leftStruct.as("__lrow")): _*)
     val merged = rT.withColumn("__lrow",
       lit(null).cast(lT.schema("__lrow").dataType)).unionByName(lT)
 

@@ -70,6 +70,35 @@ object StreamingQueries {
              |       CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
              |FROM sessions
              |GROUP BY user_id, sess_idx""".stripMargin)
+    ),
+    QueryDef(
+      // Backward as-of join (TemporalOps.asofJoin): each click event picks
+      // the most recent view event at-or-before it per user. The merge-
+      // style plan is one shuffle on user_id + one window pass — no range
+      // join, no per-left-row scan of the right side. Oracle: DuckDB's
+      // native ASOF LEFT JOIN (inclusive >= semantics match the tag order).
+      "q62_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts", "value")
+        val views = ev.filter(col("event_type") === "view")
+          .select("user_id", "ts", "value")
+        graft.operators.TemporalOps.asofJoin(
+            clicks, views, Seq("user_id"), "ts", Seq("value"))
+          .select(
+            col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("value"),
+            unix_micros(col("asof_ts")).as("asof_us"),
+            col("asof_value"))
+      },
+      Some("""WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+             |           FROM events WHERE event_type = 'click'),
+             |     r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+             |           FROM events WHERE event_type = 'view')
+             |SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value,
+             |       epoch_us(r.ts) AS asof_us, r.value AS asof_value
+             |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin)
     )
   )
 }
