@@ -150,23 +150,33 @@ object PrepQueries {
               |FROM persons LEFT JOIN fakes ON first_name = fake""".stripMargin)
     ),
     QueryDef(
-      // Probable-group-quarters detection: locations housing unusually many
-      // people (reference thresholds groupby sums/means over geokeys).
+      // Probable-group-quarters detection (reference 03_link_datasets.ipynb
+      // "HACK: Remove address information from GQ" cells): group by the
+      // standardized geokey, sum/mean the noisy reported-GQ flag, threshold
+      // on BOTH (sum >= 3 catches only unlikely-by-noise groups, mean >= 0.7
+      // keeps large ordinary households out). One hash-aggregate.
       "q20_gq_threshold",
       (s, d) =>
         People.persons(s, d)
-          .groupBy("city", "state")
+          .select(People.geokeyCur.as("geokey"),
+            (col("housing_type") =!= "Household").cast("int").as("reported_gq"))
+          .groupBy("geokey")
           .agg(
             count(lit(1)).as("n_people"),
-            (sum(col("acctbal").cast("decimal(28,4)")) / count(lit(1)))
-              .cast("decimal(28,6)").cast("double").as("mean_acctbal"))
-          .filter(col("n_people") >= 3),
+            sum(col("reported_gq")).as("n_reported"))
+          .withColumn("gq_share",
+            round(col("n_reported").cast("double") / col("n_people").cast("double"), 6))
+          .filter(col("n_reported") >= 3 && col("gq_share") >= 0.7),
       Some(s"""$withPersons
-              |SELECT city, state, COUNT(*) AS n_people,
-              |       CAST(CAST(SUM(CAST(acctbal AS DECIMAL(28,4))) / COUNT(*) AS DECIMAL(28,6)) AS DOUBLE) AS mean_acctbal
-              |FROM persons
-              |GROUP BY city, state
-              |HAVING COUNT(*) >= 3""".stripMargin)
+              |SELECT geokey, COUNT(*) AS n_people,
+              |       CAST(SUM(reported_gq) AS BIGINT) AS n_reported,
+              |       round(CAST(SUM(reported_gq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS gq_share
+              |FROM (SELECT ${People.geokeyCurSql} AS geokey,
+              |             CAST(housing_type <> 'Household' AS INTEGER) AS reported_gq
+              |      FROM persons)
+              |GROUP BY geokey
+              |HAVING SUM(reported_gq) >= 3
+              |   AND round(CAST(SUM(reported_gq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) >= 0.7""".stripMargin)
     )
   )
 }
