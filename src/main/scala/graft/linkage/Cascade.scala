@@ -16,13 +16,28 @@ import org.apache.spark.sql.functions._
   * Map("first_name" -> "last_name", "last_name" -> "first_name").
   */
 final case class BlockingPass(name: String, keys: Seq[String], salt: Int = 1,
-    rightRemap: Map[String, String] = Map.empty)
+    rightRemap: Map[String, String] = Map.empty,
+    cuts: Seq[String] = Nil,
+    weightOffset: Double = 0.0) {
+  /** Blocking keys with the module's cut columns appended (the reference
+    * composes cut_columns into every pass's blocking rule via start_module;
+    * 03_link_datasets.ipynb cells 83/101/114).
+    */
+  def blockKeys: Seq[String] = keys ++ cuts
+}
 
+/** `lambda` is the fixed prior used by EM training (the reference fixes the
+  * prior during EM, fix_probability_two_random_records_match=True); the
+  * data-estimated prior for posterior probabilities comes from
+  * [[LinkageCascade.estimateLambda]]. `hhPasses` run after `passes` against
+  * the household-composition reference file (reference hhcompsearch).
+  */
 final case class LinkageConfig(
     comparisons: Seq[Comparison],
     lambda: Double,
     thresholdWeight: Double,
-    passes: Seq[BlockingPass])
+    passes: Seq[BlockingPass],
+    hhPasses: Seq[BlockingPass] = Nil)
 
 /** The PVS-style cascade (reference 03_link_datasets.ipynb "Searching":
   * modules → passes; each pass anti-joins already-linked records, blocks,
@@ -51,7 +66,7 @@ object LinkageCascade {
         col(pass.rightRemap.getOrElse(c, c)).as(c)): _*)
     val l = prefixed(census, "l_")
     val r = prefixed(right, "r_")
-    val cond = pass.keys.map(k => col(s"l_$k") === col(s"r_$k")).reduce(_ && _)
+    val cond = pass.blockKeys.map(k => col(s"l_$k") === col(s"r_$k")).reduce(_ && _)
     if (pass.salt <= 1) l.join(r, cond)
     else {
       // Left rows take one deterministic salt; right rows replicate to all.
@@ -83,12 +98,20 @@ object LinkageCascade {
       .drop("w_max", "n_top")
   }
 
-  /** One full predict pass: block → score → threshold → resolve. */
-  def predict(census: DataFrame, input: DataFrame, pass: BlockingPass, cfg: LinkageConfig): DataFrame =
+  /** One full predict pass: block → score (+ the pass's fixed weight
+    * offset, e.g. hhcompsearch's bayes_factor_cut_columns=1000) →
+    * threshold → resolve.
+    */
+  def predict(census: DataFrame, input: DataFrame, pass: BlockingPass, cfg: LinkageConfig): DataFrame = {
+    val scored = score(pairs(census, input, pass), cfg)
+    val offset =
+      if (pass.weightOffset == 0.0) scored
+      else scored.withColumn("match_weight", col("match_weight") + lit(pass.weightOffset))
     bestLink(
-      score(pairs(census, input, pass), cfg)
+      offset
         .filter(col("match_weight") >= cfg.thresholdWeight)
         .select(col("l_pik").as("pik"), col("r_rec_id").as("rec_id"), col("match_weight")))
+  }
 
   /** The cascade: passes run in order over the not-yet-linked remainder;
     * links accumulate with the pass that produced them.
@@ -102,8 +125,13 @@ object LinkageCascade {
     * the later `remaining` anti-joins stay broadcast-sized and lineage
     * stays shallow (input scan + one anti-join per completed pass).
     */
-  def run(census: DataFrame, input: DataFrame, cfg: LinkageConfig): DataFrame = {
-    val (links, _) = cfg.passes.foldLeft((Option.empty[DataFrame], input)) {
+  private def foldPasses(
+      census: DataFrame,
+      input: DataFrame,
+      passes: Seq[BlockingPass],
+      cfg: LinkageConfig,
+      acc0: Option[DataFrame]): (Option[DataFrame], DataFrame) =
+    passes.foldLeft((acc0, input)) {
       case ((acc, remaining), pass) =>
         val passLinks = predict(census, remaining, pass, cfg)
           .withColumn("pass", lit(pass.name))
@@ -113,7 +141,52 @@ object LinkageCascade {
           remaining.join(passLinks.select("rec_id"), Seq("rec_id"), "left_anti")
         (nextAcc, nextRemaining)
     }
-    links.get
+
+  /** The hhcompsearch reference file (reference cells 126-138): bridge each
+    * input-side pseudo-household (its `geokey_blk`) through its already-
+    * linked members' PIKs to the census-side addresses of those PIKs, then
+    * take the UNLINKED census records at those addresses, tagged with the
+    * input household key they are candidates for. GQ records never enter
+    * (their geokey_blk is NULL — the reference excludes GQ "so it isn't
+    * used ... nor for HHCompSearch").
+    *
+    * Scale shape: the bridge is two equi-joins over the (small) link set;
+    * the candidate join is an equi-join on geokey. No cross products.
+    */
+  def hhcompReference(census: DataFrame, input: DataFrame, links: DataFrame): DataFrame = {
+    val bridge = links.select("pik", "rec_id")
+      .join(
+        input.filter(col("geokey_blk").isNotNull)
+          .select(col("rec_id"), col("geokey_blk").as("hh_geokey")),
+        Seq("rec_id"))
+      .join(
+        census.filter(col("geokey_blk").isNotNull)
+          .select(col("pik"), col("geokey_blk").as("ref_geokey")),
+        Seq("pik"))
+      .select("hh_geokey", "ref_geokey")
+      .distinct()
+    census.filter(col("geokey_blk").isNotNull)
+      .join(links.select("pik").distinct(), Seq("pik"), "left_anti")
+      .join(bridge, col("geokey_blk") === bridge("ref_geokey"))
+      .drop("ref_geokey")
+  }
+
+  def run(census: DataFrame, input: DataFrame, cfg: LinkageConfig): DataFrame = {
+    // Both sides feed every pass (and the phonetic/geokey derivations are
+    // nontrivial scalar chains), so materialize them once for the cascade.
+    val c = census.cache()
+    val i = input.cache()
+    val (mainLinks, mainRemaining) = foldPasses(c, i, cfg.passes, cfg, None)
+    val links =
+      if (cfg.hhPasses.isEmpty) mainLinks.get
+      else {
+        val hhRef = hhcompReference(c, i, mainLinks.get).localCheckpoint()
+        val rem = mainRemaining.withColumn("hh_geokey", col("geokey_blk"))
+        foldPasses(hhRef, rem, cfg.hhPasses, cfg, mainLinks)._1.get
+      }
+    c.unpersist()
+    i.unpersist()
+    links
   }
 
   /** Post-search confirm (reference "post-search confirm" cells): drop
@@ -123,17 +196,31 @@ object LinkageCascade {
   def confirm(links: DataFrame, deceasedPiks: DataFrame): DataFrame =
     links.join(broadcast(deceasedPiks.select("pik")), Seq("pik"), "left_anti")
 
-  /** λ (prior match probability over the full cross product) from record
-    * counts, the reference's probability_two_random_records_match estimate:
-    * expected matches ≈ the smaller side fully covered →
-    * min(nL,nR)/(nL·nR). For λ WITHIN a blocked pass, divide instead by
-    * the pass's candidate-pair count.
+  /** λ (prior match probability over the full cross product), the
+    * reference's probability_two_random_records_match estimate
+    * (03_link_datasets.ipynb cells 56-57): 5% of input enumerations are
+    * unintentional duplicates, 0.5% of reference PIKs are duplicates, 90%
+    * of input people appear in the reference file, with independence
+    * assumptions. The oracle SQL mirrors this exact expression tree over
+    * COUNT(*) subqueries, so the doubles are bit-identical.
     */
-  def estimateLambda(census: DataFrame, input: DataFrame): Double = {
-    val nL = census.count().toDouble
-    val nR = input.count().toDouble
-    math.min(nL, nR) / (nL * nR)
+  def lambdaFromCounts(nInput: Double, nCensus: Double): Double = {
+    val peopleInInput = nInput * 0.95
+    val peopleInCensus = nCensus * 0.995
+    val peopleInBoth = peopleInInput * 0.9
+    val matchesPerPerson = (peopleInInput / nInput) * (peopleInCensus / nCensus)
+    (peopleInBoth * matchesPerPerson) / (nInput * nCensus)
   }
+
+  /** SQL rendering of [[lambdaFromCounts]] over two count expressions —
+    * keep the parenthesization in lockstep with the Scala tree.
+    */
+  def lambdaSql(nInputSql: String, nCensusSql: String): String =
+    s"((($nInputSql * 0.95) * 0.9) * ((($nInputSql * 0.95) / $nInputSql) * " +
+      s"(($nCensusSql * 0.995) / $nCensusSql))) / ($nInputSql * $nCensusSql)"
+
+  def estimateLambda(census: DataFrame, input: DataFrame): Double =
+    lambdaFromCounts(input.count().toDouble, census.count().toDouble)
 
   /** u estimation by deterministic modular sampling of each side BEFORE the
     * cross join (reference estimates u from random record pairs; sampling

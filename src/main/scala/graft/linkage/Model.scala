@@ -121,4 +121,13 @@ object FellegiSunter {
     val priorOdds = lambda / (1.0 - lambda)
     s"(($priorOdds * pow(2, $weight)) / (($priorOdds * pow(2, $weight)) + 1.0))"
   }
+
+  /** As [[probabilitySql]] but with λ supplied as a SQL expression (e.g. a
+    * scalar subquery over the estimated prior) — the division mirrors the
+    * Scala `lambda / (1.0 - lambda)` so the doubles stay bit-identical.
+    */
+  def probabilitySqlDyn(weight: String, lambdaExpr: String): String = {
+    val po = s"($lambdaExpr / (1.0 - $lambdaExpr))"
+    s"(($po * pow(2, $weight)) / (($po * pow(2, $weight)) + 1.0))"
+  }
 }

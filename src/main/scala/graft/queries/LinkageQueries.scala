@@ -1,16 +1,48 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.functions.GraftFunctions
+import graft.functions.{GraftFunctions, Phonetics}
 import graft.linkage._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Preprocess
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** §2.D — the Fellegi-Sunter linkage engine (flagship). Two deterministic
-  * sides derive from `persons`: `census` (clean, 80% coverage, keyed pik)
-  * and `input` (messy names, occasional DOB-day perturbation, keyed
-  * rec_id); ground truth is pik == rec_id. The model/passes live in
-  * graft.linkage and are rendered to DuckDB SQL from the same config.
+  * sides derive from `persons`:
+  *
+  *  - `census` (the reference file, keyed pik): clean names, 80% coverage
+  *    (k%5 != 4); its address is STALE for moved households and for the
+  *    individually-stale classes (admin data lags the input file).
+  *  - `input` (the messy input file, keyed rec_id): noisy names, current
+  *    addresses, plus planted noise classes that each exercise one cascade
+  *    mechanism (see below). Ground truth is pik == rec_id.
+  *
+  * The PVS-style cascade mirrors the reference's modules
+  * (/root/reference/03_link_datasets.ipynb cells 83-142):
+  * geokey → geokey+name-switch → house-number+street-Soundex (cut zip3) →
+  * name+yob → DOB+NYSIIS → DOB+initials → bday+name →
+  * reverse-Soundex (cut day+month) → hhcomp initials → hhcomp yob.
+  * Probable-GQ geokeys are nulled out of every blocking column first
+  * (reference "HACK: Remove address information from GQ", cells 31-33) —
+  * both a correctness feature and the defusal of the worst blocking skew.
+  *
+  * Planted noise classes (input side), each recovered by exactly the pass
+  * the reference added for it:
+  *  - k%13: wrong DOB day           → geokey pass scores through it
+  *  - k%17: zip typo                → street-Soundex pass (zip3 cut holds)
+  *  - k%23: first/last switched     → geokey name-switch pass
+  *  - k%29 (N): post-initial vowel swap in both names + stale census
+  *    address → DOB+NYSIIS pass (NYSIIS folds vowels)
+  *  - k%19 (V): first letter swapped within its Soundex code class in both
+  *    names + stale census address → reverse-Soundex pass
+  *  - moved households ∧ k%74 (Ha): clean names, yob+1 and month bumped →
+  *    hhcomp initials pass
+  *  - moved households ∧ k%37, k%74≠0 (Hb): first char of first name
+  *    dropped, day+month bumped → hhcomp yob pass
+  *
+  * Everything — sides, passes, model — renders to BOTH Spark plans and
+  * DuckDB SQL from the same config objects, so the full 10-pass cascade
+  * (including the phonetic keys) is hash-verified against the oracle.
   */
 object LinkageQueries {
 
@@ -31,94 +63,319 @@ object LinkageQueries {
     Comparison("bday", "dob_day",
       Seq(ComparisonLevel(AbsDiffAtMost(0), 0.85, 0.036)), 0.15, 0.964))
 
+  private val switchNames =
+    Map("first_name" -> "last_name", "last_name" -> "first_name")
+
+  /** hhcompsearch scores its cut (being in the bridged household) as a
+    * fixed Bayes factor of 1000 (reference cell 138,
+    * bayes_factor_cut_columns=1_000).
+    */
+  val hhWeightOffset: Double = math.log(1000.0) / math.log(2.0)
+
   val passes: Seq[BlockingPass] = Seq(
-    BlockingPass("p1_zip", Seq("zipcode")),
-    BlockingPass("p2_name_yob", Seq("fn2", "dob_year")),
-    BlockingPass("p3_dob_ln", Seq("dob_month", "dob_day", "ln1")),
-    // PVS-style name-switch pass: recovers records with transposed
-    // first/last names (reference geosearch "name-switch" passes).
-    BlockingPass("p4_switch", Seq("dob_year", "dob_month"),
-      rightRemap = Map("first_name" -> "last_name", "last_name" -> "first_name")))
+    BlockingPass("p1_geokey", Seq("geokey_blk")),
+    BlockingPass("p2_geokey_switch", Seq("geokey_blk"), rightRemap = switchNames),
+    BlockingPass("p3_street_sdx", Seq("street_num_blk", "sdx_street_blk"),
+      cuts = Seq("zip3")),
+    BlockingPass("p4_name_yob", Seq("fn2", "ln2", "dob_year")),
+    BlockingPass("p5_dob_nysiis",
+      Seq("dob_year", "dob_month", "dob_day", "nys_first", "nys_last")),
+    BlockingPass("p6_dob_initials",
+      Seq("dob_year", "dob_month", "dob_day", "fn1", "ln1")),
+    BlockingPass("p7_bday_name", Seq("dob_month", "dob_day", "fn2", "ln2")),
+    BlockingPass("p8_rev_sdx", Seq("rsdx_first", "rsdx_last"),
+      cuts = Seq("dob_day", "dob_month")))
+
+  val hhPasses: Seq[BlockingPass] = Seq(
+    BlockingPass("p9_hh_initials", Seq("hh_geokey", "fn1", "ln1"),
+      weightOffset = hhWeightOffset),
+    BlockingPass("p10_hh_yob", Seq("hh_geokey", "dob_year"),
+      weightOffset = hhWeightOffset))
 
   val config: LinkageConfig = LinkageConfig(comparisons, lambda = 0.5,
-    thresholdWeight = 9.0, passes = passes)
+    thresholdWeight = 9.0, passes = passes, hhPasses = hhPasses)
 
   val blockPass: BlockingPass = BlockingPass("zip3_block", Seq("zip3"))
 
+  // ---- planted-noise transforms (Spark + SQL in lockstep) ----------------
+
+  /** Replace the first vowel after position 1 with a different vowel —
+    * breaks fn2/ln2/prefix keys while leaving every phonetic key intact
+    * (NYSIIS folds vowels to A; soundex drops them).
+    */
+  private def vowelMangle(c: Column): Column = {
+    val v = regexp_extract(c, "^.[^AEIOU]*([AEIOU])", 1)
+    val nv = when(v === "A", lit("E")).otherwise(lit("A"))
+    when(v === "", c).otherwise(
+      replace(regexp_replace(c, "^(.[^AEIOU]*)[AEIOU]", "$1#"), lit("#"), nv))
+  }
+
+  private def vowelMangleSql(x: String): String = {
+    val v = s"regexp_extract($x, '^.[^AEIOU]*([AEIOU])', 1)"
+    s"CASE WHEN $v = '' THEN $x ELSE replace(regexp_replace($x, " +
+      s"'^(.[^AEIOU]*)[AEIOU]', '\\1#', 'g'), '#', " +
+      s"CASE WHEN $v = 'A' THEN 'E' ELSE 'A' END) END"
+  }
+
+  /** Swap the first letter within its soundex code class (C↔S, G↔J, M↔N,
+    * B↔P, D↔T, F↔V, W↔H, vowel↔vowel, K→X): forward keys (initials, fn2,
+    * NYSIIS, forward soundex) break; REVERSE soundex is invariant.
+    */
+  private val lmFrom = "GJCSKMNBPDTFVWHAEIOU"
+  private val lmTo = "JGSCXNMPBTDVFHWEAOIA"
+
+  private def letterMangle(c: Column): Column =
+    concat(translate(substring(c, 1, 1), lmFrom, lmTo), substring(c, 2, Int.MaxValue))
+
+  private def letterMangleSql(x: String): String =
+    s"(translate(substr($x, 1, 1), '$lmFrom', '$lmTo') || substr($x, 2))"
+
   // ---- the two sides (Spark + CTE in lockstep) ---------------------------
 
-  /** Clean reference file: persons with k%5 != 4 (80% PIK coverage). */
-  def census(s: SparkSession, d: String): DataFrame =
-    People.persons(s, d)
-      .filter(pmod(col("k"), lit(5)) =!= 4)
-      .select(
-        col("k").as("pik"),
-        col("first_name"), col("last_name"), col("middle_initial"),
-        col("dob_year"), col("dob_month"), col("dob_day"),
-        col("zipcode"),
-        substring(col("zipcode"), 1, 3).as("zip3"),
-        substring(col("first_name"), 1, 2).as("fn2"),
-        substring(col("last_name"), 1, 1).as("ln1"))
+  private val sideCols: Seq[String] = Seq(
+    "first_name", "last_name", "middle_initial",
+    "dob_year", "dob_month", "dob_day",
+    "zipcode", "zip3", "fn1", "fn2", "ln1", "ln2",
+    "nys_first", "nys_last", "rsdx_first", "rsdx_last",
+    "geokey", "geokey_blk", "street_num_blk", "sdx_street_blk")
 
-  /** Messy input file: typo'd names; k%13==0 records carry a wrong DOB day;
-    * k%23==0 records arrive with first/last names transposed (recovered by
-    * the name-switch pass).
+  private val inputCols: Seq[String] = "rec_id" +: sideCols
+
+  /** Adds the derived key columns shared by both sides: zip3, name
+    * prefixes, phonetic keys, street soundex, geokey. Expects first_name,
+    * last_name, street_num, street_std, unit_std, city, state, zipcode.
     */
-  def input(s: SparkSession, d: String): DataFrame =
-    People.persons(s, d)
-      .select(
-        col("k").as("rec_id"),
-        when(pmod(col("k"), lit(23)) === 0, col("messy_last"))
-          .otherwise(col("messy_first")).as("first_name"),
-        when(pmod(col("k"), lit(23)) === 0, col("messy_first"))
-          .otherwise(col("messy_last")).as("last_name"),
-        col("middle_initial"),
-        col("dob_year"), col("dob_month"),
-        when(pmod(col("k"), lit(13)) === 0, pmod(col("dob_day"), lit(28)) + 1)
-          .otherwise(col("dob_day")).cast("int").as("dob_day"),
-        // k%17==0 records carry a zip typo in the last two digits, so the
-        // zipcode-blocked pass misses them and later passes must recover.
-        when(pmod(col("k"), lit(17)) === 0,
-          concat(substring(col("zipcode"), 1, 3), lit("99")))
-          .otherwise(col("zipcode")).as("zipcode"),
-        substring(col("zipcode"), 1, 3).as("zip3"))
+  private def derive(df: DataFrame): DataFrame =
+    df.withColumn("zip3", substring(col("zipcode"), 1, 3))
+      .withColumn("fn1", substring(col("first_name"), 1, 1))
       .withColumn("fn2", substring(col("first_name"), 1, 2))
       .withColumn("ln1", substring(col("last_name"), 1, 1))
+      .withColumn("ln2", substring(col("last_name"), 1, 2))
+      .withColumn("nys_first", Phonetics.nysKey(col("first_name")))
+      .withColumn("nys_last", Phonetics.nysKey(col("last_name")))
+      .withColumn("rsdx_first", Phonetics.rsdx(col("first_name")))
+      .withColumn("rsdx_last", Phonetics.rsdx(col("last_name")))
+      .withColumn("sdx_street", Phonetics.sdx(col("street_std")))
+      .withColumn("geokey", Preprocess.geokey(col("street_num"),
+        col("street_std"), col("unit_std"), col("city"), col("state"),
+        col("zipcode")))
 
-  private val censusCte: String =
-    """census AS (
-      |  SELECT k AS pik, first_name, last_name, middle_initial,
-      |         dob_year, dob_month, dob_day, zipcode,
-      |         substr(zipcode, 1, 3) AS zip3,
-      |         substr(first_name, 1, 2) AS fn2,
-      |         substr(last_name, 1, 1) AS ln1
-      |  FROM persons WHERE k % 5 <> 4)""".stripMargin
+  /** Null the blocking views of the address for probable-GQ geokeys
+    * (reference cells 31-33), then project the final side columns.
+    */
+  private def finish(base: DataFrame, gq: DataFrame, idCol: String): DataFrame =
+    base.join(gq, Seq("geokey"), "left")
+      .withColumn("geokey_blk", when(col("is_gq").isNull, col("geokey")))
+      .withColumn("street_num_blk", when(col("is_gq").isNull, col("street_num")))
+      .withColumn("sdx_street_blk", when(col("is_gq").isNull, col("sdx_street")))
+      .select((idCol +: sideCols).map(col): _*)
 
-  private val inputCte: String =
-    """input AS (
-      |  SELECT rec_id, first_name, last_name, middle_initial,
-      |         dob_year, dob_month, dob_day, zipcode, zip3,
-      |         substr(first_name, 1, 2) AS fn2,
-      |         substr(last_name, 1, 1) AS ln1
-      |  FROM (
-      |    SELECT k AS rec_id,
-      |           CASE WHEN k % 23 = 0 THEN messy_last ELSE messy_first END AS first_name,
-      |           CASE WHEN k % 23 = 0 THEN messy_first ELSE messy_last END AS last_name,
-      |           middle_initial, dob_year, dob_month,
-      |           CAST(CASE WHEN k % 13 = 0 THEN (dob_day % 28) + 1 ELSE dob_day END AS INTEGER) AS dob_day,
-      |           CASE WHEN k % 17 = 0 THEN substr(zipcode, 1, 3) || '99' ELSE zipcode END AS zipcode,
-      |           substr(zipcode, 1, 3) AS zip3
-      |    FROM persons))""".stripMargin
+  private def std(c: Column): Column = Preprocess.standardizeAddressPart(c)
 
-  private val base = s"WITH ${People.personsCte},\n$censusCte,\n$inputCte"
+  /** Messy input file: current addresses (plus the k%17 zip typo), noisy
+    * names/DOB per the planted classes. Still carries housing_type for the
+    * probable-GQ aggregation.
+    */
+  private def inputBase(s: SparkSession, d: String): DataFrame = {
+    val p = People.persons(s, d)
+    val k = col("k")
+    val isN = pmod(k, lit(29)) === 0
+    val isV = pmod(k, lit(19)) === 0 && !isN
+    val hhm = People.householdMoved(col("hh"))
+    val isHa = hhm && pmod(k, lit(4)) === 1 && !isN && !isV
+    val isHb = hhm && pmod(k, lit(4)) === 2 && !isN && !isV
+    val isSw = pmod(k, lit(23)) === 0 && !isN && !isV &&
+      !(hhm && (pmod(k, lit(4)) === 1 || pmod(k, lit(4)) === 2))
+    val pre = p.select(
+      k.as("rec_id"),
+      when(isN, vowelMangle(col("first_name")))
+        .when(isV, letterMangle(col("first_name")))
+        .when(isHa, col("first_name"))
+        .when(isHb, substring(col("first_name"), 2, Int.MaxValue))
+        .when(isSw, col("messy_last"))
+        .otherwise(col("messy_first")).as("first_name"),
+      when(isN, vowelMangle(col("last_name")))
+        .when(isV, letterMangle(col("last_name")))
+        .when(isHa || isHb, col("last_name"))
+        .when(isSw, col("messy_first"))
+        .otherwise(col("messy_last")).as("last_name"),
+      col("middle_initial"),
+      when(isHa, col("dob_year") + 1).otherwise(col("dob_year"))
+        .cast("int").as("dob_year"),
+      when(isHa || isHb, pmod(col("dob_month"), lit(12)) + 1)
+        .otherwise(col("dob_month")).cast("int").as("dob_month"),
+      when(isHb, pmod(col("dob_day"), lit(28)) + 1)
+        .when(isN || isV || isHa, col("dob_day"))
+        .when(pmod(k, lit(13)) === 0, pmod(col("dob_day"), lit(28)) + 1)
+        .otherwise(col("dob_day")).cast("int").as("dob_day"),
+      col("street_num"),
+      std(col("street_raw")).as("street_std"),
+      std(col("unit_raw")).as("unit_std"),
+      col("city"), col("state"),
+      when(pmod(k, lit(17)) === 0,
+        concat(substring(col("zipcode"), 1, 3), lit("99")))
+        .otherwise(col("zipcode")).as("zipcode"),
+      col("housing_type"))
+    derive(pre)
+  }
+
+  /** Clean reference file (80% coverage): names exact; the address is the
+    * household's PREVIOUS one for moved households and for the N/V classes
+    * (stale admin data).
+    */
+  private def censusBase(s: SparkSession, d: String): DataFrame = {
+    val p = People.persons(s, d).filter(pmod(col("k"), lit(5)) =!= 4)
+    val stale = People.householdMoved(col("hh")) ||
+      pmod(col("k"), lit(29)) === 0 || pmod(col("k"), lit(19)) === 0
+    val pre = p.select(
+      col("k").as("pik"),
+      col("first_name"), col("last_name"), col("middle_initial"),
+      col("dob_year"), col("dob_month"), col("dob_day"),
+      when(stale, col("street_num_old")).otherwise(col("street_num")).as("street_num"),
+      std(when(stale, col("street_raw_old")).otherwise(col("street_raw"))).as("street_std"),
+      when(stale, lit(null).cast("string")).otherwise(std(col("unit_raw"))).as("unit_std"),
+      when(stale, col("city_old")).otherwise(col("city")).as("city"),
+      when(stale, col("state_old")).otherwise(col("state")).as("state"),
+      when(stale, col("zipcode_old")).otherwise(col("zipcode")).as("zipcode"))
+    derive(pre)
+  }
+
+  /** Probable-GQ geokeys from the input file's noisy housing_type
+    * (reference cell 31: sum >= threshold AND mean >= 0.70).
+    */
+  private def probableGq(ib: DataFrame): DataFrame =
+    ib.select(col("geokey"),
+        (col("housing_type") =!= "Household").cast("int").as("rgq"))
+      .groupBy("geokey")
+      .agg(count(lit(1)).as("n"), sum("rgq").as("s"))
+      .filter(col("s") >= 3 &&
+        round(col("s").cast("double") / col("n").cast("double"), 6) >= 0.7)
+      .select(col("geokey"), lit(true).as("is_gq"))
+
+  def input(s: SparkSession, d: String): DataFrame = {
+    val ib = inputBase(s, d)
+    finish(ib, probableGq(ib), "rec_id")
+  }
+
+  def census(s: SparkSession, d: String): DataFrame =
+    finish(censusBase(s, d), probableGq(inputBase(s, d)), "pik")
+
+  // ---- SQL mirrors of the sides ------------------------------------------
+
+  import Preprocess.{geokeySql, standardizeAddressPartSql => stdSql}
+
+  private val hhmSql = "(hh % 13 = 0 AND hh % 200 <> 0)"
+  private val nSql = "(k % 29 = 0)"
+  private val vSql = "(k % 19 = 0 AND k % 29 <> 0)"
+  private val notNV = "k % 29 <> 0 AND k % 19 <> 0"
+  private val haSql = s"($hhmSql AND k % 4 = 1 AND $notNV)"
+  private val hbSql = s"($hhmSql AND k % 4 = 2 AND $notNV)"
+  private val swSql =
+    s"(k % 23 = 0 AND $notNV AND NOT ($hhmSql AND (k % 4 = 1 OR k % 4 = 2)))"
+
+  private val inputPreCte: String =
+    s"""input_pre AS MATERIALIZED (
+       |  SELECT k AS rec_id,
+       |         CASE WHEN $nSql THEN ${vowelMangleSql("first_name")}
+       |              WHEN $vSql THEN ${letterMangleSql("first_name")}
+       |              WHEN $haSql THEN first_name
+       |              WHEN $hbSql THEN substr(first_name, 2)
+       |              WHEN $swSql THEN messy_last
+       |              ELSE messy_first END AS first_name,
+       |         CASE WHEN $nSql THEN ${vowelMangleSql("last_name")}
+       |              WHEN $vSql THEN ${letterMangleSql("last_name")}
+       |              WHEN $haSql OR $hbSql THEN last_name
+       |              WHEN $swSql THEN messy_first
+       |              ELSE messy_last END AS last_name,
+       |         middle_initial,
+       |         CAST(CASE WHEN $haSql THEN dob_year + 1 ELSE dob_year END AS INTEGER) AS dob_year,
+       |         CAST(CASE WHEN $haSql OR $hbSql THEN dob_month % 12 + 1 ELSE dob_month END AS INTEGER) AS dob_month,
+       |         CAST(CASE WHEN $hbSql THEN dob_day % 28 + 1
+       |              WHEN $nSql OR $vSql OR $haSql THEN dob_day
+       |              WHEN k % 13 = 0 THEN dob_day % 28 + 1
+       |              ELSE dob_day END AS INTEGER) AS dob_day,
+       |         street_num,
+       |         ${stdSql("street_raw")} AS street_std,
+       |         ${stdSql("unit_raw")} AS unit_std,
+       |         city, state,
+       |         CASE WHEN k % 17 = 0 THEN substr(zipcode, 1, 3) || '99' ELSE zipcode END AS zipcode,
+       |         housing_type
+       |  FROM persons)""".stripMargin
+
+  private val censusStaleSql = s"($hhmSql OR k % 29 = 0 OR k % 19 = 0)"
+
+  private val censusPreCte: String =
+    s"""census_pre AS MATERIALIZED (
+       |  SELECT k AS pik, first_name, last_name, middle_initial,
+       |         dob_year, dob_month, dob_day,
+       |         CASE WHEN $censusStaleSql THEN street_num_old ELSE street_num END AS street_num,
+       |         CASE WHEN $censusStaleSql THEN ${stdSql("street_raw_old")} ELSE ${stdSql("street_raw")} END AS street_std,
+       |         CASE WHEN $censusStaleSql THEN NULL ELSE ${stdSql("unit_raw")} END AS unit_std,
+       |         CASE WHEN $censusStaleSql THEN city_old ELSE city END AS city,
+       |         CASE WHEN $censusStaleSql THEN state_old ELSE state END AS state,
+       |         CASE WHEN $censusStaleSql THEN zipcode_old ELSE zipcode END AS zipcode
+       |  FROM persons WHERE k % 5 <> 4)""".stripMargin
+
+  /** Derived-columns select list over a *_pre relation (mirror of
+    * [[derive]]).
+    */
+  private def deriveSql(extra: String): String =
+    s"""substr(zipcode, 1, 3) AS zip3,
+       |         substr(first_name, 1, 1) AS fn1,
+       |         substr(first_name, 1, 2) AS fn2,
+       |         substr(last_name, 1, 1) AS ln1,
+       |         substr(last_name, 1, 2) AS ln2,
+       |         ${Phonetics.nysKeySql("first_name")} AS nys_first,
+       |         ${Phonetics.nysKeySql("last_name")} AS nys_last,
+       |         ${Phonetics.rsdxSql("first_name")} AS rsdx_first,
+       |         ${Phonetics.rsdxSql("last_name")} AS rsdx_last,
+       |         ${Phonetics.sdxSql("street_std")} AS sdx_street,
+       |         ${geokeySql(Seq("street_num", "street_std", "unit_std", "city", "state", "zipcode"))} AS geokey$extra""".stripMargin
+
+  private val sharedBaseCols =
+    "first_name, last_name, middle_initial, dob_year, dob_month, dob_day, zipcode, street_num"
+
+  private val inputBaseCte: String =
+    s"""input_base AS MATERIALIZED (
+       |  SELECT rec_id, $sharedBaseCols,
+       |         ${deriveSql(", housing_type")}
+       |  FROM input_pre)""".stripMargin
+
+  private val censusBaseCte: String =
+    s"""census_base AS MATERIALIZED (
+       |  SELECT pik, $sharedBaseCols,
+       |         ${deriveSql("")}
+       |  FROM census_pre)""".stripMargin
+
+  private val gqCte: String =
+    """gq AS MATERIALIZED (
+      |  SELECT geokey FROM (
+      |    SELECT geokey, CAST(housing_type <> 'Household' AS INTEGER) AS rgq
+      |    FROM input_base)
+      |  GROUP BY geokey
+      |  HAVING SUM(rgq) >= 3
+      |     AND round(CAST(SUM(rgq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) >= 0.7)""".stripMargin
+
+  private def finishSql(id: String, baseRel: String): String = {
+    val cols = sideCols.filterNot(
+      Set("geokey_blk", "street_num_blk", "sdx_street_blk")).map("b." + _)
+    s"""  SELECT b.$id, ${cols.mkString(", ")},
+       |         CASE WHEN g.geokey IS NULL THEN b.geokey END AS geokey_blk,
+       |         CASE WHEN g.geokey IS NULL THEN b.street_num END AS street_num_blk,
+       |         CASE WHEN g.geokey IS NULL THEN b.sdx_street END AS sdx_street_blk
+       |  FROM $baseRel b LEFT JOIN gq g ON b.geokey = g.geokey""".stripMargin
+  }
+
+  private val inputCte: String = s"input AS MATERIALIZED (\n${finishSql("rec_id", "input_base")})"
+  private val censusCte: String = s"census AS MATERIALIZED (\n${finishSql("pik", "census_base")})"
+
+  private val base =
+    s"WITH ${People.personsCte},\n$inputPreCte,\n$censusPreCte,\n$inputBaseCte,\n$censusBaseCte,\n$gqCte,\n$inputCte,\n$censusCte"
 
   // ---- SQL fragments generated from the config ---------------------------
 
   private def keysOn(keys: Seq[String]): String =
     keys.map(k => s"c.$k = i.$k").mkString(" AND ")
-
-  private val inputCols = Seq("rec_id", "first_name", "last_name", "middle_initial",
-    "dob_year", "dob_month", "dob_day", "zipcode", "zip3", "fn2", "ln1")
 
   /** Mirror of LinkageCascade's rightRemap: rename right-side columns
     * before pairing (the name-switch pass).
@@ -133,16 +390,20 @@ object LinkageQueries {
   private def gammaSelects: String =
     comparisons.map(c => s"${FellegiSunter.gammaSql(c, "c", "i")} AS ${c.gammaName}").mkString(",\n         ")
 
-  /** cand/scored/best CTE chain for one pass over `inputRel`. */
-  private def passSql(pass: BlockingPass, inputRel: String, tag: String): String =
+  /** cand/scored/best CTE chain for one pass of `censusRel` × `inputRel`. */
+  private def passSql(pass: BlockingPass, inputRel: String, tag: String,
+      censusRel: String = "census"): String = {
+    val weight =
+      if (pass.weightOffset == 0.0) FellegiSunter.matchWeightSql(comparisons)
+      else s"${FellegiSunter.matchWeightSql(comparisons)} + ${pass.weightOffset}"
     s"""cand_$tag AS (
        |  SELECT c.pik, i.rec_id,
        |         $gammaSelects
-       |  FROM census c JOIN $inputRel i ON ${keysOn(pass.keys)}),
+       |  FROM $censusRel c JOIN $inputRel i ON ${keysOn(pass.blockKeys)}),
        |scored_$tag AS (
-       |  SELECT pik, rec_id, ${FellegiSunter.matchWeightSql(comparisons)} AS match_weight
+       |  SELECT pik, rec_id, $weight AS match_weight
        |  FROM cand_$tag),
-       |best_$tag AS (
+       |best_$tag AS MATERIALIZED (
        |  SELECT pik, rec_id, match_weight FROM (
        |    SELECT *, COUNT(*) OVER (PARTITION BY rec_id) AS n_top FROM (
        |      SELECT * FROM (
@@ -152,37 +413,67 @@ object LinkageQueries {
        |        WHERE match_weight >= ${config.thresholdWeight}) t1
        |      WHERE match_weight = w_max) t2) t3
        |  WHERE n_top = 1)""".stripMargin
+  }
 
-  /** CTE chain mirroring LinkageCascade.run over config.passes. */
+  private val allPasses: Seq[BlockingPass] = passes ++ hhPasses
+
+  /** Relation of input records not linked by any of `prevBest`. */
+  private def remainingRel(prevBest: Seq[String]): String =
+    if (prevBest.isEmpty) "input"
+    else {
+      val excluded = prevBest.map(b => s"SELECT rec_id FROM $b").mkString(" UNION ALL ")
+      s"(SELECT * FROM input WHERE rec_id NOT IN ($excluded))"
+    }
+
+  /** CTE chain mirroring LinkageCascade.run over config.passes +
+    * config.hhPasses (the hhcomp reference file is built from the main
+    * passes' links, mirroring [[LinkageCascade.hhcompReference]]).
+    */
   private def cascadeCtes: String = {
     val parts = new StringBuilder(base)
     var prevBest = List.empty[String]
     passes.zipWithIndex.foreach { case (pass, idx) =>
       val tag = s"p${idx + 1}"
-      val rel =
-        if (prevBest.isEmpty) "input"
-        else {
-          val excluded = prevBest.map(b => s"SELECT rec_id FROM $b").mkString(" UNION ALL ")
-          s"(SELECT * FROM input WHERE rec_id NOT IN ($excluded))"
-        }
+      val rel = remainingRel(prevBest)
       parts.append(",\n").append(passSql(pass, remappedRel(rel, pass.rightRemap), tag))
+      prevBest = prevBest :+ s"best_$tag"
+    }
+    val mains = prevBest
+    parts.append(",\n").append(
+      s"""linked_main AS MATERIALIZED (
+         |  ${mains.map(b => s"SELECT pik, rec_id FROM $b").mkString("\n  UNION ALL\n  ")}),
+         |hh_bridge AS MATERIALIZED (
+         |  SELECT DISTINCT i.geokey_blk AS hh_geokey, c.geokey_blk AS ref_geokey
+         |  FROM linked_main b
+         |  JOIN input i ON i.rec_id = b.rec_id
+         |  JOIN census c ON c.pik = b.pik
+         |  WHERE i.geokey_blk IS NOT NULL AND c.geokey_blk IS NOT NULL),
+         |hh_ref AS MATERIALIZED (
+         |  SELECT c.*, g.hh_geokey
+         |  FROM census c JOIN hh_bridge g ON c.geokey_blk = g.ref_geokey
+         |  WHERE c.pik NOT IN (SELECT pik FROM linked_main))""".stripMargin)
+    hhPasses.zipWithIndex.foreach { case (pass, idx) =>
+      val tag = s"p${passes.size + idx + 1}"
+      val rel =
+        s"(SELECT t.*, t.geokey_blk AS hh_geokey FROM ${remainingRel(prevBest)} t)"
+      parts.append(",\n").append(passSql(pass, rel, tag, censusRel = "hh_ref"))
       prevBest = prevBest :+ s"best_$tag"
     }
     parts.toString
   }
 
-  private def cascadeSql: String = {
-    val unions = passes.zipWithIndex
+  private def cascadeUnions: String =
+    allPasses.zipWithIndex
       .map { case (p, idx) =>
         s"SELECT pik, rec_id, round(match_weight, 6) AS mw, '${p.name}' AS pass FROM best_p${idx + 1}"
       }
       .mkString("\nUNION ALL\n")
-    s"$cascadeCtes\n$unions"
-  }
+
+  private def cascadeSql: String = s"$cascadeCtes\n$cascadeUnions"
 
   /** Accuracy over the cascade links vs ground truth pik == rec_id. */
   private def accuracySql: String = {
-    val links = passes.zipWithIndex
+    val links = allPasses.zipWithIndex
       .map { case (_, idx) => s"SELECT pik, rec_id FROM best_p${idx + 1}" }
       .mkString("\n  UNION ALL\n  ")
     s"""$cascadeCtes,
@@ -200,10 +491,10 @@ object LinkageQueries {
 
   private def reg(s: SparkSession): Unit = GraftFunctions.register(s)
 
-  /** q32 and q33 both need the full cascade; its per-pass links are already
-    * localCheckpointed, so memoizing the assembled frame per (session, dir)
-    * means the accuracy query reuses the materialized links instead of
-    * re-running every predict pass.
+  /** q32/q33/q36/q37 all need the full cascade; its per-pass links are
+    * already localCheckpointed, so memoizing the assembled frame per
+    * (session, dir) means every consumer reuses the materialized links
+    * instead of re-running the predict passes.
     */
   private val cascadeFrames =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
@@ -211,6 +502,9 @@ object LinkageQueries {
   private def cascadeLinks(s: SparkSession, d: String): DataFrame =
     cascadeFrames.getOrElseUpdate((s, d),
       LinkageCascade.run(census(s, d), input(s, d), config))
+
+  private val countInputSql = "(SELECT CAST(COUNT(*) AS DOUBLE) FROM input)"
+  private val countCensusSql = "(SELECT CAST(COUNT(*) AS DOUBLE) FROM census)"
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
@@ -236,18 +530,22 @@ object LinkageQueries {
               |FROM census c JOIN input i ON c.zip3 = i.zip3""".stripMargin)
     ),
     QueryDef(
+      // Posterior probabilities use the λ estimated from the two files'
+      // record counts (reference cells 56-57), not a hardcoded prior.
       "q28_match_weights",
       (s, d) => {
         reg(s)
+        val lam = LinkageCascade.estimateLambda(census(s, d), input(s, d))
         LinkageCascade.score(
             LinkageCascade.pairs(census(s, d), input(s, d), blockPass), config)
           .select(
             col("l_pik").as("pik"), col("r_rec_id").as("rec_id"),
             round(col("match_weight"), 6).as("mw"),
-            round(FellegiSunter.probabilityCol(col("match_weight"), config.lambda), 6)
+            round(FellegiSunter.probabilityCol(col("match_weight"), lam), 6)
               .as("match_probability"))
       },
       Some(s"""$base,
+              |lam AS (SELECT ${LinkageCascade.lambdaSql(countInputSql, countCensusSql)} AS v),
               |cand AS (
               |  SELECT c.pik, i.rec_id,
               |         $gammaSelects
@@ -256,7 +554,7 @@ object LinkageQueries {
               |  SELECT pik, rec_id, ${FellegiSunter.matchWeightSql(comparisons)} AS match_weight
               |  FROM cand)
               |SELECT pik, rec_id, round(match_weight, 6) AS mw,
-              |       round(${FellegiSunter.probabilitySql("match_weight", config.lambda)}, 6) AS match_probability
+              |       round(${FellegiSunter.probabilitySqlDyn("match_weight", "(SELECT v FROM lam)")}, 6) AS match_probability
               |FROM scored""".stripMargin)
     ),
     QueryDef(
@@ -334,6 +632,99 @@ object LinkageQueries {
             round(col("n_correct").cast("double") / col("n_true").cast("double"), 6).as("recall_"))
       },
       Some(accuracySql)
+    ),
+    QueryDef(
+      // Probable-GQ geokeys + how many records each side loses from
+      // address blocking (reference cells 31-33): the skew defusal made
+      // visible and hash-verified.
+      "q34_gq_blocking_exclusion",
+      (s, d) => {
+        val i = input(s, d).filter(col("geokey_blk").isNull)
+          .groupBy("geokey").agg(count(lit(1)).as("n_input_excluded"))
+        val c = census(s, d).filter(col("geokey_blk").isNull)
+          .groupBy("geokey").agg(count(lit(1)).as("n_census_excluded"))
+        i.join(c, Seq("geokey"), "left")
+          .select(col("geokey"), col("n_input_excluded"),
+            coalesce(col("n_census_excluded"), lit(0L)).as("n_census_excluded"))
+      },
+      Some(s"""$base,
+              |ig AS (SELECT geokey, COUNT(*) AS n_input_excluded FROM input
+              |       WHERE geokey_blk IS NULL GROUP BY geokey),
+              |cg AS (SELECT geokey, COUNT(*) AS n_census_excluded FROM census
+              |       WHERE geokey_blk IS NULL GROUP BY geokey)
+              |SELECT ig.geokey, ig.n_input_excluded,
+              |       coalesce(cg.n_census_excluded, 0) AS n_census_excluded
+              |FROM ig LEFT JOIN cg ON ig.geokey = cg.geokey""".stripMargin)
+    ),
+    QueryDef(
+      // Pseudo-households approximate household clustering from the
+      // blocking geokey (reference cell 128). The global row_number id is
+      // fine for a result this size; at 100 TB DfOps.addUniqueIdFast is
+      // the documented scalable id assignment.
+      "q35_pseudo_household",
+      (s, d) => {
+        val members = input(s, d).filter(col("geokey_blk").isNotNull)
+          .groupBy("geokey_blk").agg(count(lit(1)).as("n_members"))
+        members.withColumn("pseudo_household_id",
+            row_number().over(org.apache.spark.sql.expressions.Window.orderBy("geokey_blk"))
+              .cast("long"))
+          .select("pseudo_household_id", "geokey_blk", "n_members")
+      },
+      Some(s"""$base
+              |SELECT row_number() OVER (ORDER BY geokey_blk) AS pseudo_household_id,
+              |       geokey_blk, n_members
+              |FROM (SELECT geokey_blk, COUNT(*) AS n_members FROM input
+              |      WHERE geokey_blk IS NOT NULL GROUP BY geokey_blk) m""".stripMargin)
+    ),
+    QueryDef(
+      // The hhcompsearch module's own links (reference cells 138-142):
+      // records only a within-household pass can recover.
+      "q36_hhcomp_links",
+      (s, d) => {
+        reg(s)
+        cascadeLinks(s, d)
+          .filter(col("pass").isin(hhPasses.map(_.name): _*))
+          .select(col("pik"), col("rec_id"), round(col("match_weight"), 6).as("mw"), col("pass"))
+      },
+      Some(s"""$cascadeCtes
+              |SELECT * FROM (
+              |$cascadeUnions
+              |) u WHERE pass IN (${hhPasses.map(p => s"'${p.name}'").mkString(", ")})""".stripMargin)
+    ),
+    QueryDef(
+      // Post-search confirm (reference cell 79 dates_of_death): links to
+      // deceased PIKs are dropped by an anti-join against the numident-
+      // style exclusion list.
+      "q37_confirm_links",
+      (s, d) => {
+        reg(s)
+        val deceased = People.persons(s, d)
+          .filter(pmod(col("k"), lit(89)) === 0)
+          .select(col("k").as("pik"))
+        LinkageCascade.confirm(cascadeLinks(s, d), deceased)
+          .select(col("pik"), col("rec_id"), round(col("match_weight"), 6).as("mw"), col("pass"))
+      },
+      Some(s"""$cascadeCtes
+              |SELECT * FROM (
+              |$cascadeUnions
+              |) u WHERE pik NOT IN (SELECT k FROM persons WHERE k % 89 = 0)""".stripMargin)
+    ),
+    QueryDef(
+      // λ estimated from record counts with the reference's overlap/
+      // duplication assumptions (cells 56-57) — the prior q28 uses.
+      "q38_lambda_estimate",
+      (s, d) => {
+        val nI = input(s, d).count()
+        val nC = census(s, d).count()
+        val lam = LinkageCascade.lambdaFromCounts(nI.toDouble, nC.toDouble)
+        val row = (nI, nC, BigDecimal(lam).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        s.createDataFrame(Seq(row)).toDF("n_input", "n_census", "lambda_")
+      },
+      Some(s"""$base
+              |SELECT CAST($countInputSql AS BIGINT) AS n_input,
+              |       CAST($countCensusSql AS BIGINT) AS n_census,
+              |       round(${LinkageCascade.lambdaSql(countInputSql, countCensusSql)}, 12) AS lambda_
+              |FROM (SELECT 1) one""".stripMargin)
     )
   )
 }

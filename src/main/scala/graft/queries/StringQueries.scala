@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.functions.GraftFunctions
+import graft.functions.{GraftFunctions, Phonetics}
 import graft.functions.GraftFunctions._
 import org.apache.spark.sql.functions._
 
@@ -52,15 +52,24 @@ object StringQueries {
               |FROM people""".stripMargin)
     ),
     QueryDef(
-      // DuckDB 1.0 has no soundex -> rows-only check + golden ScalaTest.
+      // The dual-rendered soundex/reverse-soundex blocking keys
+      // (graft.functions.Phonetics): DuckDB has no soundex builtin, so the
+      // oracle runs the SAME translate/regexp chain the Spark plan does.
       "q23_soundex",
       (s, d) =>
         People.people(s, d).select(
           col("k"),
-          soundex(col("first_name")).as("sdx_first"),
-          soundex(col("last_name")).as("sdx_last"),
-          reverseSoundex(col("first_name")).as("rsdx_first"),
-          reverseSoundex(col("last_name")).as("rsdx_last"))
+          Phonetics.sdx(col("first_name")).as("sdx_first"),
+          Phonetics.sdx(col("last_name")).as("sdx_last"),
+          Phonetics.rsdx(col("first_name")).as("rsdx_first"),
+          Phonetics.rsdx(col("last_name")).as("rsdx_last")),
+      Some(s"""WITH ${People.peopleCte}
+              |SELECT k,
+              |       ${Phonetics.sdxSql("first_name")} AS sdx_first,
+              |       ${Phonetics.sdxSql("last_name")} AS sdx_last,
+              |       ${Phonetics.rsdxSql("first_name")} AS rsdx_first,
+              |       ${Phonetics.rsdxSql("last_name")} AS rsdx_last
+              |FROM people""".stripMargin)
     ),
     QueryDef(
       // DuckDB has no NYSIIS -> rows-only check + golden ScalaTest.

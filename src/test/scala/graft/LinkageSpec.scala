@@ -59,18 +59,70 @@ class LinkageSpec extends SparkTestBase {
     u.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-3, r.toString))
   }
 
-  test("name-switch pass recovers transposed-name records") {
+  /** Shared cascade run for the planted-class assertions. */
+  private lazy val cascade: Array[(Long, Long, String)] = {
     GraftFunctions.register(spark)
-    val links = LinkageCascade.run(census, input, cfg)
-      .filter(col("pass") === "p4_switch").cache()
-    assert(links.count() > 0, "name-switch pass linked nothing")
-    // everything it links is a swapped-name record (k%23==0) it got RIGHT
-    links.collect().foreach { r =>
-      val pik = r.getLong(0); val rec = r.getLong(1)
+    LinkageCascade.run(census, input, cfg)
+      .select("pik", "rec_id", "pass").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+  }
+
+  private def linksOf(pass: String) = cascade.filter(_._3 == pass)
+
+  test("geokey name-switch pass recovers transposed-name records") {
+    val links = linksOf("p2_geokey_switch")
+    assert(links.nonEmpty, "name-switch pass linked nothing")
+    links.foreach { case (pik, rec, _) =>
       assert(pik == rec, s"name-switch mislink $pik -> $rec")
       assert(rec % 23 == 0, s"name-switch linked a non-swapped record $rec")
     }
-    links.unpersist()
+  }
+
+  test("street-soundex pass recovers zip-typo records") {
+    val links = linksOf("p3_street_sdx")
+    assert(links.nonEmpty, "street-soundex pass linked nothing")
+    links.foreach { case (pik, rec, _) =>
+      assert(pik == rec, s"street-soundex mislink $pik -> $rec")
+      assert(rec % 17 == 0, s"street-soundex linked a non-zip-typo record $rec")
+    }
+  }
+
+  test("DOB+NYSIIS pass recovers vowel-mangled class-N records") {
+    val links = linksOf("p5_dob_nysiis")
+    val classN = links.filter(_._2 % 29 == 0)
+    assert(classN.nonEmpty, "NYSIIS pass recovered no class-N records")
+    classN.foreach { case (pik, rec, _) => assert(pik == rec, s"N mislink $pik -> $rec") }
+    // No earlier pass should have caught a class-N record: the vowel swap
+    // breaks geokey (stale census address), fn2/ln2, and prefixes.
+    val early = cascade.filter(t => t._2 % 29 == 0 &&
+      Set("p1_geokey", "p2_geokey_switch", "p3_street_sdx").contains(t._3))
+    assert(early.isEmpty, s"class-N recovered before NYSIIS: ${early.toSeq}")
+  }
+
+  test("reverse-soundex pass recovers first-letter-swapped class-V records") {
+    val links = linksOf("p8_rev_sdx")
+    val classV = links.filter(t => t._2 % 19 == 0 && t._2 % 29 != 0)
+    assert(classV.nonEmpty, "reverse-soundex pass recovered no class-V records")
+    classV.foreach { case (pik, rec, _) => assert(pik == rec, s"V mislink $pik -> $rec") }
+  }
+
+  test("hhcomp passes recover moved-household records via housemate links") {
+    val hh = cascade.filter(t => t._3 == "p9_hh_initials" || t._3 == "p10_hh_yob")
+    assert(hh.nonEmpty, "hhcomp passes linked nothing")
+    hh.foreach { case (pik, rec, _) => assert(pik == rec, s"hhcomp mislink $pik -> $rec") }
+    // Every hhcomp link is a member of a moved household (hh%13, non-GQ).
+    hh.foreach { case (_, rec, _) =>
+      val hhId = if (rec % 200 < 20) rec - rec % 200 else rec - rec % 4
+      assert(hhId % 13 == 0 && hhId % 200 != 0, s"hhcomp linked non-mover $rec (hh $hhId)")
+    }
+  }
+
+  test("GQ records never enter address-blocked passes") {
+    val gqRecs = cascade.filter(t =>
+      t._2 % 200 < 20 &&
+        Set("p1_geokey", "p2_geokey_switch", "p3_street_sdx",
+          "p9_hh_initials", "p10_hh_yob").contains(t._3))
+    assert(gqRecs.isEmpty, s"GQ records linked via address blocking: ${gqRecs.toSeq}")
   }
 
   test("confirm drops links to deceased PIKs") {
