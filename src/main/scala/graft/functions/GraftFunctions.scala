@@ -32,16 +32,22 @@ object GraftFunctions {
     })
   )
 
-  def register(spark: SparkSession): Unit = {
-    val registry =
-      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState.functionRegistry
-    expressions.foreach { case (name, builder) =>
-      // Register-once: re-registering is harmless but logs a "replaced a
-      // previously registered function" warning per query.
-      if (!registry.functionExists(FunctionIdentifier(name)))
+  // Sessions already registered (weak keys: sessions can be GC'd). Keying
+  // on the session — not on functionExists — means a name colliding with a
+  // Spark builtin is REPLACED by the graft expression rather than silently
+  // shadowing it, while repeat calls stay warning-free.
+  private val registeredSessions: java.util.Set[SparkSession] =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
+  def register(spark: SparkSession): Unit =
+    if (registeredSessions.add(spark)) {
+      val registry =
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState.functionRegistry
+      expressions.foreach { case (name, builder) =>
         registry.createOrReplaceTempFunction(name, builder, "built-in")
+      }
     }
-  }
 
   def inject(ext: SparkSessionExtensions): Unit =
     expressions.foreach { case (name, builder) =>

@@ -205,6 +205,9 @@ object LinkageCascade {
     * COUNT(*) subqueries, so the doubles are bit-identical.
     */
   def lambdaFromCounts(nInput: Double, nCensus: Double): Double = {
+    // Reference guard: probability_two_random_records_match returns 0.5
+    // when the cartesian product is empty (avoids 0/0 → NaN downstream).
+    if (nInput * nCensus == 0) return 0.5
     val peopleInInput = nInput * 0.95
     val peopleInCensus = nCensus * 0.995
     val peopleInBoth = peopleInInput * 0.9
@@ -216,8 +219,9 @@ object LinkageCascade {
     * keep the parenthesization in lockstep with the Scala tree.
     */
   def lambdaSql(nInputSql: String, nCensusSql: String): String =
-    s"((($nInputSql * 0.95) * 0.9) * ((($nInputSql * 0.95) / $nInputSql) * " +
-      s"(($nCensusSql * 0.995) / $nCensusSql))) / ($nInputSql * $nCensusSql)"
+    s"CASE WHEN ($nInputSql) * ($nCensusSql) = 0 THEN 0.5 ELSE " +
+      s"((($nInputSql * 0.95) * 0.9) * ((($nInputSql * 0.95) / $nInputSql) * " +
+      s"(($nCensusSql * 0.995) / $nCensusSql))) / ($nInputSql * $nCensusSql) END"
 
   def estimateLambda(census: DataFrame, input: DataFrame): Double =
     lambdaFromCounts(input.count().toDouble, census.count().toDouble)

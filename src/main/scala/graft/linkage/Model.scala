@@ -126,7 +126,8 @@ object FellegiSunter {
     * scalar subquery over the estimated prior) — the division mirrors the
     * Scala `lambda / (1.0 - lambda)` so the doubles stay bit-identical.
     */
-  def probabilitySqlDyn(weight: String, lambdaExpr: String): String = {
+  def probabilitySqlDyn(weight: String, lambdaExpr0: String): String = {
+    val lambdaExpr = s"($lambdaExpr0)" // parenthesize compound expressions
     val po = s"($lambdaExpr / (1.0 - $lambdaExpr))"
     s"(($po * pow(2, $weight)) / (($po * pow(2, $weight)) + 1.0))"
   }

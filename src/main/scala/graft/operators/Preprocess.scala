@@ -69,13 +69,15 @@ object Preprocess {
       .when(initial <= "T", "S_T")
       .otherwise("U_Z")
 
-  def initialCutSql(x: String): String =
+  def initialCutSql(x0: String): String = {
+    val x = s"($x0)" // parenthesize: callers may pass compound expressions
     s"""CASE WHEN $x IS NULL OR $x = '' OR $x = 'A' THEN 'A_BLANK'
        |     WHEN $x <= 'G' THEN 'B_G'
        |     WHEN $x <= 'L' THEN 'H_L'
        |     WHEN $x <= 'R' THEN 'M_R'
        |     WHEN $x <= 'T' THEN 'S_T'
        |     ELSE 'U_Z' END""".stripMargin
+  }
 
   /** Tolerant DOB parse: ISO yyyy-MM-dd first, then US MM/dd/yyyy; anything
     * else NULL (reference's to_datetime(errors='coerce') + split).

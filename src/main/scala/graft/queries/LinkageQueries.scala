@@ -35,9 +35,9 @@ import org.apache.spark.sql.functions._
   *    address → DOB+NYSIIS pass (NYSIIS folds vowels)
   *  - k%19 (V): first letter swapped within its Soundex code class in both
   *    names + stale census address → reverse-Soundex pass
-  *  - moved households ∧ k%74 (Ha): clean names, yob+1 and month bumped →
+  *  - moved households ∧ k%4==1 (Ha): clean names, yob+1 and month bumped →
   *    hhcomp initials pass
-  *  - moved households ∧ k%37, k%74≠0 (Hb): first char of first name
+  *  - moved households ∧ k%4==2 (Hb): first char of first name
   *    dropped, day+month bumped → hhcomp yob pass
   *
   * Everything — sides, passes, model — renders to BOTH Spark plans and
@@ -494,14 +494,23 @@ object LinkageQueries {
   /** q32/q33/q36/q37 all need the full cascade; its per-pass links are
     * already localCheckpointed, so memoizing the assembled frame per
     * (session, dir) means every consumer reuses the materialized links
-    * instead of re-running the predict passes.
+    * instead of re-running the predict passes. Only the LATEST key is kept:
+    * switching dir/session evicts the previous frame so checkpointed
+    * blocks and session references don't accumulate for process lifetime.
     */
   private val cascadeFrames =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def cascadeLinks(s: SparkSession, d: String): DataFrame =
-    cascadeFrames.getOrElseUpdate((s, d),
-      LinkageCascade.run(census(s, d), input(s, d), config))
+    cascadeFrames.synchronized {
+      val key = (s, d)
+      cascadeFrames.getOrElse(key, {
+        cascadeFrames.clear()
+        val df = LinkageCascade.run(census(s, d), input(s, d), config)
+        cascadeFrames.put(key, df)
+        df
+      })
+    }
 
   private val countInputSql = "(SELECT CAST(COUNT(*) AS DOUBLE) FROM input)"
   private val countCensusSql = "(SELECT CAST(COUNT(*) AS DOUBLE) FROM census)"

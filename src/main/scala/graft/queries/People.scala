@@ -103,7 +103,7 @@ object People {
       .otherwise(k - pmod(k, lit(4)))
 
   def householdSql(k: String): String =
-    s"CASE WHEN $k % 200 < 20 THEN $k - ($k % 200) ELSE $k - ($k % 4) END"
+    s"CASE WHEN ($k) % 200 < 20 THEN ($k) - (($k) % 200) ELSE ($k) - (($k) % 4) END"
 
   /** Whole-household moves (reference file carries the OLD address): every
     * 13th regular household; GQ households never move (keeps the GQ
@@ -206,7 +206,7 @@ object People {
     pool.map(n => s"'$n'").mkString("[", ", ", "]")
 
   private def pickSql(pool: Seq[String], k: String, pq: (Int, Int)): String =
-    s"${sqlList(pool)}[1 + (($k * ${pq._1}) % ${pq._2}) % ${pool.size}]"
+    s"${sqlList(pool)}[1 + ((($k) * ${pq._1}) % ${pq._2}) % ${pool.size}]"
 
   def typoSql(name: String, k: String): String =
     s"""CASE WHEN ($k) % 4 = 0 THEN ($name)[1:1] || ($name)[3:]

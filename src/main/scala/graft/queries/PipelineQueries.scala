@@ -114,11 +114,20 @@ object PipelineQueries {
     // otherwise each recompute the shingle construction from scratch —
     // Spark does not share work across join branches without explicit
     // materialization. (~2KB/doc; the cache is small and LRU-evicted.)
-    val docs = gramFrames.getOrElseUpdate((s, d),
-      docsWithDups(s, d)
-        .select(col("doc_id"), col("source"), col("n_chars"),
-          TextOps.wordShingles(col("text"), 3).as("grams"))
-        .cache())
+    // Only the latest (session, dir) is kept: switching keys unpersists and
+    // evicts the previous frame so cached blocks don't accumulate.
+    val docs = gramFrames.synchronized {
+      gramFrames.getOrElse((s, d), {
+        gramFrames.values.foreach(_.unpersist())
+        gramFrames.clear()
+        val df = docsWithDups(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            TextOps.wordShingles(col("text"), 3).as("grams"))
+          .cache()
+        gramFrames.put((s, d), df)
+        df
+      })
+    }
     // Candidate pairs carry only ids + set sizes (no arrays through the
     // join): banded equi-join on (source, 32-char bucket) — |diff|<=20
     // confines a match to the same or an adjacent bucket, so the 3-bucket
