@@ -133,9 +133,12 @@ object LinkageCascade {
       acc0: Option[DataFrame]): (Option[DataFrame], DataFrame) =
     passes.foldLeft((acc0, input)) {
       case ((acc, remaining), pass) =>
+        val t0 = System.nanoTime()
         val passLinks = predict(census, remaining, pass, cfg)
           .withColumn("pass", lit(pass.name))
           .localCheckpoint()
+        if (sys.env.contains("GRAFT_CASCADE_TIMING"))
+          System.err.println(f"CASCADE ${pass.name}: ${(System.nanoTime() - t0) / 1e9}%.2f s")
         val nextAcc = Some(acc.fold(passLinks)(_.unionByName(passLinks)))
         val nextRemaining =
           remaining.join(passLinks.select("rec_id"), Seq("rec_id"), "left_anti")
@@ -174,8 +177,14 @@ object LinkageCascade {
   def run(census: DataFrame, input: DataFrame, cfg: LinkageConfig): DataFrame = {
     // Both sides feed every pass (and the phonetic/geokey derivations are
     // nontrivial scalar chains), so materialize them once for the cascade.
-    val c = census.cache()
-    val i = input.cache()
+    // A side the CALLER already persisted is left alone (and not unpersisted
+    // at the end) — callers that share the frames across queries manage the
+    // lifecycle themselves.
+    import org.apache.spark.storage.StorageLevel
+    val cPersisted = census.storageLevel != StorageLevel.NONE
+    val iPersisted = input.storageLevel != StorageLevel.NONE
+    val c = if (cPersisted) census else census.cache()
+    val i = if (iPersisted) input else input.cache()
     val (mainLinks, mainRemaining) = foldPasses(c, i, cfg.passes, cfg, None)
     val links =
       if (cfg.hhPasses.isEmpty) mainLinks.get
@@ -184,8 +193,8 @@ object LinkageCascade {
         val rem = mainRemaining.withColumn("hh_geokey", col("geokey_blk"))
         foldPasses(hhRef, rem, cfg.hhPasses, cfg, mainLinks)._1.get
       }
-    c.unpersist()
-    i.unpersist()
+    if (!cPersisted) c.unpersist()
+    if (!iPersisted) i.unpersist()
     links
   }
 

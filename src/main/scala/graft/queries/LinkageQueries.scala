@@ -176,7 +176,7 @@ object LinkageQueries {
     * names/DOB per the planted classes. Still carries housing_type for the
     * probable-GQ aggregation.
     */
-  private def inputBase(s: SparkSession, d: String): DataFrame = {
+  private def inputPre(s: SparkSession, d: String): DataFrame = {
     val p = People.persons(s, d)
     val k = col("k")
     val isN = pmod(k, lit(29)) === 0
@@ -252,13 +252,50 @@ object LinkageQueries {
         round(col("s").cast("double") / col("n").cast("double"), 6) >= 0.7)
       .select(col("geokey"), lit(true).as("is_gq"))
 
-  def input(s: SparkSession, d: String): DataFrame = {
-    val ib = inputBase(s, d)
-    finish(ib, probableGq(ib), "rec_id")
-  }
+  /** Both sides, derived once per (session, dir) and CACHED: every linkage
+    * query (q26–q38) consumes the same preprocessed frames, exactly like
+    * the reference persists its preprocessed files once before the search
+    * modules (df_ops.persist). Without this, each query re-runs the
+    * phonetic/geokey scalar chains and the probable-GQ aggregation — the
+    * derivation, not the joins, dominates at bench scale. Only the latest
+    * key is kept (switching dir/session unpersists the previous frames).
+    *
+    * The input base is cached too: it feeds the GQ aggregation AND both
+    * finish() joins, and Spark does not share work across those branches
+    * without explicit materialization. It is small (one row per input
+    * record, scalar columns only).
+    */
+  private val sideFrames = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame, Seq[DataFrame])]
 
-  def census(s: SparkSession, d: String): DataFrame =
-    finish(censusBase(s, d), probableGq(inputBase(s, d)), "pik")
+  private def sides(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    sideFrames.synchronized {
+      val key = (s, d)
+      val (c, i, _) = sideFrames.getOrElse(key, {
+        sideFrames.values.foreach(_._3.foreach(_.unpersist()))
+        sideFrames.clear()
+        // The pre-frames are cached BEFORE derive(): without the barrier,
+        // ProjectionCollapse inlines the noise-class CASE/regex trees into
+        // every phonetic/prefix column (~8 copies per name), and the
+        // resulting mega-expression dominates the derivation cost. The
+        // oracle mirrors this with its MATERIALIZED input_pre/census_pre
+        // CTEs; at 100 TB these would be persisted intermediate tables.
+        val ipre = inputPre(s, d).cache()
+        val ib = derive(ipre).cache()
+        val gq = probableGq(ib).cache()
+        val cpre = censusPre(s, d).cache()
+        val in = finish(ib, gq, "rec_id").cache()
+        val cen = finish(derive(cpre), gq, "pik").cache()
+        val entry = (cen, in, Seq(ipre, ib, gq, cpre, in, cen))
+        sideFrames.put(key, entry)
+        entry
+      })
+      (c, i)
+    }
+
+  def input(s: SparkSession, d: String): DataFrame = sides(s, d)._2
+
+  def census(s: SparkSession, d: String): DataFrame = sides(s, d)._1
 
   // ---- SQL mirrors of the sides ------------------------------------------
 
