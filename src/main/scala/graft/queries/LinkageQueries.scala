@@ -216,14 +216,14 @@ object LinkageQueries {
         concat(substring(col("zipcode"), 1, 3), lit("99")))
         .otherwise(col("zipcode")).as("zipcode"),
       col("housing_type"))
-    derive(pre)
+    pre
   }
 
   /** Clean reference file (80% coverage): names exact; the address is the
     * household's PREVIOUS one for moved households and for the N/V classes
     * (stale admin data).
     */
-  private def censusBase(s: SparkSession, d: String): DataFrame = {
+  private def censusPre(s: SparkSession, d: String): DataFrame = {
     val p = People.persons(s, d).filter(pmod(col("k"), lit(5)) =!= 4)
     val stale = People.householdMoved(col("hh")) ||
       pmod(col("k"), lit(29)) === 0 || pmod(col("k"), lit(19)) === 0
