@@ -18,12 +18,20 @@ import org.apache.spark.sql.functions._
 final case class BlockingPass(name: String, keys: Seq[String], salt: Int = 1,
     rightRemap: Map[String, String] = Map.empty,
     cuts: Seq[String] = Nil,
-    weightOffset: Double = 0.0) {
+    weightOffset: Double = 0.0,
+    excludeComparisons: Set[String] = Set.empty) {
   /** Blocking keys with the module's cut columns appended (the reference
     * composes cut_columns into every pass's blocking rule via start_module;
     * 03_link_datasets.ipynb cells 83/101/114).
     */
   def blockKeys: Seq[String] = keys ++ cuts
+
+  /** The comparisons this pass scores: each reference module declares its
+    * own matching_columns subset of the full Splink settings (cells
+    * 83/101/114/138 — only geosearch scores geokey).
+    */
+  def comparisonsFor(cfg: LinkageConfig): Seq[Comparison] =
+    cfg.comparisons.filterNot(c => excludeComparisons.contains(c.name))
 }
 
 /** `lambda` is the fixed prior used by EM training (the reference fixes the
@@ -77,11 +85,14 @@ object LinkageCascade {
   }
 
   /** Adds gamma_* columns and match_weight to a prefixed pair frame. */
-  def score(pairsDf: DataFrame, cfg: LinkageConfig): DataFrame = {
-    val withGammas = cfg.comparisons.foldLeft(pairsDf) { (df, c) =>
+  def score(pairsDf: DataFrame, cfg: LinkageConfig): DataFrame =
+    score(pairsDf, cfg.comparisons)
+
+  def score(pairsDf: DataFrame, comparisons: Seq[Comparison]): DataFrame = {
+    val withGammas = comparisons.foldLeft(pairsDf) { (df, c) =>
       df.withColumn(c.gammaName, FellegiSunter.gammaCol(c))
     }
-    withGammas.withColumn("match_weight", FellegiSunter.matchWeightCol(cfg.comparisons))
+    withGammas.withColumn("match_weight", FellegiSunter.matchWeightCol(comparisons))
   }
 
   /** Post-search resolution (reference "post-search confirm" cells): keep
@@ -103,7 +114,7 @@ object LinkageCascade {
     * threshold → resolve.
     */
   def predict(census: DataFrame, input: DataFrame, pass: BlockingPass, cfg: LinkageConfig): DataFrame = {
-    val scored = score(pairs(census, input, pass), cfg)
+    val scored = score(pairs(census, input, pass), pass.comparisonsFor(cfg))
     val offset =
       if (pass.weightOffset == 0.0) scored
       else scored.withColumn("match_weight", col("match_weight") + lit(pass.weightOffset))
@@ -278,62 +289,92 @@ object LinkageCascade {
       cfg: LinkageConfig, iterations: Int = 5): Seq[(String, Int, Double)] =
     emTrainMMulti(census, input, Seq(trainingPass), cfg, iterations)
 
-  /** EM over the UNION of several training blockings (the reference trains
-    * on two: first_name+zipcode and geokey — each blocking only has to
-    * assume ITS keys agree among matches). Pairs produced by more than one
-    * blocking are deduped so they aren't double-weighted.
+  /** EM over several training blockings, one session per blocking (the
+    * reference trains two Splink EM sessions: first_name_15+zipcode and
+    * geokey, 03_link_datasets.ipynb cells 67/70). A session CANNOT estimate
+    * m for the comparisons its blocking rule conditions on — the blocked
+    * population is degenerate in them (a geokey block is dominated by
+    * same-household non-matches whose geokey agrees exactly, so including
+    * the geokey comparison makes EM latch onto "same household" as the
+    * match class). Each training pass declares those via
+    * `excludeComparisons`; per-comparison estimates are averaged across the
+    * sessions that produced them (Splink's combine step).
     */
   def emTrainMMulti(census: DataFrame, input: DataFrame, trainingPasses: Seq[BlockingPass],
       cfg: LinkageConfig, iterations: Int = 5): Seq[(String, Int, Double)] = {
-    val pairFrames = trainingPasses
-      .map(p => pairs(census, input, p))
-      .reduce(_ unionByName _)
-      .dropDuplicates("l_pik", "r_rec_id")
-    val cv = cfg.comparisons
-      .foldLeft(pairFrames) { (df, c) =>
+    val sessions: Seq[(Set[String], Map[(String, Int), Double])] =
+      trainingPasses.map { p =>
+        val cmps = p.comparisonsFor(cfg)
+        (cmps.map(_.name).toSet, emSession(census, input, p, cmps, cfg, iterations))
+      }
+    cfg.comparisons.flatMap { c =>
+      val ests = sessions.collect { case (names, m) if names.contains(c.name) => m }
+      require(ests.nonEmpty, s"no training session estimates comparison '${c.name}'")
+      c.params.map { case (g, _, _) =>
+        (c.name, g, ests.map(_((c.name, g))).sum / ests.size)
+      }
+    }
+  }
+
+  /** One EM session: the comparison-vector frame is built ONCE over the
+    * session's comparisons and cached NARROW (gamma ints only — gammas are
+    * computed map-side before any exchange); each iteration is a single
+    * map-side aggregate with only per-level scalars collected.
+    */
+  private def emSession(census: DataFrame, input: DataFrame, pass: BlockingPass,
+      comparisons: Seq[Comparison], cfg: LinkageConfig,
+      iterations: Int): Map[(String, Int), Double] = {
+    val cv = comparisons
+      .foldLeft(pairs(census, input, pass)) { (df, c) =>
         df.withColumn(c.gammaName, FellegiSunter.gammaCol(c))
       }
-      .select(cfg.comparisons.map(c => col(c.gammaName)): _*)
+      .select(comparisons.map(c => col(c.gammaName)): _*)
       .cache()
 
     // init: strongest level 0.8, rest of the mass uniform over lower levels
-    var m: Map[(String, Int), Double] = cfg.comparisons.flatMap { c =>
+    var m: Map[(String, Int), Double] = comparisons.flatMap { c =>
       val lower = c.numLevels // levels 0..n-1 share 0.2
       c.params.map { case (g, _, _) =>
         (c.name, g) -> (if (g == c.numLevels) 0.8 else 0.2 / lower)
       }
     }.toMap
 
+    // The null level (gamma -1: either side missing) contributes a Bayes
+    // factor of 1 to both the m- and u-products, like Splink's null_level —
+    // a missing field is no evidence either way.
     def caseOver(c: Comparison, f: Int => Double): Column =
-      c.params.init.foldLeft(Option.empty[Column]) { case (acc, (g, _, _)) =>
-        val cond = col(c.gammaName) === lit(g)
-        Some(acc.fold(when(cond, lit(f(g))))(_.when(cond, lit(f(g)))))
-      }.get.otherwise(lit(f(0)))
+      c.params.init.foldLeft(when(col(c.gammaName) === lit(-1), lit(1.0))) {
+        case (acc, (g, _, _)) => acc.when(col(c.gammaName) === lit(g), lit(f(g)))
+      }.otherwise(lit(f(0)))
 
     for (_ <- 1 to iterations) {
-      val mProd = cfg.comparisons.map(c => caseOver(c, g => m((c.name, g)))).reduce(_ * _)
-      val uProd = cfg.comparisons.map { c =>
+      val mProd = comparisons.map(c => caseOver(c, g => m((c.name, g)))).reduce(_ * _)
+      val uProd = comparisons.map { c =>
         val us = c.params.map { case (g, _, u) => g -> u }.toMap
         caseOver(c, us)
       }.reduce(_ * _)
       val p = lit(cfg.lambda) * mProd /
         (lit(cfg.lambda) * mProd + lit(1.0 - cfg.lambda) * uProd)
 
-      val aggs = sum(p).as("p_total") +:
-        cfg.comparisons.flatMap { c =>
-          c.params.map { case (g, _, _) =>
-            sum(when(col(c.gammaName) === g, p).otherwise(lit(0.0))).as(s"${c.name}__$g")
-          }
+      val aggs = comparisons.flatMap { c =>
+        c.params.map { case (g, _, _) =>
+          sum(when(col(c.gammaName) === g, p).otherwise(lit(0.0))).as(s"${c.name}__$g")
         }
+      }
       val row = cv.agg(aggs.head, aggs.tail: _*).collect()(0)
-      val total = row.getAs[Double]("p_total")
-      m = cfg.comparisons.flatMap { c =>
+      // m is normalized PER COMPARISON over its non-null levels (null-level
+      // rows carry no information about this field's m), so comparisons
+      // with missing data still get a proper distribution.
+      m = comparisons.flatMap { c =>
+        val total = c.params.map { case (g, _, _) =>
+          row.getAs[Double](s"${c.name}__$g")
+        }.sum
         c.params.map { case (g, _, _) =>
           (c.name, g) -> row.getAs[Double](s"${c.name}__$g") / total
         }
       }.toMap
     }
     cv.unpersist()
-    cfg.comparisons.flatMap(c => c.params.map { case (g, _, _) => (c.name, g, m((c.name, g))) })
+    m
   }
 }

@@ -52,28 +52,31 @@ object FellegiSunter {
     case AbsDiffAtMost(d) => abs(l - r) <= lit(d)
   }
 
-  /** Gamma level column for a prefixed pair frame (l_/r_ columns). */
+  /** Gamma level column for a prefixed pair frame (l_/r_ columns). Either
+    * side missing → gamma -1, Splink's null_level (reference cell 62
+    * cll.null_level): a missing field is no evidence either way, so
+    * [[weightTermCol]] maps it to weight 0.
+    */
   def gammaCol(c: Comparison): Column = {
     val l = col(s"l_${c.column}")
     val r = col(s"r_${c.column}")
-    val chain = c.levels.zipWithIndex.foldLeft(Option.empty[Column]) {
+    val chain = c.levels.zipWithIndex.foldLeft(when(l.isNull || r.isNull, lit(-1))) {
       case (acc, (level, i)) =>
-        val cond = predCol(level.pred, l, r)
-        Some(acc.fold(when(cond, lit(c.numLevels - i)))(_.when(cond, lit(c.numLevels - i))))
+        acc.when(predCol(level.pred, l, r), lit(c.numLevels - i))
     }
-    chain.get.otherwise(lit(0))
+    chain.otherwise(lit(0))
   }
 
-  /** log2 Bayes factor selected by this comparison's gamma column. */
+  /** log2 Bayes factor selected by this comparison's gamma column (null
+    * level gamma -1 → 0.0, Bayes factor 1).
+    */
   def weightTermCol(c: Comparison): Column = {
     val g = col(c.gammaName)
-    val chain = c.params.init.foldLeft(Option.empty[Column]) {
+    val chain = c.params.init.foldLeft(when(g === lit(-1), lit(0.0))) {
       case (acc, (gamma, m, u)) =>
-        val cond = g === lit(gamma)
-        val w = lit(log2(m / u))
-        Some(acc.fold(when(cond, w))(_.when(cond, w)))
+        acc.when(g === lit(gamma), lit(log2(m / u)))
     }
-    chain.get.otherwise(lit(log2(c.elseM / c.elseU)))
+    chain.otherwise(lit(log2(c.elseM / c.elseU)))
   }
 
   /** Sum of per-comparison weight terms (left-associated, matching SQL). */
@@ -96,12 +99,16 @@ object FellegiSunter {
     case AbsDiffAtMost(d) => s"abs($l - $r) <= $d"
   }
 
-  /** Gamma CASE for table aliases (c = left/census, i = right/input). */
+  /** Gamma CASE for table aliases (c = left/census, i = right/input).
+    * Mirrors [[gammaCol]] including the null level at gamma -1.
+    */
   def gammaSql(c: Comparison, la: String, ra: String): String = {
+    val l = s"$la.${c.column}"
+    val r = s"$ra.${c.column}"
     val cases = c.levels.zipWithIndex.map { case (level, i) =>
-      s"WHEN ${predSql(level.pred, s"$la.${c.column}", s"$ra.${c.column}")} THEN ${c.numLevels - i}"
+      s"WHEN ${predSql(level.pred, l, r)} THEN ${c.numLevels - i}"
     }
-    s"CASE ${cases.mkString(" ")} ELSE 0 END"
+    s"CASE WHEN $l IS NULL OR $r IS NULL THEN -1 ${cases.mkString(" ")} ELSE 0 END"
   }
 
   /** Weight CASE over an existing gamma column. Double literals are printed
@@ -111,7 +118,7 @@ object FellegiSunter {
     val cases = c.params.init.map { case (gamma, m, u) =>
       s"WHEN ${c.gammaName} = $gamma THEN ${log2(m / u)}"
     }
-    s"CASE ${cases.mkString(" ")} ELSE ${log2(c.elseM / c.elseU)} END"
+    s"CASE WHEN ${c.gammaName} = -1 THEN 0.0 ${cases.mkString(" ")} ELSE ${log2(c.elseM / c.elseU)} END"
   }
 
   def matchWeightSql(comparisons: Seq[Comparison]): String =

@@ -30,7 +30,9 @@ import org.apache.spark.sql.functions._
   * the reference added for it:
   *  - k%13: wrong DOB day           → geokey pass scores through it
   *  - k%17: zip typo                → street-Soundex pass (zip3 cut holds)
-  *  - k%23: first/last switched     → geokey name-switch pass
+  *  - k%23: first/last switched + bumped DOB day+month → geokey name-switch
+  *    pass (the DOB noise keeps the plain geokey pass from scoring through
+  *    swapped names on address+DOB alone)
   *  - k%29 (N): post-initial vowel swap in both names + stale census
   *    address → DOB+NYSIIS pass (NYSIIS folds vowels)
   *  - k%19 (V): first letter swapped within its Soundex code class in both
@@ -48,23 +50,46 @@ object LinkageQueries {
 
   // ---- the model (shared by all queries + the oracle SQL) ----------------
 
+  /** The full Splink settings (reference cell 62): truncated-name JW at
+    * 750/900 with an exact level first (jaro_winkler_at_thresholds on
+    * first_name_15 / last_name_12), exact middle initial, DOB
+    * day/month/year numeric comparisons with inexact windows 5/3/5
+    * (numeric_column_comparison), and a whole-geokey JW comparison at
+    * 650/900. Either side NULL → Splink's null_level (gamma -1, weight 0).
+    * m/u are fixed here — the reference trains them with EM, machinery
+    * q30/q31 reproduce; u values track the synthetic pools'
+    * random-agreement rates (day uniform 1..28 → exact u ≈ 1/28, etc.).
+    */
   val comparisons: Seq[Comparison] = Seq(
-    Comparison("first", "first_name",
-      Seq(ComparisonLevel(JwAtLeast(0.9), 0.70, 0.01),
-        ComparisonLevel(JwAtLeast(0.75), 0.20, 0.05)), 0.10, 0.94),
-    Comparison("last", "last_name",
-      Seq(ComparisonLevel(JwAtLeast(0.9), 0.65, 0.02),
-        ComparisonLevel(JwAtLeast(0.75), 0.20, 0.04)), 0.15, 0.94),
+    Comparison("first", "fn15",
+      Seq(ComparisonLevel(ExactMatch, 0.70, 0.01),
+        ComparisonLevel(JwAtLeast(750.0 / 900.0), 0.20, 0.05)), 0.10, 0.94),
+    Comparison("last", "ln12",
+      Seq(ComparisonLevel(ExactMatch, 0.65, 0.02),
+        ComparisonLevel(JwAtLeast(750.0 / 900.0), 0.20, 0.04)), 0.15, 0.94),
     Comparison("mid", "middle_initial",
       Seq(ComparisonLevel(ExactMatch, 0.90, 0.05)), 0.10, 0.95),
-    Comparison("byear", "dob_year",
-      Seq(ComparisonLevel(AbsDiffAtMost(0), 0.90, 0.017),
-        ComparisonLevel(AbsDiffAtMost(1), 0.05, 0.030)), 0.05, 0.953),
     Comparison("bday", "dob_day",
-      Seq(ComparisonLevel(AbsDiffAtMost(0), 0.85, 0.036)), 0.15, 0.964))
+      Seq(ComparisonLevel(ExactMatch, 0.85, 0.036),
+        ComparisonLevel(AbsDiffAtMost(5), 0.10, 0.32)), 0.05, 0.644),
+    Comparison("bmonth", "dob_month",
+      Seq(ComparisonLevel(ExactMatch, 0.90, 0.083),
+        ComparisonLevel(AbsDiffAtMost(3), 0.07, 0.45)), 0.03, 0.467),
+    Comparison("byear", "dob_year",
+      Seq(ComparisonLevel(ExactMatch, 0.90, 0.017),
+        ComparisonLevel(AbsDiffAtMost(5), 0.05, 0.16)), 0.05, 0.823),
+    Comparison("geo", "geokey",
+      Seq(ComparisonLevel(ExactMatch, 0.60, 0.002),
+        ComparisonLevel(JwAtLeast(650.0 / 900.0), 0.15, 0.01)), 0.25, 0.988))
 
-  private val switchNames =
-    Map("first_name" -> "last_name", "last_name" -> "first_name")
+  /** Cascade modules outside geosearch don't score the geokey comparison
+    * (reference matching_columns, cells 101/114/138).
+    */
+  private val noGeo = Set("geo")
+
+  private val switchNames = Map(
+    "first_name" -> "last_name", "last_name" -> "first_name",
+    "fn15" -> "ln12", "ln12" -> "fn15")
 
   /** hhcompsearch scores its cut (being in the bridged household) as a
     * fixed Bayes factor of 1000 (reference cell 138,
@@ -77,20 +102,24 @@ object LinkageQueries {
     BlockingPass("p2_geokey_switch", Seq("geokey_blk"), rightRemap = switchNames),
     BlockingPass("p3_street_sdx", Seq("street_num_blk", "sdx_street_blk"),
       cuts = Seq("zip3")),
-    BlockingPass("p4_name_yob", Seq("fn2", "ln2", "dob_year")),
+    BlockingPass("p4_name_yob", Seq("fn2", "ln2", "dob_year"),
+      excludeComparisons = noGeo),
     BlockingPass("p5_dob_nysiis",
-      Seq("dob_year", "dob_month", "dob_day", "nys_first", "nys_last")),
+      Seq("dob_year", "dob_month", "dob_day", "nys_first", "nys_last"),
+      excludeComparisons = noGeo),
     BlockingPass("p6_dob_initials",
-      Seq("dob_year", "dob_month", "dob_day", "fn1", "ln1")),
-    BlockingPass("p7_bday_name", Seq("dob_month", "dob_day", "fn2", "ln2")),
+      Seq("dob_year", "dob_month", "dob_day", "fn1", "ln1"),
+      excludeComparisons = noGeo),
+    BlockingPass("p7_bday_name", Seq("dob_month", "dob_day", "fn2", "ln2"),
+      excludeComparisons = noGeo),
     BlockingPass("p8_rev_sdx", Seq("rsdx_first", "rsdx_last"),
-      cuts = Seq("dob_day", "dob_month")))
+      cuts = Seq("dob_day", "dob_month"), excludeComparisons = noGeo))
 
   val hhPasses: Seq[BlockingPass] = Seq(
     BlockingPass("p9_hh_initials", Seq("hh_geokey", "fn1", "ln1"),
-      weightOffset = hhWeightOffset),
+      weightOffset = hhWeightOffset, excludeComparisons = noGeo),
     BlockingPass("p10_hh_yob", Seq("hh_geokey", "dob_year"),
-      weightOffset = hhWeightOffset))
+      weightOffset = hhWeightOffset, excludeComparisons = noGeo))
 
   val config: LinkageConfig = LinkageConfig(comparisons, lambda = 0.5,
     thresholdWeight = 9.0, passes = passes, hhPasses = hhPasses)
@@ -135,7 +164,7 @@ object LinkageQueries {
   private val sideCols: Seq[String] = Seq(
     "first_name", "last_name", "middle_initial",
     "dob_year", "dob_month", "dob_day",
-    "zipcode", "zip3", "fn1", "fn2", "ln1", "ln2",
+    "zipcode", "zip3", "fn1", "fn2", "ln1", "ln2", "fn15", "ln12",
     "nys_first", "nys_last", "rsdx_first", "rsdx_last",
     "geokey", "geokey_blk", "street_num_blk", "sdx_street_blk")
 
@@ -151,6 +180,8 @@ object LinkageQueries {
       .withColumn("fn2", substring(col("first_name"), 1, 2))
       .withColumn("ln1", substring(col("last_name"), 1, 1))
       .withColumn("ln2", substring(col("last_name"), 1, 2))
+      .withColumn("fn15", substring(col("first_name"), 1, 15))
+      .withColumn("ln12", substring(col("last_name"), 1, 12))
       .withColumn("nys_first", Phonetics.nysKey(col("first_name")))
       .withColumn("nys_last", Phonetics.nysKey(col("last_name")))
       .withColumn("rsdx_first", Phonetics.rsdx(col("first_name")))
@@ -202,9 +233,9 @@ object LinkageQueries {
       col("middle_initial"),
       when(isHa, col("dob_year") + 1).otherwise(col("dob_year"))
         .cast("int").as("dob_year"),
-      when(isHa || isHb, pmod(col("dob_month"), lit(12)) + 1)
+      when(isHa || isHb || isSw, pmod(col("dob_month"), lit(12)) + 1)
         .otherwise(col("dob_month")).cast("int").as("dob_month"),
-      when(isHb, pmod(col("dob_day"), lit(28)) + 1)
+      when(isHb || isSw, pmod(col("dob_day"), lit(28)) + 1)
         .when(isN || isV || isHa, col("dob_day"))
         .when(pmod(k, lit(13)) === 0, pmod(col("dob_day"), lit(28)) + 1)
         .otherwise(col("dob_day")).cast("int").as("dob_day"),
@@ -237,7 +268,7 @@ object LinkageQueries {
       when(stale, col("city_old")).otherwise(col("city")).as("city"),
       when(stale, col("state_old")).otherwise(col("state")).as("state"),
       when(stale, col("zipcode_old")).otherwise(col("zipcode")).as("zipcode"))
-    derive(pre)
+    pre
   }
 
   /** Probable-GQ geokeys from the input file's noisy housing_type
@@ -326,8 +357,8 @@ object LinkageQueries {
        |              ELSE messy_last END AS last_name,
        |         middle_initial,
        |         CAST(CASE WHEN $haSql THEN dob_year + 1 ELSE dob_year END AS INTEGER) AS dob_year,
-       |         CAST(CASE WHEN $haSql OR $hbSql THEN dob_month % 12 + 1 ELSE dob_month END AS INTEGER) AS dob_month,
-       |         CAST(CASE WHEN $hbSql THEN dob_day % 28 + 1
+       |         CAST(CASE WHEN $haSql OR $hbSql OR $swSql THEN dob_month % 12 + 1 ELSE dob_month END AS INTEGER) AS dob_month,
+       |         CAST(CASE WHEN $hbSql OR $swSql THEN dob_day % 28 + 1
        |              WHEN $nSql OR $vSql OR $haSql THEN dob_day
        |              WHEN k % 13 = 0 THEN dob_day % 28 + 1
        |              ELSE dob_day END AS INTEGER) AS dob_day,
@@ -362,6 +393,8 @@ object LinkageQueries {
        |         substr(first_name, 1, 2) AS fn2,
        |         substr(last_name, 1, 1) AS ln1,
        |         substr(last_name, 1, 2) AS ln2,
+       |         substr(first_name, 1, 15) AS fn15,
+       |         substr(last_name, 1, 12) AS ln12,
        |         ${Phonetics.nysKeySql("first_name")} AS nys_first,
        |         ${Phonetics.nysKeySql("last_name")} AS nys_last,
        |         ${Phonetics.rsdxSql("first_name")} AS rsdx_first,
@@ -427,15 +460,22 @@ object LinkageQueries {
   private def gammaSelects: String =
     comparisons.map(c => s"${FellegiSunter.gammaSql(c, "c", "i")} AS ${c.gammaName}").mkString(",\n         ")
 
-  /** cand/scored/best CTE chain for one pass of `censusRel` × `inputRel`. */
+  /** cand/scored/best CTE chain for one pass of `censusRel` × `inputRel`.
+    * Gamma/weight fragments render from the PASS's comparison subset
+    * (mirror of [[LinkageCascade.predict]]'s comparisonsFor).
+    */
   private def passSql(pass: BlockingPass, inputRel: String, tag: String,
       censusRel: String = "census"): String = {
+    val cmps = pass.comparisonsFor(config)
+    val gsel = cmps
+      .map(c => s"${FellegiSunter.gammaSql(c, "c", "i")} AS ${c.gammaName}")
+      .mkString(",\n         ")
     val weight =
-      if (pass.weightOffset == 0.0) FellegiSunter.matchWeightSql(comparisons)
-      else s"${FellegiSunter.matchWeightSql(comparisons)} + ${pass.weightOffset}"
+      if (pass.weightOffset == 0.0) FellegiSunter.matchWeightSql(cmps)
+      else s"${FellegiSunter.matchWeightSql(cmps)} + ${pass.weightOffset}"
     s"""cand_$tag AS (
        |  SELECT c.pik, i.rec_id,
-       |         $gammaSelects
+       |         $gsel
        |  FROM $censusRel c JOIN $inputRel i ON ${keysOn(pass.blockKeys)}),
        |scored_$tag AS (
        |  SELECT pik, rec_id, $weight AS match_weight

@@ -1,0 +1,45 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.linkage._
+import graft.queries.LinkageQueries
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev harness: gamma distribution of the EM training pairs and the m
+  * trajectory, to understand what the EM converges to under a model change.
+  */
+object EmProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.register(spark)
+
+    val cfg = LinkageQueries.config
+    val census = LinkageQueries.census(spark, dir).cache()
+    val input = LinkageQueries.input(spark, dir).cache()
+
+    val pass = LinkageQueries.blockPass
+    val pairsDf = LinkageCascade.pairs(census, input, pass)
+    val cv = cfg.comparisons.foldLeft(pairsDf) { (df, c) =>
+      df.withColumn(c.gammaName, FellegiSunter.gammaCol(c))
+    }.withColumn("is_match", (col("l_pik") === col("r_rec_id")).cast("int"))
+      .cache()
+
+    println(s"pairs: ${cv.count()}, true matches: ${cv.filter(col("is_match") === 1).count()}")
+    for (c <- cfg.comparisons) {
+      println(s"-- ${c.name} gamma distribution (by is_match):")
+      cv.groupBy("is_match", c.gammaName).count()
+        .orderBy("is_match", c.gammaName).collect()
+        .foreach(r => println(s"   match=${r.get(0)} gamma=${r.get(1)} n=${r.get(2)}"))
+    }
+
+    val m = LinkageCascade.emTrainM(census, input, pass, cfg, iterations = 3)
+    m.foreach { case (n, g, v) => println(f"m[$n%8s][$g%2d] = $v%.4f") }
+    spark.stop()
+  }
+}
