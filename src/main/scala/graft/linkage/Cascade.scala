@@ -19,7 +19,8 @@ final case class BlockingPass(name: String, keys: Seq[String], salt: Int = 1,
     rightRemap: Map[String, String] = Map.empty,
     cuts: Seq[String] = Nil,
     weightOffset: Double = 0.0,
-    excludeComparisons: Set[String] = Set.empty) {
+    excludeComparisons: Set[String] = Set.empty,
+    constGammas: Map[String, Int] = Map.empty) {
   /** Blocking keys with the module's cut columns appended (the reference
     * composes cut_columns into every pass's blocking rule via start_module;
     * 03_link_datasets.ipynb cells 83/101/114).
@@ -84,29 +85,41 @@ object LinkageCascade {
     }
   }
 
-  /** Adds gamma_* columns and match_weight to a prefixed pair frame. */
+  /** Adds gamma_* columns and match_weight to a prefixed pair frame.
+    * `constGammas` pins a comparison's gamma to a literal level for passes
+    * whose blocking already implies it (a pass blocked on geokey equality
+    * never needs the geokey JW evaluated — the gamma is the exact level by
+    * construction), eliminating the dominant per-pair scalar in those
+    * passes.
+    */
   def score(pairsDf: DataFrame, cfg: LinkageConfig): DataFrame =
     score(pairsDf, cfg.comparisons)
 
-  def score(pairsDf: DataFrame, comparisons: Seq[Comparison]): DataFrame = {
+  def score(pairsDf: DataFrame, comparisons: Seq[Comparison],
+      constGammas: Map[String, Int] = Map.empty): DataFrame = {
     val withGammas = comparisons.foldLeft(pairsDf) { (df, c) =>
-      df.withColumn(c.gammaName, FellegiSunter.gammaCol(c))
+      df.withColumn(c.gammaName,
+        constGammas.get(c.name).map(g => lit(g)).getOrElse(FellegiSunter.gammaCol(c)))
     }
     withGammas.withColumn("match_weight", FellegiSunter.matchWeightCol(comparisons))
   }
 
   /** Post-search resolution (reference "post-search confirm" cells): keep
-    * each input record's max-weight link, dropping records whose top weight
-    * ties across >1 candidate (ambiguous, like PVS's multi-PIK drop).
+    * each input record's max-weight links, dropping records whose top
+    * weight spans MORE THAN ONE DISTINCT candidate PIK (ambiguous, PVS's
+    * multi-PIK drop — ties that all point at the SAME pik are kept and
+    * deduped to one row, like the reference's one-PIK-per-record dedupe).
+    * Expects the (pik, rec_id, match_weight) projection.
     */
   def bestLink(scored: DataFrame): DataFrame = {
     val byRec = Window.partitionBy("rec_id")
     scored
       .withColumn("w_max", max("match_weight").over(byRec))
       .filter(col("match_weight") === col("w_max"))
-      .withColumn("n_top", count(lit(1)).over(byRec))
-      .filter(col("n_top") === 1)
-      .drop("w_max", "n_top")
+      .withColumn("n_piks", size(collect_set("pik").over(byRec)))
+      .filter(col("n_piks") === 1)
+      .drop("w_max", "n_piks")
+      .dropDuplicates(Seq("rec_id"))
   }
 
   /** One full predict pass: block → score (+ the pass's fixed weight
@@ -114,7 +127,7 @@ object LinkageCascade {
     * threshold → resolve.
     */
   def predict(census: DataFrame, input: DataFrame, pass: BlockingPass, cfg: LinkageConfig): DataFrame = {
-    val scored = score(pairs(census, input, pass), pass.comparisonsFor(cfg))
+    val scored = score(pairs(census, input, pass), pass.comparisonsFor(cfg), pass.constGammas)
     val offset =
       if (pass.weightOffset == 0.0) scored
       else scored.withColumn("match_weight", col("match_weight") + lit(pass.weightOffset))
@@ -364,13 +377,19 @@ object LinkageCascade {
       val row = cv.agg(aggs.head, aggs.tail: _*).collect()(0)
       // m is normalized PER COMPARISON over its non-null levels (null-level
       // rows carry no information about this field's m), so comparisons
-      // with missing data still get a proper distribution.
+      // with missing data still get a proper distribution. A zero total
+      // (empty training block, or a column null on one side for every pair)
+      // keeps the previous iteration's m instead of minting NaN that would
+      // silently poison the session average.
       m = comparisons.flatMap { c =>
         val total = c.params.map { case (g, _, _) =>
           row.getAs[Double](s"${c.name}__$g")
         }.sum
         c.params.map { case (g, _, _) =>
-          (c.name, g) -> row.getAs[Double](s"${c.name}__$g") / total
+          val v =
+            if (total < 1e-12) m((c.name, g))
+            else row.getAs[Double](s"${c.name}__$g") / total
+          (c.name, g) -> v
         }
       }.toMap
     }

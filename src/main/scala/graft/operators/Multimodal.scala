@@ -47,16 +47,26 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** The batch-decode pipeline: co-locate by doc_id (so a real decoder's
-    * per-partition model/codec init amortizes over a batch), then decode
-    * each partition iterator — the mapPartitions shape a Pandas-UDF/Arrow
-    * batch decoder would use.
+  /** Batch decode: the Arrow/pandas-UDF shape — a BATCH of records in, a
+    * batch of features out. A real decoder amortizes codec/model init and
+    * vectorizes over the batch; the stub applies [[decodeStub]] per
+    * element but the call boundary is the batch, so swapping in a
+    * vectorized decoder touches only this function.
     */
-  def extractFeatures(spark: SparkSession, docs: DataFrame, partitions: Int = 8): DataFrame = {
+  def decodeBatchStub(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+    batch.map(decodeStub)
+
+  /** The batch-decode pipeline: co-locate by doc_id, then decode each
+    * partition as a stream of fixed-size batches
+    * (`Iterator[Batch] → Iterator[Features]`) — the mapPartitions shape a
+    * Pandas-UDF/Arrow batch decoder uses, with bounded memory per batch.
+    */
+  def extractFeatures(spark: SparkSession, docs: DataFrame, partitions: Int = 8,
+      batchSize: Int = 64): DataFrame = {
     import spark.implicits._
     mediaRecords(spark, docs)
       .repartition(partitions, col("doc_id"))
-      .mapPartitions(_.map(decodeStub))
+      .mapPartitions(_.grouped(batchSize).flatMap(decodeBatchStub))
       .toDF()
   }
 }

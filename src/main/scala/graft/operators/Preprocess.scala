@@ -102,9 +102,21 @@ object Preprocess {
     nicknames.map { case (n, a) => s"('$n', '$a')" }.mkString(", ")
 
   /** Names treated as placeholders and nulled out (reference joins against
-    * a fake-names list, e.g. 'BABY', 'UNKNOWN').
+    * a fake-names list, e.g. 'BABY', 'UNKNOWN'). q19 demonstrates the
+    * operator with common pool names so the join path has hits at tiny SF.
     */
   val fakeNames: Seq[String] = Seq("JOHN", "MARY")
 
   def fakeNamesSqlValues: String = fakeNames.map(n => s"('$n')").mkString(", ")
+
+  /** The placeholder strings the CASCADE nulls out before blocking — the
+    * realistic fake-name list (a placeholder name is no evidence either
+    * way; nulling it routes the comparison to Splink's null level instead
+    * of a heavy disagreement penalty). Tiny list → a codegen'd IN filter,
+    * the same plan a broadcast join against a fake-name file would reach.
+    */
+  val placeholderNames: Seq[String] = Seq("UNKNOWN", "BABY")
+
+  def placeholderNamesSqlList: String =
+    placeholderNames.map(n => s"'$n'").mkString(", ")
 }

@@ -39,6 +39,44 @@ object DfOps {
       valuePrefix: String = ""): DataFrame =
     df.withColumn(colName, org.apache.spark.sql.functions.concat(lit(valuePrefix), monotonically_increasing_id().cast("string")))
 
+  /** Contiguous 0-based ids equal to `row_number() over (order by orderCol)
+    * - 1` WITHOUT the single-partition global window: range-partition on
+    * the order key, number rows per partition in parallel, and add
+    * precomputed per-partition offsets (one tiny count action — the only
+    * driver-side data is `numPartitions` longs). Range partitions are
+    * totally ordered on the key, so local rank + offset IS the global
+    * rank. Requires `orderCol` to be duplicate-free (ties could straddle a
+    * partition boundary and tie order would then be partitioner-dependent).
+    *
+    * The ranged frame is localCheckpointed before the counts action:
+    * RangePartitioner samples boundaries with a seed derived from the RDD
+    * id, so re-executing the shuffle in a second job can choose DIFFERENT
+    * boundaries — offsets from run 1 applied to partitions from run 2 shift
+    * every id after the first moved boundary. Checkpointing freezes one
+    * layout for both the counts job and the numbering job (the id pass
+    * materializes the table once either way).
+    */
+  def addContiguousId(df: DataFrame, orderCol: String, colName: String = "unique_id",
+      numPartitions: Int = 0): DataFrame = {
+    val n =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(n, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = new Array[Long](n)
+    var acc = 0L
+    counts.foreach { case (pid, c) => offsets(pid) = acc; acc += c }
+    val offExpr = element_at(
+      array(offsets.map(lit(_)).toIndexedSeq: _*), col("__pid") + 1)
+    val w = Window.partitionBy("__pid").orderBy(col(orderCol))
+    ranged
+      .withColumn(colName, row_number().over(w).cast("long") - 1 + offExpr)
+      .drop("__pid")
+  }
+
   /** reference:419 add_unique_record_id. */
   def addUniqueRecordId(df: DataFrame, datasetName: String, orderBy: Seq[Column]): DataFrame =
     addUniqueIdCol(df, orderBy, colName = "record_id", valuePrefix = s"${datasetName}_")

@@ -134,12 +134,13 @@ object CoreQueries {
     ),
     QueryDef(
       // Reference df_ops.add_unique_id_col (distributed_compute.py:396):
-      // deterministic via row_number over a total order, not
-      // monotonically_increasing_id (which is partition-layout dependent).
+      // deterministic via a total order on p_partkey — but NOT a global
+      // row_number window (single-partition pass over the whole table at
+      // scale). DfOps.addContiguousId range-partitions on the key and adds
+      // per-partition offsets; identical ids, parallel everywhere.
       "q08_add_unique_id",
       (s, d) =>
-        Tables.part(s, d)
-          .withColumn("uid", row_number().over(Window.orderBy(col("p_partkey"))).cast("long") - 1)
+        graft.ops.DfOps.addContiguousId(Tables.part(s, d), "p_partkey", "uid")
           .select(col("p_partkey"), concat(lit("part_"), col("uid")).as("unique_id")),
       Some("""SELECT p_partkey, 'part_' || CAST(ROW_NUMBER() OVER (ORDER BY p_partkey) - 1 AS VARCHAR) AS unique_id
               FROM part""")

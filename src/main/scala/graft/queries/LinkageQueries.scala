@@ -87,9 +87,21 @@ object LinkageQueries {
     */
   private val noGeo = Set("geo")
 
+  /** Name-switch remap: output column := source column. The truncations are
+    * taken from the OPPOSITE name's same-length truncation (fn15 := ln15,
+    * not ln12) — the reference re-runs add_truncated_name_cols after
+    * switch_first_and_last_names, so a swapped fn15 is a 15-char cut of the
+    * swapped first name, never a 12-char one. Phonetic/prefix keys swap
+    * pairwise for the same reason.
+    */
   private val switchNames = Map(
     "first_name" -> "last_name", "last_name" -> "first_name",
-    "fn15" -> "ln12", "ln12" -> "fn15")
+    "fn15" -> "ln15", "ln12" -> "fn12",
+    "fn12" -> "ln12", "ln15" -> "fn15",
+    "fn1" -> "ln1", "ln1" -> "fn1",
+    "fn2" -> "ln2", "ln2" -> "fn2",
+    "nys_first" -> "nys_last", "nys_last" -> "nys_first",
+    "rsdx_first" -> "rsdx_last", "rsdx_last" -> "rsdx_first")
 
   /** hhcompsearch scores its cut (being in the bridged household) as a
     * fixed Bayes factor of 1000 (reference cell 138,
@@ -97,9 +109,17 @@ object LinkageQueries {
     */
   val hhWeightOffset: Double = math.log(1000.0) / math.log(2.0)
 
+  /** Blocking on geokey_blk implies the geokey comparison's exact level
+    * (geokey_blk = geokey wherever non-null), so p1/p2 pin gamma_geo to 2
+    * instead of evaluating the whole-geokey JW — the most expensive scalar
+    * in the model — over every candidate pair.
+    */
+  private val geoExact = Map("geo" -> 2)
+
   val passes: Seq[BlockingPass] = Seq(
-    BlockingPass("p1_geokey", Seq("geokey_blk")),
-    BlockingPass("p2_geokey_switch", Seq("geokey_blk"), rightRemap = switchNames),
+    BlockingPass("p1_geokey", Seq("geokey_blk"), constGammas = geoExact),
+    BlockingPass("p2_geokey_switch", Seq("geokey_blk"), rightRemap = switchNames,
+      constGammas = geoExact),
     BlockingPass("p3_street_sdx", Seq("street_num_blk", "sdx_street_blk"),
       cuts = Seq("zip3")),
     BlockingPass("p4_name_yob", Seq("fn2", "ln2", "dob_year"),
@@ -125,6 +145,38 @@ object LinkageQueries {
     thresholdWeight = 9.0, passes = passes, hhPasses = hhPasses)
 
   val blockPass: BlockingPass = BlockingPass("zip3_block", Seq("zip3"))
+
+  /** Block-key column → the comparison it conditions. An EM training
+    * session must not estimate m for a comparison its blocking keys pin:
+    * the blocked population is degenerate in it (see the degenerate-mode
+    * doc on [[LinkageCascade.emTrainMMulti]] — a zip3/geokey block is
+    * dominated by same-area/same-household pairs, so the geokey comparison
+    * makes EM latch onto "same household" as the match class; a dob_year
+    * key makes every pair agree exactly on byear). Mirrors Splink's
+    * estimate-everything-except-the-blocked-columns sessions (reference
+    * 03_link_datasets.ipynb cells 67/70).
+    */
+  private val keyConditions: Map[String, String] = Map(
+    "zip3" -> "geo", "geokey_blk" -> "geo", "street_num_blk" -> "geo",
+    "sdx_street_blk" -> "geo", "hh_geokey" -> "geo",
+    "fn1" -> "first", "fn2" -> "first", "fn15" -> "first",
+    "nys_first" -> "first", "rsdx_first" -> "first",
+    "ln1" -> "last", "ln2" -> "last", "ln12" -> "last",
+    "nys_last" -> "last", "rsdx_last" -> "last",
+    "dob_year" -> "byear", "dob_month" -> "bmonth", "dob_day" -> "bday")
+
+  /** The comparisons a training pass with these block keys must exclude. */
+  def emExclusions(keys: Seq[String]): Set[String] =
+    keys.flatMap(keyConditions.get).toSet
+
+  /** The two EM training sessions (reference trains on first_name_15+zipcode
+    * and geokey; ours block zip3 and fn2+dob_year over the synthetic sides),
+    * each excluding exactly the comparisons its blocking implies.
+    */
+  val emPasses: Seq[BlockingPass] = Seq(
+    BlockingPass("em_zip3", Seq("zip3")),
+    BlockingPass("em_name_yob", Seq("fn2", "dob_year"))
+  ).map(p => p.copy(excludeComparisons = emExclusions(p.keys)))
 
   // ---- planted-noise transforms (Spark + SQL in lockstep) ----------------
 
@@ -165,6 +217,7 @@ object LinkageQueries {
     "first_name", "last_name", "middle_initial",
     "dob_year", "dob_month", "dob_day",
     "zipcode", "zip3", "fn1", "fn2", "ln1", "ln2", "fn15", "ln12",
+    "fn12", "ln15",
     "nys_first", "nys_last", "rsdx_first", "rsdx_last",
     "geokey", "geokey_blk", "street_num_blk", "sdx_street_blk")
 
@@ -174,17 +227,26 @@ object LinkageQueries {
     * prefixes, phonetic keys, street soundex, geokey. Expects first_name,
     * last_name, street_num, street_std, unit_std, city, state, zipcode.
     */
-  private def derive(df: DataFrame): DataFrame =
-    df.withColumn("zip3", substring(col("zipcode"), 1, 3))
-      .withColumn("fn1", substring(col("first_name"), 1, 1))
+  /** The first-name-derived key columns, split out so nickname alternate
+    * rows recompute EXACTLY these after replacing first_name (mirrors the
+    * reference re-deriving name columns on the expanded frame).
+    */
+  private def deriveFirst(df: DataFrame): DataFrame =
+    df.withColumn("fn1", substring(col("first_name"), 1, 1))
       .withColumn("fn2", substring(col("first_name"), 1, 2))
+      .withColumn("fn15", substring(col("first_name"), 1, 15))
+      .withColumn("fn12", substring(col("first_name"), 1, 12))
+      .withColumn("nys_first", Phonetics.nysKey(col("first_name")))
+      .withColumn("rsdx_first", Phonetics.rsdx(col("first_name")))
+
+  private def derive(df: DataFrame): DataFrame =
+    deriveFirst(df)
+      .withColumn("zip3", substring(col("zipcode"), 1, 3))
       .withColumn("ln1", substring(col("last_name"), 1, 1))
       .withColumn("ln2", substring(col("last_name"), 1, 2))
-      .withColumn("fn15", substring(col("first_name"), 1, 15))
       .withColumn("ln12", substring(col("last_name"), 1, 12))
-      .withColumn("nys_first", Phonetics.nysKey(col("first_name")))
+      .withColumn("ln15", substring(col("last_name"), 1, 15))
       .withColumn("nys_last", Phonetics.nysKey(col("last_name")))
-      .withColumn("rsdx_first", Phonetics.rsdx(col("first_name")))
       .withColumn("rsdx_last", Phonetics.rsdx(col("last_name")))
       .withColumn("sdx_street", Phonetics.sdx(col("street_std")))
       .withColumn("geokey", Preprocess.geokey(col("street_num"),
@@ -203,40 +265,114 @@ object LinkageQueries {
 
   private def std(c: Column): Column = Preprocess.standardizeAddressPart(c)
 
+  /** The canonical first names the nickname file can expand back to. */
+  private val nickCanonicals: Seq[String] = Preprocess.nicknames.map(_._1)
+
+  /** canonical → nickname as a scalar CASE (used to PLANT class-K noise;
+    * the cascade's expansion goes the other way via the nickname table).
+    */
+  private def nickOf(c: Column): Column =
+    Preprocess.nicknames.foldLeft(Option.empty[Column]) {
+      case (acc, (canon, nick)) =>
+        Some(acc.fold(when(c === canon, nick))(_.when(c === canon, nick)))
+    }.get.otherwise(c)
+
+  private def nickOfSql(x: String): String = {
+    val cases = Preprocess.nicknames
+      .map { case (canon, nick) => s"WHEN '$canon' THEN '$nick'" }
+      .mkString(" ")
+    s"CASE $x $cases ELSE $x END"
+  }
+
+  /** Fake-name null-out (reference "Pre-processing": fake names are nulled
+    * before blocking): a placeholder name carries no identifying evidence,
+    * so it routes comparisons to the null level (gamma -1, weight 0)
+    * instead of a heavy disagreement penalty.
+    */
+  private def nullPlaceholder(c: Column): Column =
+    when(c.isin(Preprocess.placeholderNames: _*), lit(null).cast("string"))
+      .otherwise(c)
+
   /** Messy input file: current addresses (plus the k%17 zip typo), noisy
     * names/DOB per the planted classes. Still carries housing_type for the
-    * probable-GQ aggregation.
+    * probable-GQ aggregation. Two classes exercise the reference's
+    * preprocessing wiring (both avoid every other class, moved households,
+    * and for F also zip typos/GQ, so exactly one mechanism recovers each):
+    *  - k%37 (F): both names are the placeholder "UNKNOWN" and DOB
+    *    day+month are bumped. Without fake-name null-out the name
+    *    disagreement drags the p1 weight to ~7.9 < 9 (lost); with the
+    *    null-out both name comparisons sit at the null level and p1 links
+    *    at ~13.8.
+    *  - k%41 (K): the first name arrives as a NICKNAME of the canonical
+    *    (BILL for WILLIAM) and the census address is stale, so no address
+    *    pass blocks and no phonetic/prefix key of the nickname matches.
+    *    Only the nickname-expanded alternate row (canonical first name)
+    *    can block in p4_name_yob.
     */
-  private def inputPre(s: SparkSession, d: String): DataFrame = {
-    val p = People.persons(s, d)
+  /** Persons + the class-membership flags, computed ONCE each. The big
+    * CASE projections in [[inputPre]]/[[censusPre]] reference the boolean
+    * ATTRIBUTES: inlining the pmod-trees into every branch of every output
+    * column (7 classes × 6 columns, on top of the persons synthesis and
+    * the regex-heavy mangle/standardize expressions in ONE fused
+    * whole-stage) blew the generated processNext() past Janino's 64 KB
+    * method limit — codegen failed, the entire synthetic-side build fell
+    * back to interpreted evaluation, and every warmup action re-attempted
+    * (and re-failed) the multi-second compile. sides() CACHES this frame so
+    * the downstream projections sit directly on a row-producing scan,
+    * where Spark's expression method-splitting works (after any fused
+    * projection, values live in codegen locals and splitting is disabled).
+    */
+  private def flaggedPersons(s: SparkSession, d: String): DataFrame = {
     val k = col("k")
-    val isN = pmod(k, lit(29)) === 0
-    val isV = pmod(k, lit(19)) === 0 && !isN
+    val isN0 = pmod(k, lit(29)) === 0
+    val isV0 = pmod(k, lit(19)) === 0 && !isN0
     val hhm = People.householdMoved(col("hh"))
-    val isHa = hhm && pmod(k, lit(4)) === 1 && !isN && !isV
-    val isHb = hhm && pmod(k, lit(4)) === 2 && !isN && !isV
-    val isSw = pmod(k, lit(23)) === 0 && !isN && !isV &&
+    val isF0 = pmod(k, lit(37)) === 0 && !isN0 && !isV0 && !hhm &&
+      pmod(k, lit(23)) =!= 0 && pmod(k, lit(17)) =!= 0 && pmod(k, lit(200)) >= 20
+    val isK0 = pmod(k, lit(41)) === 0 && !isN0 && !isV0 && !hhm &&
+      pmod(k, lit(23)) =!= 0 && pmod(k, lit(37)) =!= 0 &&
+      col("first_name").isin(nickCanonicals: _*)
+    val isHa0 = hhm && pmod(k, lit(4)) === 1 && !isN0 && !isV0
+    val isHb0 = hhm && pmod(k, lit(4)) === 2 && !isN0 && !isV0
+    val isSw0 = pmod(k, lit(23)) === 0 && !isN0 && !isV0 &&
       !(hhm && (pmod(k, lit(4)) === 1 || pmod(k, lit(4)) === 2))
-    val pre = p.select(
+    // Census staleness: moved households, the N/V classes, and class K
+    // (nickname records are stale so no address pass can recover them).
+    val stale0 = hhm || isN0 || pmod(k, lit(19)) === 0 || isK0
+    People.persons(s, d).select(col("*"),
+      isN0.as("is_n"), isV0.as("is_v"), isF0.as("is_f"), isK0.as("is_k"),
+      isHa0.as("is_ha"), isHb0.as("is_hb"), isSw0.as("is_sw"),
+      stale0.as("is_stale"))
+  }
+
+  private def inputPre(flagged: DataFrame): DataFrame = {
+    val k = col("k")
+    val isN = col("is_n"); val isV = col("is_v"); val isF = col("is_f")
+    val isK = col("is_k"); val isHa = col("is_ha"); val isHb = col("is_hb")
+    val isSw = col("is_sw")
+    val pre = flagged.select(
       k.as("rec_id"),
       when(isN, vowelMangle(col("first_name")))
         .when(isV, letterMangle(col("first_name")))
+        .when(isF, lit("UNKNOWN"))
+        .when(isK, nickOf(col("first_name")))
         .when(isHa, col("first_name"))
         .when(isHb, substring(col("first_name"), 2, Int.MaxValue))
         .when(isSw, col("messy_last"))
         .otherwise(col("messy_first")).as("first_name"),
       when(isN, vowelMangle(col("last_name")))
         .when(isV, letterMangle(col("last_name")))
-        .when(isHa || isHb, col("last_name"))
+        .when(isF, lit("UNKNOWN"))
+        .when(isK || isHa || isHb, col("last_name"))
         .when(isSw, col("messy_first"))
         .otherwise(col("messy_last")).as("last_name"),
       col("middle_initial"),
       when(isHa, col("dob_year") + 1).otherwise(col("dob_year"))
         .cast("int").as("dob_year"),
-      when(isHa || isHb || isSw, pmod(col("dob_month"), lit(12)) + 1)
+      when(isHa || isHb || isSw || isF, pmod(col("dob_month"), lit(12)) + 1)
         .otherwise(col("dob_month")).cast("int").as("dob_month"),
-      when(isHb || isSw, pmod(col("dob_day"), lit(28)) + 1)
-        .when(isN || isV || isHa, col("dob_day"))
+      when(isHb || isSw || isF, pmod(col("dob_day"), lit(28)) + 1)
+        .when(isN || isV || isHa || isK, col("dob_day"))
         .when(pmod(k, lit(13)) === 0, pmod(col("dob_day"), lit(28)) + 1)
         .otherwise(col("dob_day")).cast("int").as("dob_day"),
       col("street_num"),
@@ -247,17 +383,21 @@ object LinkageQueries {
         concat(substring(col("zipcode"), 1, 3), lit("99")))
         .otherwise(col("zipcode")).as("zipcode"),
       col("housing_type"))
+    // Fake-name null-out runs FIRST among the preprocessing steps (a
+    // placeholder is not a name, so it must not feed nickname expansion or
+    // any derived key).
     pre
+      .withColumn("first_name", nullPlaceholder(col("first_name")))
+      .withColumn("last_name", nullPlaceholder(col("last_name")))
   }
 
   /** Clean reference file (80% coverage): names exact; the address is the
     * household's PREVIOUS one for moved households and for the N/V classes
     * (stale admin data).
     */
-  private def censusPre(s: SparkSession, d: String): DataFrame = {
-    val p = People.persons(s, d).filter(pmod(col("k"), lit(5)) =!= 4)
-    val stale = People.householdMoved(col("hh")) ||
-      pmod(col("k"), lit(29)) === 0 || pmod(col("k"), lit(19)) === 0
+  private def censusPre(flagged: DataFrame): DataFrame = {
+    val p = flagged.filter(pmod(col("k"), lit(5)) =!= 4)
+    val stale = col("is_stale")
     val pre = p.select(
       col("k").as("pik"),
       col("first_name"), col("last_name"), col("middle_initial"),
@@ -311,13 +451,35 @@ object LinkageQueries {
         // resulting mega-expression dominates the derivation cost. The
         // oracle mirrors this with its MATERIALIZED input_pre/census_pre
         // CTEs; at 100 TB these would be persisted intermediate tables.
-        val ipre = inputPre(s, d).cache()
+        // flaggedPersons is cached FIRST so each heavyweight projection
+        // (inputPre's class CASEs, censusPre's stale switches, derive's
+        // phonetics) compiles as its own stage directly over a scan — the
+        // shape whole-stage codegen can method-split (see flaggedPersons).
+        val praw = flaggedPersons(s, d).cache()
+        val ipre = inputPre(praw).cache()
         val ib = derive(ipre).cache()
+        // GQ detection runs on the PRE-expansion frame (one row per input
+        // record — alternate rows must not double-count people at a geokey).
         val gq = probableGq(ib).cache()
-        val cpre = censusPre(s, d).cache()
-        val in = finish(ib, gq, "rec_id").cache()
+        // Nickname expansion (reference "Pre-processing": nickname
+        // standardization adds alternate-name rows): every record whose
+        // first name appears as a nickname gains an extra row carrying the
+        // canonical name, with the first-name-derived keys RECOMPUTED from
+        // it. Address-derived columns are reused — the expensive
+        // standardization/geokey work runs once per record, not per
+        // variant. The nickname table is broadcast (tiny dim).
+        val nickDim = broadcast(
+          s.createDataFrame(Preprocess.nicknames).toDF("canonical", "nickname"))
+        val alt = deriveFirst(
+          ib.join(nickDim, ib("first_name") === nickDim("nickname"))
+            .drop("first_name", "nickname")
+            .withColumnRenamed("canonical", "first_name"))
+          .select(ib.columns.map(col): _*)
+        val ibx = ib.unionByName(alt)
+        val cpre = censusPre(praw).cache()
+        val in = finish(ibx, gq, "rec_id").cache()
         val cen = finish(derive(cpre), gq, "pik").cache()
-        val entry = (cen, in, Seq(ipre, ib, gq, cpre, in, cen))
+        val entry = (cen, in, Seq(praw, ipre, ib, gq, cpre, in, cen))
         sideFrames.put(key, entry)
         entry
       })
@@ -328,6 +490,14 @@ object LinkageQueries {
 
   def census(s: SparkSession, d: String): DataFrame = sides(s, d)._1
 
+  /** Forces the memoized side frames into the cache (Bench warmup): the
+    * one-time derivation cost stops landing on whichever linkage query
+    * happens to run first.
+    */
+  def warm(s: SparkSession, d: String): Unit = {
+    census(s, d).count(); input(s, d).count(); ()
+  }
+
   // ---- SQL mirrors of the sides ------------------------------------------
 
   import Preprocess.{geokeySql, standardizeAddressPartSql => stdSql}
@@ -336,30 +506,48 @@ object LinkageQueries {
   private val nSql = "(k % 29 = 0)"
   private val vSql = "(k % 19 = 0 AND k % 29 <> 0)"
   private val notNV = "k % 29 <> 0 AND k % 19 <> 0"
+  private val nickCanonList = nickCanonicals.map(n => s"'$n'").mkString(", ")
+  private val fSql =
+    s"(k % 37 = 0 AND $notNV AND NOT $hhmSql AND k % 23 <> 0 AND k % 17 <> 0 AND k % 200 >= 20)"
+  private val kSql =
+    s"(k % 41 = 0 AND $notNV AND NOT $hhmSql AND k % 23 <> 0 AND k % 37 <> 0 AND first_name IN ($nickCanonList))"
   private val haSql = s"($hhmSql AND k % 4 = 1 AND $notNV)"
   private val hbSql = s"($hhmSql AND k % 4 = 2 AND $notNV)"
   private val swSql =
     s"(k % 23 = 0 AND $notNV AND NOT ($hhmSql AND (k % 4 = 1 OR k % 4 = 2)))"
 
+  private def nullPlaceholderSql(x: String): String =
+    s"CASE WHEN $x IN (${Preprocess.placeholderNamesSqlList}) THEN NULL ELSE $x END"
+
   private val inputPreCte: String =
     s"""input_pre AS MATERIALIZED (
+       |  SELECT rec_id,
+       |         ${nullPlaceholderSql("first_name")} AS first_name,
+       |         ${nullPlaceholderSql("last_name")} AS last_name,
+       |         middle_initial, dob_year, dob_month, dob_day,
+       |         street_num, street_std, unit_std, city, state, zipcode,
+       |         housing_type
+       |  FROM (
        |  SELECT k AS rec_id,
        |         CASE WHEN $nSql THEN ${vowelMangleSql("first_name")}
        |              WHEN $vSql THEN ${letterMangleSql("first_name")}
+       |              WHEN $fSql THEN 'UNKNOWN'
+       |              WHEN $kSql THEN ${nickOfSql("first_name")}
        |              WHEN $haSql THEN first_name
        |              WHEN $hbSql THEN substr(first_name, 2)
        |              WHEN $swSql THEN messy_last
        |              ELSE messy_first END AS first_name,
        |         CASE WHEN $nSql THEN ${vowelMangleSql("last_name")}
        |              WHEN $vSql THEN ${letterMangleSql("last_name")}
-       |              WHEN $haSql OR $hbSql THEN last_name
+       |              WHEN $fSql THEN 'UNKNOWN'
+       |              WHEN $kSql OR $haSql OR $hbSql THEN last_name
        |              WHEN $swSql THEN messy_first
        |              ELSE messy_last END AS last_name,
        |         middle_initial,
        |         CAST(CASE WHEN $haSql THEN dob_year + 1 ELSE dob_year END AS INTEGER) AS dob_year,
-       |         CAST(CASE WHEN $haSql OR $hbSql OR $swSql THEN dob_month % 12 + 1 ELSE dob_month END AS INTEGER) AS dob_month,
-       |         CAST(CASE WHEN $hbSql OR $swSql THEN dob_day % 28 + 1
-       |              WHEN $nSql OR $vSql OR $haSql THEN dob_day
+       |         CAST(CASE WHEN $haSql OR $hbSql OR $swSql OR $fSql THEN dob_month % 12 + 1 ELSE dob_month END AS INTEGER) AS dob_month,
+       |         CAST(CASE WHEN $hbSql OR $swSql OR $fSql THEN dob_day % 28 + 1
+       |              WHEN $nSql OR $vSql OR $haSql OR $kSql THEN dob_day
        |              WHEN k % 13 = 0 THEN dob_day % 28 + 1
        |              ELSE dob_day END AS INTEGER) AS dob_day,
        |         street_num,
@@ -368,9 +556,9 @@ object LinkageQueries {
        |         city, state,
        |         CASE WHEN k % 17 = 0 THEN substr(zipcode, 1, 3) || '99' ELSE zipcode END AS zipcode,
        |         housing_type
-       |  FROM persons)""".stripMargin
+       |  FROM persons) raw)""".stripMargin
 
-  private val censusStaleSql = s"($hhmSql OR k % 29 = 0 OR k % 19 = 0)"
+  private val censusStaleSql = s"($hhmSql OR k % 29 = 0 OR k % 19 = 0 OR $kSql)"
 
   private val censusPreCte: String =
     s"""census_pre AS MATERIALIZED (
@@ -395,6 +583,8 @@ object LinkageQueries {
        |         substr(last_name, 1, 2) AS ln2,
        |         substr(first_name, 1, 15) AS fn15,
        |         substr(last_name, 1, 12) AS ln12,
+       |         substr(first_name, 1, 12) AS fn12,
+       |         substr(last_name, 1, 15) AS ln15,
        |         ${Phonetics.nysKeySql("first_name")} AS nys_first,
        |         ${Phonetics.nysKeySql("last_name")} AS nys_last,
        |         ${Phonetics.rsdxSql("first_name")} AS rsdx_first,
@@ -402,8 +592,56 @@ object LinkageQueries {
        |         ${Phonetics.sdxSql("street_std")} AS sdx_street,
        |         ${geokeySql(Seq("street_num", "street_std", "unit_std", "city", "state", "zipcode"))} AS geokey$extra""".stripMargin
 
-  private val sharedBaseCols =
-    "first_name, last_name, middle_initial, dob_year, dob_month, dob_day, zipcode, street_num"
+  private val baseColsSeq = Seq(
+    "first_name", "last_name", "middle_initial",
+    "dob_year", "dob_month", "dob_day", "zipcode", "street_num")
+
+  private val sharedBaseCols = baseColsSeq.mkString(", ")
+
+  /** Column set of input_base (mirror of what derive() leaves in scope). */
+  private val derivedColsSeq = Seq(
+    "zip3", "fn1", "fn2", "ln1", "ln2", "fn15", "ln12", "fn12", "ln15",
+    "nys_first", "nys_last", "rsdx_first", "rsdx_last", "sdx_street", "geokey")
+
+  /** The first-name-derived columns an alternate row recomputes (mirror of
+    * [[deriveFirst]]).
+    */
+  private val firstDerivedSql: Map[String, String] = Map(
+    "fn1" -> "substr(first_name, 1, 1)",
+    "fn2" -> "substr(first_name, 1, 2)",
+    "fn15" -> "substr(first_name, 1, 15)",
+    "fn12" -> "substr(first_name, 1, 12)",
+    "nys_first" -> Phonetics.nysKeySql("first_name"),
+    "rsdx_first" -> Phonetics.rsdxSql("first_name"))
+
+  private val inputExpCols: Seq[String] =
+    ("rec_id" +: baseColsSeq) ++ derivedColsSeq :+ "housing_type"
+
+  /** Mirror of the nickname expansion in [[sides]]: orig rows ∪ alternate
+    * rows with the canonical first name and recomputed first-name keys.
+    */
+  private val inputExpCte: String = {
+    val origBranch = inputExpCols.mkString(", ")
+    val altOuter = inputExpCols
+      .map(c => firstDerivedSql.get(c).map(e => s"$e AS $c").getOrElse(c))
+      .mkString(",\n         ")
+    val altInner = inputExpCols.filterNot(firstDerivedSql.contains)
+      .map {
+        case "first_name" => "n.canonical AS first_name"
+        case c            => s"b.$c"
+      }
+      .mkString(", ")
+    val nickValues = Preprocess.nicknames
+      .map { case (c, n) => s"('$c', '$n')" }
+      .mkString(", ")
+    s"""nick AS (SELECT * FROM (VALUES $nickValues) t(canonical, nickname)),
+       |input_exp AS MATERIALIZED (
+       |  SELECT $origBranch FROM input_base
+       |  UNION ALL
+       |  SELECT $altOuter
+       |  FROM (SELECT $altInner
+       |        FROM input_base b JOIN nick n ON b.first_name = n.nickname) a)""".stripMargin
+  }
 
   private val inputBaseCte: String =
     s"""input_base AS MATERIALIZED (
@@ -436,11 +674,11 @@ object LinkageQueries {
        |  FROM $baseRel b LEFT JOIN gq g ON b.geokey = g.geokey""".stripMargin
   }
 
-  private val inputCte: String = s"input AS MATERIALIZED (\n${finishSql("rec_id", "input_base")})"
+  private val inputCte: String = s"input AS MATERIALIZED (\n${finishSql("rec_id", "input_exp")})"
   private val censusCte: String = s"census AS MATERIALIZED (\n${finishSql("pik", "census_base")})"
 
   private val base =
-    s"WITH ${People.personsCte},\n$inputPreCte,\n$censusPreCte,\n$inputBaseCte,\n$censusBaseCte,\n$gqCte,\n$inputCte,\n$censusCte"
+    s"WITH ${People.personsCte},\n$inputPreCte,\n$censusPreCte,\n$inputBaseCte,\n$censusBaseCte,\n$inputExpCte,\n$gqCte,\n$inputCte,\n$censusCte"
 
   // ---- SQL fragments generated from the config ---------------------------
 
@@ -468,7 +706,9 @@ object LinkageQueries {
       censusRel: String = "census"): String = {
     val cmps = pass.comparisonsFor(config)
     val gsel = cmps
-      .map(c => s"${FellegiSunter.gammaSql(c, "c", "i")} AS ${c.gammaName}")
+      .map(c => pass.constGammas.get(c.name)
+        .map(g => s"$g AS ${c.gammaName}")
+        .getOrElse(s"${FellegiSunter.gammaSql(c, "c", "i")} AS ${c.gammaName}"))
       .mkString(",\n         ")
     val weight =
       if (pass.weightOffset == 0.0) FellegiSunter.matchWeightSql(cmps)
@@ -481,15 +721,15 @@ object LinkageQueries {
        |  SELECT pik, rec_id, $weight AS match_weight
        |  FROM cand_$tag),
        |best_$tag AS MATERIALIZED (
-       |  SELECT pik, rec_id, match_weight FROM (
-       |    SELECT *, COUNT(*) OVER (PARTITION BY rec_id) AS n_top FROM (
+       |  SELECT DISTINCT pik, rec_id, match_weight FROM (
+       |    SELECT *, COUNT(DISTINCT pik) OVER (PARTITION BY rec_id) AS n_piks FROM (
        |      SELECT * FROM (
        |        SELECT pik, rec_id, match_weight,
        |               MAX(match_weight) OVER (PARTITION BY rec_id) AS w_max
        |        FROM scored_$tag
        |        WHERE match_weight >= ${config.thresholdWeight}) t1
        |      WHERE match_weight = w_max) t2) t3
-       |  WHERE n_top = 1)""".stripMargin
+       |  WHERE n_piks = 1)""".stripMargin
   }
 
   private val allPasses: Seq[BlockingPass] = passes ++ hhPasses
@@ -547,6 +787,29 @@ object LinkageQueries {
       .mkString("\nUNION ALL\n")
 
   private def cascadeSql: String = s"$cascadeCtes\n$cascadeUnions"
+
+  /** Notebook-04 surface: PIK rate + link counts per pass and overall. */
+  private def pikRateSql: String = {
+    val links = allPasses.zipWithIndex
+      .map { case (p, idx) => s"SELECT pik, rec_id, '${p.name}' AS pass FROM best_p${idx + 1}" }
+      .mkString("\n  UNION ALL\n  ")
+    s"""$cascadeCtes,
+       |links AS (
+       |  $links),
+       |per AS (
+       |  SELECT pass, COUNT(*) AS n_piked,
+       |         CAST(SUM(CASE WHEN pik = rec_id THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+       |  FROM links GROUP BY pass
+       |  UNION ALL
+       |  SELECT 'all' AS pass, COUNT(*) AS n_piked,
+       |         CAST(SUM(CASE WHEN pik = rec_id THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+       |  FROM links),
+       |tot AS (SELECT CAST(COUNT(DISTINCT rec_id) AS BIGINT) AS n_records FROM input)
+       |SELECT pass, n_records, n_piked, n_correct,
+       |       round(CAST(n_piked AS DOUBLE) / CAST(n_records AS DOUBLE), 6) AS pik_rate,
+       |       round(CAST(n_correct AS DOUBLE) / CAST(n_piked AS DOUBLE), 6) AS precision_
+       |FROM per CROSS JOIN tot""".stripMargin
+  }
 
   /** Accuracy over the cascade links vs ground truth pik == rec_id. */
   private def accuracySql: String = {
@@ -679,15 +942,15 @@ object LinkageQueries {
     QueryDef(
       // EM is iterative driver-orchestrated training → rows-only oracle;
       // LinkageSpec asserts convergence properties instead. Two training
-      // blockings, like the reference (first_name+zipcode, geokey): each
-      // blocking only assumes ITS keys agree among matches.
+      // blockings, like the reference (first_name+zipcode, geokey); each
+      // session excludes the comparisons its blocking conditions on
+      // (emExclusions), so no session estimates a comparison over a
+      // population its own blocking made degenerate.
       "q31_em_training",
       (s, d) => {
         reg(s)
         val result = LinkageCascade.emTrainMMulti(
-          census(s, d), input(s, d),
-          Seq(blockPass, BlockingPass("em_name_yob", Seq("fn2", "dob_year"))),
-          config)
+          census(s, d), input(s, d), emPasses, config)
         s.createDataFrame(result.map { case (c, g, m) => (c, g, BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) })
           .toDF("comparison", "gamma", "m_hat")
       }
@@ -744,16 +1007,15 @@ object LinkageQueries {
     ),
     QueryDef(
       // Pseudo-households approximate household clustering from the
-      // blocking geokey (reference cell 128). The global row_number id is
-      // fine for a result this size; at 100 TB DfOps.addUniqueIdFast is
-      // the documented scalable id assignment.
+      // blocking geokey (reference cell 128). Ids are contiguous in
+      // geokey_blk order via range-partitioned numbering + offsets
+      // (DfOps.addContiguousId) — no single-partition global window.
       "q35_pseudo_household",
       (s, d) => {
         val members = input(s, d).filter(col("geokey_blk").isNotNull)
           .groupBy("geokey_blk").agg(count(lit(1)).as("n_members"))
-        members.withColumn("pseudo_household_id",
-            row_number().over(org.apache.spark.sql.expressions.Window.orderBy("geokey_blk"))
-              .cast("long"))
+        graft.ops.DfOps.addContiguousId(members, "geokey_blk", "pseudo_household_id")
+          .withColumn("pseudo_household_id", col("pseudo_household_id") + 1L)
           .select("pseudo_household_id", "geokey_blk", "n_members")
       },
       Some(s"""$base
@@ -811,6 +1073,32 @@ object LinkageQueries {
               |       CAST($countCensusSql AS BIGINT) AS n_census,
               |       round(${LinkageCascade.lambdaSql(countInputSql, countCensusSql)}, 12) AS lambda_
               |FROM (SELECT 1) one""".stripMargin)
+    ),
+    QueryDef(
+      // Notebook 04's accuracy surface (reference
+      // 04_calculate_ground_truth_accuracy.ipynb): PIK rate — how many
+      // input RECORDS received a PIK (distinct rec_id; nickname expansion
+      // means rows > records) — alongside correctness, overall ('all') and
+      // per cascade pass. The single-row totals frame is an intended
+      // broadcast cross join (PlanSpec whitelist).
+      "q39_pik_rate",
+      (s, d) => {
+        reg(s)
+        val links = cascadeLinks(s, d)
+        def correct = sum(when(col("pik") === col("rec_id"), 1L).otherwise(0L)).as("n_correct")
+        val byPass = links.groupBy("pass").agg(count(lit(1)).as("n_piked"), correct)
+        val total = links.agg(count(lit(1)).as("n_piked"), correct)
+          .select(lit("all").as("pass"), col("n_piked"), col("n_correct"))
+        val nRec = input(s, d).agg(countDistinct("rec_id").as("n_records"))
+        byPass.unionByName(total)
+          .crossJoin(nRec)
+          .select(col("pass"), col("n_records"), col("n_piked"), col("n_correct"),
+            round(col("n_piked").cast("double") / col("n_records").cast("double"), 6)
+              .as("pik_rate"),
+            round(col("n_correct").cast("double") / col("n_piked").cast("double"), 6)
+              .as("precision_"))
+      },
+      Some(pikRateSql)
     )
   )
 }

@@ -47,6 +47,21 @@ class DfOpsSpec extends SparkTestBase {
     assert(fast.toSet.size == fast.length)
   }
 
+  test("addContiguousId matches the global row_number ids without a global window") {
+    val df = Tables.part(spark, sfDir)
+    val slow = DfOps.addUniqueIdCol(df, Seq(col("p_partkey")))
+      .select(col("p_partkey"), col("unique_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1).toLong)).toMap
+    val fast = DfOps.addContiguousId(df, "p_partkey")
+      .select(col("p_partkey"), col("unique_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fast == slow, "range-partitioned ids diverge from global row_number")
+    val plan = DfOps.addContiguousId(df, "p_partkey")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"addContiguousId still plans a single-partition exchange:\n$plan")
+  }
+
   test("valueCounts orders by count desc") {
     val vc = DfOps.valueCounts(Tables.events(spark, sfDir), Seq("event_type")).collect()
     val counts = vc.map(_.getLong(1))

@@ -23,22 +23,24 @@ object EmProbe {
     val census = LinkageQueries.census(spark, dir).cache()
     val input = LinkageQueries.input(spark, dir).cache()
 
-    val pass = LinkageQueries.blockPass
-    val pairsDf = LinkageCascade.pairs(census, input, pass)
-    val cv = cfg.comparisons.foldLeft(pairsDf) { (df, c) =>
-      df.withColumn(c.gammaName, FellegiSunter.gammaCol(c))
-    }.withColumn("is_match", (col("l_pik") === col("r_rec_id")).cast("int"))
-      .cache()
-
-    println(s"pairs: ${cv.count()}, true matches: ${cv.filter(col("is_match") === 1).count()}")
-    for (c <- cfg.comparisons) {
-      println(s"-- ${c.name} gamma distribution (by is_match):")
-      cv.groupBy("is_match", c.gammaName).count()
-        .orderBy("is_match", c.gammaName).collect()
-        .foreach(r => println(s"   match=${r.get(0)} gamma=${r.get(1)} n=${r.get(2)}"))
+    for (pass <- LinkageQueries.emPasses) {
+      println(s"== session ${pass.name} (keys=${pass.keys}, excludes=${pass.excludeComparisons})")
+      val cmps = pass.comparisonsFor(cfg)
+      val cv = cmps.foldLeft(LinkageCascade.pairs(census, input, pass)) { (df, c) =>
+        df.withColumn(c.gammaName, FellegiSunter.gammaCol(c))
+      }.withColumn("is_match", (col("l_pik") === col("r_rec_id")).cast("int"))
+        .cache()
+      println(s"pairs: ${cv.count()}, true matches: ${cv.filter(col("is_match") === 1).count()}")
+      for (c <- cmps) {
+        println(s"-- ${c.name} gamma distribution (by is_match):")
+        cv.groupBy("is_match", c.gammaName).count()
+          .orderBy("is_match", c.gammaName).collect()
+          .foreach(r => println(s"   match=${r.get(0)} gamma=${r.get(1)} n=${r.get(2)}"))
+      }
+      cv.unpersist()
     }
 
-    val m = LinkageCascade.emTrainM(census, input, pass, cfg, iterations = 3)
+    val m = LinkageCascade.emTrainMMulti(census, input, LinkageQueries.emPasses, cfg, iterations = 3)
     m.foreach { case (n, g, v) => println(f"m[$n%8s][$g%2d] = $v%.4f") }
     spark.stop()
   }

@@ -41,15 +41,40 @@ class LinkageSpec extends SparkTestBase {
 
   test("EM m-probabilities sum to 1 per comparison and find strong agreement") {
     GraftFunctions.register(spark)
-    val m = LinkageCascade.emTrainM(census, input, LinkageQueries.blockPass, cfg, iterations = 3)
+    // Train the NON-DEGENERATE sessions q31 uses: each pass excludes the
+    // comparisons its blocking conditions on (em_zip3 excludes geo;
+    // em_name_yob excludes first/byear) — see Cascade.emTrainMMulti's
+    // degenerate-mode doc.
+    val m = LinkageCascade.emTrainMMulti(census, input, LinkageQueries.emPasses, cfg, iterations = 3)
     val byComp = m.groupBy(_._1)
     byComp.foreach { case (name, rows) =>
       val total = rows.map(_._3).sum
       assert(math.abs(total - 1.0) < 1e-6, s"$name m sums to $total")
     }
-    // Matches agree on first name far more often than chance.
-    val firstTop = m.find(t => t._1 == "first" && t._2 == 2).get._3
-    assert(firstTop > 0.5, s"EM top-level m for first_name: $firstTop")
+    // Matches agree on first name far more often than chance: the planted
+    // messy-name rate leaves ~1/4 of matches with the EXACT first name
+    // (typo classes k%4∈{0,1,2} break exactness but stay inside the JW
+    // level), so exact+JW must dominate and the disagree level must be
+    // small.
+    def mOf(name: String, g: Int) = m.find(t => t._1 == name && t._2 == g).get._3
+    val firstAgree = mOf("first", 2) + mOf("first", 1)
+    assert(firstAgree > 0.7, s"EM agree-mass for first_name: $firstAgree")
+    assert(mOf("first", 2) > 0.15, s"EM exact-level m for first_name: ${mOf("first", 2)}")
+    // byear comes only from the session NOT blocked on dob_year, where
+    // matches agree exactly almost always.
+    assert(mOf("byear", 2) > 0.7, s"EM exact-level m for byear: ${mOf("byear", 2)}")
+  }
+
+  test("bestLink keeps same-pik ties and drops only multi-pik ties") {
+    import spark.implicits._
+    val scored = Seq(
+      (10L, 1L, 12.0), (10L, 1L, 12.0),           // same pik twice at top → keep one row
+      (20L, 2L, 11.0), (21L, 2L, 11.0),           // two DISTINCT piks tied → drop rec 2
+      (30L, 3L, 9.5), (31L, 3L, 8.0)              // clear winner → keep
+    ).toDF("pik", "rec_id", "match_weight")
+    val best = LinkageCascade.bestLink(scored).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(best == Set((10L, 1L), (30L, 3L)), s"unexpected bestLink result: $best")
   }
 
   test("u estimates sum to 1 per comparison") {
@@ -115,6 +140,57 @@ class LinkageSpec extends SparkTestBase {
       val hhId = if (rec % 200 < 20) rec - rec % 200 else rec - rec % 4
       assert(hhId % 13 == 0 && hhId % 200 != 0, s"hhcomp linked non-mover $rec (hh $hhId)")
     }
+  }
+
+  private def hhOf(k: Long): Long = if (k % 200 < 20) k - k % 200 else k - k % 4
+  private def movedHh(k: Long): Boolean = {
+    val hh = hhOf(k); hh % 13 == 0 && hh % 200 != 0
+  }
+  private def firstNameOf(k: Long): String =
+    graft.queries.People.firstNames((((k * 7919) % 104729) % 20).toInt)
+
+  /** Class-F membership (placeholder names; mirror of inputPre's isF). */
+  private def isFRec(k: Long): Boolean =
+    k % 37 == 0 && k % 29 != 0 && k % 19 != 0 && !movedHh(k) &&
+      k % 23 != 0 && k % 17 != 0 && k % 200 >= 20
+
+  /** Class-K membership (nickname first name; mirror of inputPre's isK). */
+  private def isKRec(k: Long): Boolean =
+    k % 41 == 0 && k % 29 != 0 && k % 19 != 0 && !movedHh(k) &&
+      k % 23 != 0 && k % 37 != 0 &&
+      graft.operators.Preprocess.nicknames.exists(_._1 == firstNameOf(k))
+
+  test("fake-name null-out rescues placeholder-named records in the geokey pass") {
+    val f = cascade.filter(t => isFRec(t._2))
+    assert(f.nonEmpty, "no class-F records recovered")
+    f.foreach { case (pik, rec, pass) =>
+      assert(pik == rec, s"F mislink $pik -> $rec")
+      assert(pass == "p1_geokey", s"F recovered by unexpected pass $pass for $rec")
+    }
+    // Completeness: every census-covered class-F record links (without the
+    // null-out, UNKNOWN-vs-real-name disagreement keeps the p1 weight
+    // below threshold and the class would be lost).
+    val expected = census.select("pik").collect().map(_.getLong(0)).filter(isFRec).toSet
+    assert(f.map(_._2).toSet == expected,
+      s"class-F coverage: got ${f.size}, expected ${expected.size}")
+  }
+
+  test("nickname expansion rescues nickname-named records in the name+yob pass") {
+    val kLinks = cascade.filter(t => isKRec(t._2))
+    assert(kLinks.nonEmpty, "no class-K records recovered")
+    kLinks.foreach { case (pik, rec, pass) =>
+      assert(pik == rec, s"K mislink $pik -> $rec")
+      assert(pass == "p4_name_yob", s"K recovered by unexpected pass $pass for $rec")
+    }
+    // No address pass can block class K (stale census address), and no
+    // phonetic/prefix key of the raw nickname matches the canonical name —
+    // only the expanded alternate row blocks.
+    val early = cascade.filter(t => isKRec(t._2) &&
+      Set("p1_geokey", "p2_geokey_switch", "p3_street_sdx").contains(t._3))
+    assert(early.isEmpty, s"class-K recovered before expansion could matter: ${early.toSeq}")
+    val expected = census.select("pik").collect().map(_.getLong(0)).filter(isKRec).toSet
+    assert(kLinks.map(_._2).toSet == expected,
+      s"class-K coverage: got ${kLinks.size}, expected ${expected.size}")
   }
 
   test("GQ records never enter address-blocked passes") {

@@ -113,4 +113,19 @@ class PipelineQueriesSpec extends SparkTestBase {
       .collect()
     joined.foreach(r => assert(r.getLong(1) == r.getLong(2), s"byte count mismatch: $r"))
   }
+
+  test("multimodal batch decode equals per-record decode across batch sizes") {
+    import graft.operators.Multimodal
+    val docs = Tables.documents(spark, sfDir).limit(100)
+    val perRecord = Multimodal.mediaRecords(spark, docs).collect()
+      .map(Multimodal.decodeStub).map(f => (f.doc_id, f.feat_sum)).toMap
+    // Batch sizes that exercise: partial final batch, batch of 1, batch
+    // larger than any partition.
+    Seq(1, 7, 1000).foreach { bs =>
+      val batched = Multimodal.extractFeatures(spark, docs, partitions = 4, batchSize = bs)
+        .select("doc_id", "feat_sum").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(batched == perRecord, s"batchSize=$bs diverged from per-record decode")
+    }
+  }
 }

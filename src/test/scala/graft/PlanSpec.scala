@@ -49,13 +49,22 @@ class PlanSpec extends SparkTestBase {
     GraftFunctions.register(spark)
     // q30 samples both sides then cross-joins (intended); q44 is the
     // brute-force KNN baseline against a broadcast query set (intended);
-    // q33/q53 cross-join a single-row totals frame (intended).
+    // q33/q39/q53 cross-join a single-row totals frame (intended).
     val intendedCross = Set(
-      "q30_u_estimation", "q44_cosine_knn", "q33_accuracy_eval", "q53_tfidf")
+      "q30_u_estimation", "q44_cosine_knn", "q33_accuracy_eval",
+      "q39_pik_rate", "q53_tfidf")
     SparkEntry.queries.keys.filterNot(intendedCross).foreach { name =>
       val p = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoop"), s"$name plans a BNLJ")
+    }
+  }
+
+  test("id assignment never plans a single-partition window exchange") {
+    Seq("q08_add_unique_id", "q35_pseudo_household").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("SinglePartition"),
+        s"$name funnels the table through one partition:\n$p")
     }
   }
 
