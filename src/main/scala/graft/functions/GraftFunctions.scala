@@ -19,6 +19,9 @@ object GraftFunctions {
   val expressions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "jaro_winkler" -> (es => JaroWinklerSimilarity(es(0), es(1))),
     "nysiis" -> (es => Nysiis(es.head)),
+    "sdx_key" -> (es => SdxKey(es.head)),
+    "reverse_sdx_key" -> (es => ReverseSdxKey(es.head)),
+    "nys_key" -> (es => NysKey(es.head)),
     "vec_dot_decimal" -> (es => VectorDotDecimal(es(0), es(1))),
     "vec_dot" -> (es => VectorDotDouble(es(0), es(1))),
     "topk_by_score" -> (es => {

@@ -137,10 +137,29 @@ object Phonetics {
 
   // ---- convenience single-dialect views -----------------------------------
 
-  def sdx(c: Column): Column = sdxD(Dual(c, "?")).col
+  /** Spark-side keys are the compact codegen'd expressions
+    * ([[PhoneticsImpl]]) — semantically identical to the chains (asserted
+    * by PhoneticsEquivSpec), but a few generated lines instead of ~50
+    * inline regex ops each, so derive()-style projections that compute 5
+    * keys per record stay inside whole-stage codegen (the chain variant
+    * blew Janino's 64 KB method limit and silently fell back to
+    * interpreted evaluation). SQL views still render the chains — that is
+    * what DuckDB executes, and the hash gate keeps the two in lockstep.
+    */
+  private def toCol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(e)
+  private def toExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.GraftColumnBridge.expression(c)
+
+  def sdx(c: Column): Column = toCol(SdxKey(toExpr(c)))
   def sdxSql(e: String): String = sdxD(Dual(lit(""), e)).sql
-  def rsdx(c: Column): Column = rsdxD(Dual(c, "?")).col
+  def rsdx(c: Column): Column = toCol(ReverseSdxKey(toExpr(c)))
   def rsdxSql(e: String): String = rsdxD(Dual(lit(""), e)).sql
-  def nysKey(c: Column): Column = nysD(Dual(c, "?")).col
+  def nysKey(c: Column): Column = toCol(NysKey(toExpr(c)))
   def nysKeySql(e: String): String = nysD(Dual(lit(""), e)).sql
+
+  /** The chain-built Column variants, kept for the equivalence spec. */
+  def sdxChain(c: Column): Column = sdxD(Dual(c, "?")).col
+  def rsdxChain(c: Column): Column = rsdxD(Dual(c, "?")).col
+  def nysChain(c: Column): Column = nysD(Dual(c, "?")).col
 }
