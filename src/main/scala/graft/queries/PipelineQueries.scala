@@ -605,6 +605,98 @@ object PipelineQueries {
               |  GROUP BY a.vec_id, b.vec_id)
               |SELECT vec_a, vec_b, round(dot / (na * nb), 6) AS cos
               |FROM pairs WHERE dot / (na * nb) >= 0.9""".stripMargin)
+    ),
+    QueryDef(
+      // Benchmark decontamination: flag training docs sharing any 5-word
+      // shingle with the benchmark set (the standard n-gram-overlap test
+      // applied before training). Benchmark = doc_id%97 (a benchmark is a
+      // FIXED small corpus, so its distinct shingles broadcast — the scan
+      // side streams once, no shuffle of the corpus at 100 TB). A shared
+      // passage is planted on doc_id%13 so the operator has positives.
+      "q56_decontaminate",
+      (s, d) => {
+        val passage = " shared benchmark passage alpha beta gamma delta epsilon zeta"
+        val isBench = pmod(col("doc_id"), lit(97)) === 0
+        val planted = concat(col("text"),
+          when(isBench || pmod(col("doc_id"), lit(13)) === 0, lit(passage))
+            .otherwise(lit("")))
+        val sh = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.wordShingles(planted, 5).as("grams"))
+        val bench = sh.filter(isBench)
+          .select(explode(col("grams")).as("shingle")).distinct()
+        val hits = sh.filter(!isBench)
+          .select(col("doc_id"), explode(col("grams")).as("shingle"))
+          .join(broadcast(bench), Seq("shingle"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        sh.filter(!isBench)
+          .select(col("doc_id"), size(col("grams")).cast("long").as("n_shingles"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_shingles"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("n_hits"), lit(0L)) >= 1).as("contaminated"))
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |         text || CASE WHEN doc_id % 97 = 0 OR doc_id % 13 = 0
+             |                      THEN ' shared benchmark passage alpha beta gamma delta epsilon zeta'
+             |                      ELSE '' END AS text2
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |         list_distinct([array_to_string(w[i:i+4], ' ')
+             |                        FOR i IN range(1, greatest(len(w) - 4, 0) + 1)]) AS grams
+             |  FROM (SELECT doc_id, string_split(text2, ' ') AS w FROM planted)),
+             |bench AS (
+             |  SELECT DISTINCT g AS shingle
+             |  FROM (SELECT unnest(grams) AS g FROM sh WHERE doc_id % 97 = 0)),
+             |hits AS (
+             |  SELECT doc_id, COUNT(*) AS n_hits
+             |  FROM (SELECT doc_id, unnest(grams) AS shingle FROM sh WHERE doc_id % 97 <> 0) t
+             |  JOIN bench USING (shingle) GROUP BY doc_id)
+             |SELECT s.doc_id, CAST(len(s.grams) AS BIGINT) AS n_shingles,
+             |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+             |       coalesce(h.n_hits, 0) >= 1 AS contaminated
+             |FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
+             |WHERE s.doc_id % 97 <> 0""".stripMargin)
+    ),
+    QueryDef(
+      // Corpus vocabulary + per-doc OOV rate: global word counts (map-side
+      // partial agg), top-500 vocabulary under a TOTAL order (count desc,
+      // word asc — the tiebreak makes the cut deterministic in both
+      // engines), broadcast back for the per-doc out-of-vocabulary ratio.
+      // The classic two-pass token-statistics shape: at 100 TB the only
+      // full shuffle is the wordcount; the vocab is O(500) everywhere.
+      "q57_vocab_oov",
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
+        val vocab = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("word")).limit(500)
+          .select("word")
+        val perDoc = words.groupBy("doc_id").agg(count(lit(1)).as("n_words"))
+        val inVocab = words.join(broadcast(vocab), Seq("word"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_in"))
+        perDoc.join(inVocab, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_words"),
+            (col("n_words") - coalesce(col("n_in"), lit(0L))).as("n_oov"),
+            round((col("n_words") - coalesce(col("n_in"), lit(0L))).cast("double") /
+              col("n_words").cast("double"), 6).as("oov_ratio"))
+      },
+      Some("""WITH words AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+             |vocab AS (
+             |  SELECT word FROM (
+             |    SELECT word, COUNT(*) AS cnt FROM words GROUP BY word
+             |    ORDER BY cnt DESC, word LIMIT 500)),
+             |per AS (SELECT doc_id, COUNT(*) AS n_words FROM words GROUP BY doc_id),
+             |inv AS (
+             |  SELECT doc_id, COUNT(*) AS n_in
+             |  FROM words JOIN vocab USING (word) GROUP BY doc_id)
+             |SELECT p.doc_id, CAST(p.n_words AS BIGINT) AS n_words,
+             |       CAST(p.n_words - coalesce(i.n_in, 0) AS BIGINT) AS n_oov,
+             |       round(CAST(p.n_words - coalesce(i.n_in, 0) AS DOUBLE) /
+             |             CAST(p.n_words AS DOUBLE), 6) AS oov_ratio
+             |FROM per p LEFT JOIN inv i ON p.doc_id = i.doc_id""".stripMargin)
     )
   )
 }
