@@ -17,7 +17,7 @@ class CodegenCompileSpec extends SparkTestBase {
     "q13_std_address", "q15_trunc_names", "q23_soundex", "q24_nysiis",
     "q26_block_pairs", "q27_comparison_vectors", "q28_match_weights",
     "q32_cascade_best_link", "q41_minhash_lsh", "q43_ngram_jaccard_dedup",
-    "q46_langid", "q53_tfidf")
+    "q46_langid", "q53_tfidf", "q56_decontaminate", "q57_vocab_oov")
 
   test("all whole-stage regions of the heavy plans compile") {
     graft.functions.GraftFunctions.register(spark)
