@@ -315,11 +315,26 @@ object LinkageCascade {
     */
   def emTrainMMulti(census: DataFrame, input: DataFrame, trainingPasses: Seq[BlockingPass],
       cfg: LinkageConfig, iterations: Int = 5): Seq[(String, Int, Double)] = {
-    val sessions: Seq[(Set[String], Map[(String, Int), Double])] =
-      trainingPasses.map { p =>
-        val cmps = p.comparisonsFor(cfg)
-        (cmps.map(_.name).toSet, emSession(census, input, p, cmps, cfg, iterations))
-      }
+    // Sessions are independent (each owns its blocking, cached gamma frame
+    // and iteration loop), so they submit their Spark jobs CONCURRENTLY —
+    // wall-clock is the slowest session, not the sum. Results stay
+    // deterministic: Future.sequence preserves pass order and each
+    // session's math is self-contained. (The cascade's passes, by
+    // contrast, are inherently sequential — later passes must not see
+    // records earlier passes linked.)
+    val sessions: Seq[(Set[String], Map[(String, Int), Double])] = {
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(
+        Future.sequence(trainingPasses.map { p =>
+          Future {
+            val cmps = p.comparisonsFor(cfg)
+            (cmps.map(_.name).toSet, emSession(census, input, p, cmps, cfg, iterations))
+          }
+        }),
+        Duration.Inf)
+    }
     cfg.comparisons.flatMap { c =>
       val ests = sessions.collect { case (names, m) if names.contains(c.name) => m }
       require(ests.nonEmpty, s"no training session estimates comparison '${c.name}'")
