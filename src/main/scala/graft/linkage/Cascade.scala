@@ -158,9 +158,18 @@ object LinkageCascade {
     passes.foldLeft((acc0, input)) {
       case ((acc, remaining), pass) =>
         val t0 = System.nanoTime()
+        // MEMORY_ONLY: the link frames are tiny (ids + weight) but the
+        // default MEMORY_AND_DISK localCheckpoint still writes blocks
+        // through the disk store — under I/O contention those writes
+        // stalled whole cascade runs (observed 2× swings at sf0.1).
+        // Caveat: a localCheckpoint has no lineage, so an EVICTED
+        // MEMORY_ONLY block is unrecoverable — safe here because the
+        // frames are KB-scale against GB-scale storage memory; anything
+        // bigger (addContiguousId's full-table checkpoint) keeps the
+        // disk-backed default.
         val passLinks = predict(census, remaining, pass, cfg)
           .withColumn("pass", lit(pass.name))
-          .localCheckpoint()
+          .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
         if (sys.env.contains("GRAFT_CASCADE_TIMING"))
           System.err.println(f"CASCADE ${pass.name}: ${(System.nanoTime() - t0) / 1e9}%.2f s")
         val nextAcc = Some(acc.fold(passLinks)(_.unionByName(passLinks)))
@@ -213,7 +222,8 @@ object LinkageCascade {
     val links =
       if (cfg.hhPasses.isEmpty) mainLinks.get
       else {
-        val hhRef = hhcompReference(c, i, mainLinks.get).localCheckpoint()
+        val hhRef = hhcompReference(c, i, mainLinks.get)
+          .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
         val rem = mainRemaining.withColumn("hh_geokey", col("geokey_blk"))
         foldPasses(hhRef, rem, cfg.hhPasses, cfg, mainLinks)._1.get
       }
