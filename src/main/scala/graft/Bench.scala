@@ -23,6 +23,16 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+      // Shuffle/broadcast scratch on tmpfs when available: the benchmark
+      // box's disk is shared and an unlucky write stall lands 10-60 s on
+      // whichever query touches scratch first (observed swings: q56 6.4
+      // -> 60 s, q60 0.7 -> 52 s with identical plans). sf0.1 scratch is
+      // MB-scale against a 50%-of-RAM tmpfs; Spark removes its spark-*
+      // subdirs on shutdown. A real cluster keeps the default (per-node
+      // SSD dirs sized for spill).
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+        else System.getProperty("java.io.tmpdir"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: JIT + parquet footers, so the first measured query isn't

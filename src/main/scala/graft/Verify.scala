@@ -21,6 +21,11 @@ object Verify {
       // events.parquet stores TIMESTAMP(NANOS); Spark 4 refuses it unless
       // read as long (Tables.events converts back to a µs timestamp).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // tmpfs scratch, same rationale as Bench: shields the run from
+      // shared-disk write stalls (output parquet still goes to outDir).
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+        else System.getProperty("java.io.tmpdir"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
