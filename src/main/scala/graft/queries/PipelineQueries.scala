@@ -697,6 +697,94 @@ object PipelineQueries {
              |       round(CAST(p.n_words - coalesce(i.n_in, 0) AS DOUBLE) /
              |             CAST(p.n_words AS DOUBLE), 6) AS oov_ratio
              |FROM per p LEFT JOIN inv i ON p.doc_id = i.doc_id""".stripMargin)
+    ),
+    QueryDef(
+      // Per-source quota sampling (training-data mixing: cap any one
+      // domain's contribution to the mix). The shuffle key is a Knuth
+      // multiplicative hash in plain BIGINT arithmetic so Spark and DuckDB
+      // agree bit-for-bit (builtin hash functions differ across engines);
+      // the doc_id tiebreak makes the per-source order total, so the kept
+      // set is deterministic. Scale shape: one shuffle on source +
+      // per-partition sort; a pathologically dominant source still sorts
+      // its whole partition to rank it — if one source is most of the
+      // corpus, the bounded-buffer TopK aggregate (q44's) is the
+      // per-group alternative.
+      "q58_quota_sample",
+      (s, d) => {
+        val w = Window.partitionBy("source")
+          .orderBy(col("shuffle_key").asc, col("doc_id").asc)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            ((col("doc_id") * lit(2654435761L)) % lit(4294967296L)).as("shuffle_key"))
+          .withColumn("sample_rank", row_number().over(w))
+          .filter(col("sample_rank") <= lit(100))
+          .select("source", "doc_id", "sample_rank")
+      },
+      Some("""SELECT source, doc_id, sample_rank FROM (
+             |  SELECT source, doc_id,
+             |         row_number() OVER (PARTITION BY source
+             |             ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS sample_rank
+             |  FROM documents) t
+             |WHERE sample_rank <= 100""".stripMargin)
+    ),
+    QueryDef(
+      // Dataset mixing: per-language sampling rates that fit a token
+      // budget (half the corpus) under target mix weights (en 0.40, rest
+      // 0.15 each), then a deterministic hash-mod sample at those rates —
+      // the standard two-pass shape for hitting a data mix at corpus
+      // scale. Pass 1 is one map-side-partial agg to O(#languages) rows
+      // (the global total is a window over that tiny frame, never over
+      // the corpus); pass 2 is a broadcast join + scan-local filter. All
+      // double arithmetic is written with the same shape and explicit
+      // DOUBLE casts in the oracle so the engines round identically.
+      "q59_dataset_mix",
+      (s, d) => {
+        val toks = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        val wcol = when(col("lang") === "en", lit(0.40)).otherwise(lit(0.15))
+        val perLang = toks.groupBy("lang").agg(sum("n_tokens").as("lang_tokens"))
+        val rates = perLang
+          .withColumn("total_tokens", sum("lang_tokens").over(Window.partitionBy()))
+          .withColumn("rate",
+            round(least(lit(1.0),
+              ((lit(0.5) * col("total_tokens")) * wcol) / col("lang_tokens")), 6))
+          .select("lang", "lang_tokens", "rate")
+        val sampled = toks.join(broadcast(rates), Seq("lang"))
+          .filter(((col("doc_id") * lit(2654435761L)) % lit(1000000L)) <
+            col("rate") * lit(1000000L))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs_sampled"),
+            sum("n_tokens").as("n_tokens_sampled"))
+        rates.join(sampled, Seq("lang"), "left")
+          .select(col("lang"), col("lang_tokens"), col("rate"),
+            coalesce(col("n_docs_sampled"), lit(0L)).as("n_docs_sampled"),
+            coalesce(col("n_tokens_sampled"), lit(0L)).as("n_tokens_sampled"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |per_lang AS (
+             |  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens
+             |  FROM toks GROUP BY lang),
+             |rates AS (
+             |  SELECT lang, lang_tokens,
+             |         round(least(CAST(1.0 AS DOUBLE),
+             |           ((CAST(0.5 AS DOUBLE) *
+             |             (SELECT CAST(SUM(lang_tokens) AS BIGINT) FROM per_lang)) *
+             |            CASE WHEN lang = 'en' THEN CAST(0.40 AS DOUBLE)
+             |                 ELSE CAST(0.15 AS DOUBLE) END) / lang_tokens), 6) AS rate
+             |  FROM per_lang),
+             |samp AS (
+             |  SELECT t.lang, COUNT(*) AS n_docs_sampled,
+             |         CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens_sampled
+             |  FROM toks t JOIN rates r ON t.lang = r.lang
+             |  WHERE (t.doc_id * 2654435761) % 1000000 < r.rate * 1000000
+             |  GROUP BY t.lang)
+             |SELECT r.lang, r.lang_tokens, r.rate,
+             |       CAST(coalesce(s.n_docs_sampled, 0) AS BIGINT) AS n_docs_sampled,
+             |       CAST(coalesce(s.n_tokens_sampled, 0) AS BIGINT) AS n_tokens_sampled
+             |FROM rates r LEFT JOIN samp s ON r.lang = s.lang""".stripMargin)
     )
   )
 }

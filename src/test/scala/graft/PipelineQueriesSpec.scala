@@ -128,4 +128,40 @@ class PipelineQueriesSpec extends SparkTestBase {
       assert(batched == perRecord, s"batchSize=$bs diverged from per-record decode")
     }
   }
+
+  test("q58 quota sample: contiguous ranks from 1, capped, deterministic") {
+    val rows = byName("q58_quota_sample").query(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val bySource = rows.groupBy(_._1)
+    val counts = Tables.documents(spark, sfDir).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource.keySet == counts.keySet, "a source is missing from the sample")
+    bySource.foreach { case (src, rs) =>
+      val ranks = rs.map(_._3).sorted.toSeq
+      assert(ranks == (1 to ranks.size), s"$src ranks not contiguous from 1: $ranks")
+      assert(ranks.size == math.min(100L, counts(src)), s"$src cap violated")
+    }
+    // Deterministic: a second evaluation picks the identical kept set.
+    val again = byName("q58_quota_sample").query(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(rows.toSet == again.toSet, "quota sample is not deterministic")
+  }
+
+  test("q59 dataset mix: rates respect weights and sampled counts are bounded") {
+    val rows = byName("q59_dataset_mix").query(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSet == Set("en", "es", "de", "fr", "zh"))
+    rows.foreach { case (lang, langTokens, rate, nDocs, nTokens) =>
+      assert(rate > 0.0 && rate <= 1.0, s"$lang rate out of range: $rate")
+      assert(nTokens <= langTokens, s"$lang sampled more tokens than it has")
+      // rate == 1 means the hash-mod filter keeps every doc of that lang.
+      if (rate == 1.0)
+        assert(nTokens == langTokens, s"$lang rate=1 but tokens were dropped")
+    }
+    // en gets the 0.40 weight: its rate must be the strict max (the other
+    // four share 0.15 and the synthetic corpus is near-uniform by lang).
+    val rateBy = rows.map(r => r._1 -> r._3).toMap
+    assert(Seq("es", "de", "fr", "zh").forall(l => rateBy("en") >= rateBy(l)),
+      s"en rate not maximal: $rateBy")
+  }
 }

@@ -20,6 +20,12 @@ object SparkTestBase {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // tmpfs scratch, same rationale as Bench/Verify: the box's disk is
+      // shared and a write stall on shuffle scratch lands tens of seconds
+      // on an arbitrary spec.
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+        else System.getProperty("java.io.tmpdir"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
