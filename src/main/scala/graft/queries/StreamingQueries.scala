@@ -99,6 +99,83 @@ object StreamingQueries {
              |SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value,
              |       epoch_us(r.ts) AS asof_us, r.value AS asof_value
              |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin)
+    ),
+    QueryDef(
+      // Interval join, grid-bucketed: attribute events to the top-20
+      // busiest-hour "campaign windows" (hour ± [−30, +90) min). The
+      // windows frame is O(20), but the JOIN SHAPE is the scalable one —
+      // each window explodes to its covered hour cells, events equi-join
+      // on their own hour cell (broadcast hash join), and the exact
+      // [w_start, w_end) containment filters after. No BNLJ/cartesian even
+      // if the interval side grew to millions; a 2-hour window covers at
+      // most 3 cells so the fanout is constant. The oracle uses DuckDB's
+      // direct range join — identical result set because the cell cover
+      // is exhaustive. Windows may overlap: an event near an hour edge
+      // attributes to both neighbors, which is interval-join semantics
+      // (not a partitioning).
+      "q63_range_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val wins = ev
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("h").asc).limit(20)
+          .select(col("h"),
+            (col("h") - expr("INTERVAL 30 MINUTES")).as("w_start"),
+            (col("h") + expr("INTERVAL 90 MINUTES")).as("w_end"))
+        val cells = wins.select(col("h"), col("w_start"), col("w_end"),
+          explode(sequence(date_trunc("hour", col("w_start")),
+            date_trunc("hour", col("w_end")), expr("INTERVAL 1 HOUR"))).as("cell"))
+        ev.withColumn("cell", date_trunc("hour", col("ts")))
+          .join(broadcast(cells), Seq("cell"))
+          .filter(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+          .groupBy("h")
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+          .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("window_hour"),
+            col("n_events"), col("sum_value"))
+      },
+      Some("""WITH hourly AS (
+             |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, COUNT(*) AS n
+             |  FROM events GROUP BY 1),
+             |wins AS (
+             |  SELECT h, h - INTERVAL 30 MINUTE AS w_start, h + INTERVAL 90 MINUTE AS w_end
+             |  FROM hourly ORDER BY n DESC, h LIMIT 20)
+             |SELECT strftime(w.h, '%Y-%m-%d %H:%M:%S') AS window_hour,
+             |       COUNT(*) AS n_events,
+             |       CAST(SUM(CAST(e.value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+             |FROM events e JOIN wins w
+             |  ON CAST(e.ts AS TIMESTAMP) >= w.w_start AND CAST(e.ts AS TIMESTAMP) < w.w_end
+             |GROUP BY w.h""".stripMargin)
+    ),
+    QueryDef(
+      // Retry collapse: keep ONE event per (user, type, minute) — the
+      // batch twin of Sessionizer.dedupSameMinute (streaming dropDuplicates
+      // with watermark-bounded state). "First" is event-time first with an
+      // event_id tiebreak, so the kept set is deterministic; the streaming
+      // twin keeps arrival-first, which StreamingSpec aligns by feeding in
+      // event-time order. One shuffle on the dedup key.
+      "q64_dedup_minute",
+      (s, d) => {
+        val w = Window
+          .partitionBy("user_id", "event_type", "minute_start")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        Tables.events(s, d)
+          .withColumn("minute_start", date_trunc("minute", col("ts")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            date_format(col("minute_start"), "yyyy-MM-dd HH:mm:ss").as("minute_start"))
+      },
+      Some("""SELECT event_id, user_id, event_type,
+             |       strftime(minute_start, '%Y-%m-%d %H:%M:%S') AS minute_start
+             |FROM (
+             |  SELECT event_id, user_id, event_type,
+             |         date_trunc('minute', CAST(ts AS TIMESTAMP)) AS minute_start,
+             |         row_number() OVER (
+             |           PARTITION BY user_id, event_type, date_trunc('minute', CAST(ts AS TIMESTAMP))
+             |           ORDER BY ts, event_id) AS rn
+             |  FROM events) t
+             |WHERE rn = 1""".stripMargin)
     )
   )
 }

@@ -34,6 +34,18 @@ object Sessionizer {
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
 
+  /** Retry collapse (streaming twin of q64): one event per (user, type,
+    * minute), state bounded by the watermark. dropDuplicates keeps the
+    * FIRST ARRIVAL per key; that equals the batch twin's event-time-first
+    * exactly when the source delivers in event-time order (true for
+    * replayed logs; StreamingSpec feeds sorted input to assert equality).
+    */
+  def dedupSameMinute(events: DataFrame): DataFrame =
+    events
+      .withColumn("minute_start", date_trunc("minute", col("ts")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type", "minute_start")
+
   /** Stream-static enrichment: the static side is broadcast per micro-batch
     * (no stateful shuffle) — the streaming twin of the dimension joins in
     * the batch queries.

@@ -140,4 +140,51 @@ class StreamingSpec extends SparkTestBase {
 
     assert(streamed == batch, s"windowed counts differ")
   }
+
+  test("q63 range join: every attributed event is inside its window") {
+    import graft.queries.StreamingQueries
+    val q63 = StreamingQueries.defs.find(_.name == "q63_range_join").get
+    val out = q63.query(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // Re-derive the window bounds and check each reported count directly
+    // with a per-window timestamp filter (the slow-but-obvious oracle).
+    val ev = Tables.events(spark, sfDir).select(col("ts"), col("value"))
+    out.foreach { r =>
+      val h = java.sql.Timestamp.valueOf(r.getString(0))
+      val lo = new java.sql.Timestamp(h.getTime - 30 * 60 * 1000L)
+      val hi = new java.sql.Timestamp(h.getTime + 90 * 60 * 1000L)
+      val n = ev.filter(col("ts") >= lit(lo) && col("ts") < lit(hi)).count()
+      assert(n == r.getLong(1), s"window $h: grid-join count ${r.getLong(1)} != direct $n")
+    }
+  }
+
+  test("q64 streaming dedup agrees with the batch twin on sorted input") {
+    import spark.implicits._
+    import graft.queries.StreamingQueries
+    implicit val sqlCtx = spark.sqlContext
+
+    // Event-time-sorted feed makes streaming's first-arrival-kept equal
+    // the batch twin's event-time-first (see dedupSameMinute scaladoc).
+    val events = Tables.events(spark, sfDir)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+
+    val stream = MemoryStream[Event]
+    val query = Sessionizer.dedupSameMinute(stream.toDF())
+      .writeStream.format("memory").queryName("minute_dedup_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(events.toIndexedSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val streamed = spark.table("minute_dedup_out")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val batch = StreamingQueries.defs.find(_.name == "q64_dedup_minute").get
+      .query(spark, sfDir)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch,
+      s"streaming vs batch dedup differ: only-streaming=${(streamed -- batch).take(5)} " +
+        s"only-batch=${(batch -- streamed).take(5)}")
+  }
 }
