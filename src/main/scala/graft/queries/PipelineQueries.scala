@@ -704,11 +704,11 @@ object PipelineQueries {
       // multiplicative hash in plain BIGINT arithmetic so Spark and DuckDB
       // agree bit-for-bit (builtin hash functions differ across engines);
       // the doc_id tiebreak makes the per-source order total, so the kept
-      // set is deterministic. Scale shape: one shuffle on source +
-      // per-partition sort; a pathologically dominant source still sorts
-      // its whole partition to rank it — if one source is most of the
-      // corpus, the bounded-buffer TopK aggregate (q44's) is the
-      // per-group alternative.
+      // set is deterministic. Scale shape: one shuffle on source, and
+      // Spark's WindowGroupLimit caps every map partition at 100 rows per
+      // source BEFORE the exchange (rank<=100 is recognized as
+      // top-k-per-group), so a dominant source never funnels its full
+      // volume through one reducer.
       "q58_quota_sample",
       (s, d) => {
         val w = Window.partitionBy("source")
@@ -749,6 +749,11 @@ object PipelineQueries {
             round(least(lit(1.0),
               ((lit(0.5) * col("total_tokens")) * wcol) / col("lang_tokens")), 6))
           .select("lang", "lang_tokens", "rate")
+          // O(#languages) rows, but its lineage scans the corpus — both
+          // the broadcast side and the final join consume it, and Spark
+          // recomputes a subtree per consumer. Materializing pins the
+          // query at the algorithm's minimum two corpus scans.
+          .localCheckpoint()
         val sampled = toks.join(broadcast(rates), Seq("lang"))
           .filter(((col("doc_id") * lit(2654435761L)) % lit(1000000L)) <
             col("rate") * lit(1000000L))
