@@ -790,6 +790,78 @@ object PipelineQueries {
              |       CAST(coalesce(s.n_docs_sampled, 0) AS BIGINT) AS n_docs_sampled,
              |       CAST(coalesce(s.n_tokens_sampled, 0) AS BIGINT) AS n_tokens_sampled
              |FROM rates r LEFT JOIN samp s ON r.lang = s.lang""".stripMargin)
+    ),
+    QueryDef(
+      // Distributional quality gating: drop each language's bottom decile
+      // by score (mean token length here — any per-doc scalar works).
+      // Thresholds are EXACT interpolated percentiles (Spark `percentile`
+      // ≡ DuckDB `quantile_cont`, both linear interpolation); at 100 TB
+      // the drop-in scale path is approx_percentile (t-digest sketch,
+      // map-side mergeable) at the cost of oracle exactness. Scores and
+      // thresholds are rounded to 6dp BEFORE the comparison in both
+      // engines so the kept set can't flip on ulp-level float drift. One
+      // agg to O(#languages) rows, broadcast back, scan-local filter.
+      "q65_quality_percentile",
+      (s, d) => {
+        val scored = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            round(col("n_chars").cast("double") /
+              size(split(col("text"), " ")).cast("double"), 6).as("score"))
+        val thr = scored.groupBy("lang")
+          .agg(round(expr("percentile(score, 0.10)"), 6).as("p10"))
+        scored.join(broadcast(thr), Seq("lang"))
+          .filter(col("score") >= col("p10"))
+          .select(col("doc_id"), col("lang"), col("score"), col("p10"))
+      },
+      Some("""WITH scored AS (
+             |  SELECT doc_id, lang,
+             |         round(CAST(n_chars AS DOUBLE) /
+             |               CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS score
+             |  FROM documents),
+             |thr AS (
+             |  SELECT lang, round(quantile_cont(score, 0.10), 6) AS p10
+             |  FROM scored GROUP BY lang)
+             |SELECT s.doc_id, s.lang, s.score, t.p10
+             |FROM scored s JOIN thr t ON s.lang = t.lang
+             |WHERE s.score >= t.p10""".stripMargin)
+    ),
+    QueryDef(
+      // Corpus-LM quality score (CCNet-style): each doc's mean log unigram
+      // probability under the corpus itself. Two passes: wordcount (the
+      // only full shuffle), then exploded tokens hash-join the counts and
+      // re-aggregate per doc. Each log term is truncated to DECIMAL(28,12)
+      // BEFORE the sum — libm vs JVM log() differ in the last ulp
+      // (~1e-16), invisible at 12dp, and the decimal sum is then exact in
+      // both engines regardless of addend order (a double sum would make
+      // the 6dp-rounded mean flip on partition ordering).
+      "q66_unigram_logprob",
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
+        val wc = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+        val total = wc.agg(sum("cnt").as("total"))
+        val terms = words.join(wc, Seq("word"))
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"),
+            log(col("cnt").cast("double") / col("total").cast("double"))
+              .cast("decimal(28,12)").as("logp"))
+        terms.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            round(sum(col("logp")).cast("double") / count(lit(1)).cast("double"), 6)
+              .as("mean_logp"))
+      },
+      Some("""WITH words AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+             |wc AS (SELECT word, COUNT(*) AS cnt FROM words GROUP BY word),
+             |total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM wc),
+             |terms AS (
+             |  SELECT w.doc_id,
+             |         CAST(ln(CAST(c.cnt AS DOUBLE) / CAST(t.total AS DOUBLE))
+             |              AS DECIMAL(28,12)) AS logp
+             |  FROM words w JOIN wc c ON w.word = c.word, total t)
+             |SELECT doc_id, COUNT(*) AS n_tokens,
+             |       round(CAST(SUM(logp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_logp
+             |FROM terms GROUP BY doc_id""".stripMargin)
     )
   )
 }

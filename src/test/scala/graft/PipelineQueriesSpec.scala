@@ -164,4 +164,33 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(Seq("es", "de", "fr", "zh").forall(l => rateBy("en") >= rateBy(l)),
       s"en rate not maximal: $rateBy")
   }
+
+  test("q65 percentile gate keeps ~90% per language, never below threshold") {
+    val kept = byName("q65_quality_percentile").query(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3)))
+    kept.foreach { case (lang, score, p10) =>
+      assert(score >= p10, s"$lang kept a below-threshold score $score < $p10")
+    }
+    val total = Tables.documents(spark, sfDir).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    kept.groupBy(_._1).foreach { case (lang, rs) =>
+      val frac = rs.size.toDouble / total(lang)
+      assert(frac >= 0.85 && frac <= 0.95,
+        s"$lang kept ${rs.size}/${total(lang)} — not ~90%")
+    }
+  }
+
+  test("q66 log-probs are negative means over the doc's token count") {
+    val rows = byName("q66_unigram_logprob").query(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    rows.foreach { case (id, n, lp) =>
+      assert(n > 0 && lp < 0.0, s"doc $id: n=$n mean_logp=$lp")
+    }
+    // Spot-check one doc's token count against the raw text.
+    val (id0, n0, _) = rows.minBy(_._1)
+    val text = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === id0).select("text").collect()(0).getString(0)
+    assert(n0 == text.split(" ").length, s"doc $id0 token count mismatch")
+  }
 }
