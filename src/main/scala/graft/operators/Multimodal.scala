@@ -69,4 +69,64 @@ object Multimodal {
       .mapPartitions(_.grouped(batchSize).flatMap(decodeBatchStub))
       .toDF()
   }
+
+  /** STUB resize: stride-downsample the payload to the byte budget the
+    * target dimensions imply (dstArea/srcArea of the source bytes, ≥ 1),
+    * metadata rewritten to the target. Stands in for a pixel resample —
+    * a real implementation swaps the body, keeps the signature. Upscaling
+    * keeps all bytes (no interpolation to invent).
+    */
+  def resizeStub(r: MediaRecord, targetW: Int, targetH: Int): MediaRecord = {
+    val n = r.content.length
+    val srcArea = r.width.toLong * r.height
+    val dstArea = targetW.toLong * targetH
+    val keep =
+      if (n == 0 || dstArea >= srcArea) n
+      else math.max(1L, (n * dstArea) / srcArea).toInt
+    val out = new Array[Byte](keep)
+    var i = 0
+    while (i < keep) { out(i) = r.content(((i.toLong * n) / math.max(1, keep)).toInt); i += 1 }
+    MediaRecord(r.doc_id, out, targetW, targetH, r.fmt)
+  }
+
+  /** One sampled frame: fixed-size byte window + rolling checksum (what a
+    * real frame grab would hand to a downstream encoder).
+    */
+  final case class FrameRecord(doc_id: Long, frame_idx: Int, n_bytes: Long, checksum: Long)
+
+  val FrameBytes: Int = 64
+
+  /** STUB frame sampling: treat the payload as consecutive [[FrameBytes]]
+    * windows and keep every `everyN`-th — the video-keyframe-sampling
+    * shape (one record in, k frame records out).
+    */
+  def sampleFramesStub(r: MediaRecord, everyN: Int): Seq[FrameRecord] =
+    r.content.grouped(FrameBytes).zipWithIndex.collect {
+      case (f, idx) if idx % everyN == 0 =>
+        var s = 0L
+        f.foreach(b => s = (s * 131 + (b & 0xff)) % 1000000007L)
+        FrameRecord(r.doc_id, idx, f.length.toLong, s)
+    }.toSeq
+
+  /** Full multimodal pipeline: decode-batch → resize → frame-sample →
+    * per-doc summary, all inside ONE mapPartitions pass (one batch
+    * boundary, no per-record calls across it) + one aggregation shuffle.
+    * This is the end-to-end shape a real media pipeline runs at scale:
+    * the expensive stages stay co-partitioned and batched; only the
+    * O(docs) summary shuffles.
+    */
+  def framePipeline(spark: SparkSession, docs: DataFrame, targetW: Int = 64,
+      targetH: Int = 64, everyN: Int = 2, partitions: Int = 8,
+      batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    mediaRecords(spark, docs)
+      .repartition(partitions, col("doc_id"))
+      .mapPartitions(_.grouped(batchSize).flatMap(batch =>
+        batch.flatMap(r => sampleFramesStub(resizeStub(r, targetW, targetH), everyN))))
+      .toDF()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum("n_bytes").as("bytes_kept"),
+        sum("checksum").as("checksum_sum"))
+  }
 }

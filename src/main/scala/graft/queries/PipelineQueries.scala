@@ -862,6 +862,17 @@ object PipelineQueries {
              |SELECT doc_id, COUNT(*) AS n_tokens,
              |       round(CAST(SUM(logp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_logp
              |FROM terms GROUP BY doc_id""".stripMargin)
+    ),
+    QueryDef(
+      // End-to-end multimodal pipeline: batch decode → resize →
+      // frame-sample → per-doc summary, one mapPartitions pass + one
+      // aggregation shuffle (operators/Multimodal.framePipeline). The
+      // media stages are documented deterministic stubs (no codecs in
+      // this environment) so, like q50, this declares no SQL oracle —
+      // its golden spec recomputes the expected frames directly.
+      "q67_multimodal_pipeline",
+      (s, d) => Multimodal.framePipeline(s, Tables.documents(s, d)),
+      None
     )
   )
 }

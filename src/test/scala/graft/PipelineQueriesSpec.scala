@@ -193,4 +193,55 @@ class PipelineQueriesSpec extends SparkTestBase {
       .filter(col("doc_id") === id0).select("text").collect()(0).getString(0)
     assert(n0 == text.split(" ").length, s"doc $id0 token count mismatch")
   }
+
+  test("multimodal resize: identity at source dims, budget + determinism below") {
+    import graft.operators.Multimodal
+    val recs = Multimodal.mediaRecords(spark, Tables.documents(spark, sfDir).limit(50))
+      .collect()
+    recs.foreach { r =>
+      val same = Multimodal.resizeStub(r, r.width, r.height)
+      assert(same.content.sameElements(r.content), s"doc ${r.doc_id}: identity resize changed bytes")
+      val small = Multimodal.resizeStub(r, 64, 64)
+      val expect =
+        if (64L * 64 >= r.width.toLong * r.height) r.content.length
+        else math.max(1L, r.content.length * 64L * 64 / (r.width.toLong * r.height)).toInt
+      assert(small.content.length == expect, s"doc ${r.doc_id}: resize kept ${small.content.length}, expected $expect")
+      assert(small.width == 64 && small.height == 64)
+      val again = Multimodal.resizeStub(r, 64, 64)
+      assert(small.content.sameElements(again.content), "resize not deterministic")
+    }
+  }
+
+  test("multimodal frame sampling: every frame at stride 1, strided subset above") {
+    import graft.operators.Multimodal
+    val recs = Multimodal.mediaRecords(spark, Tables.documents(spark, sfDir).limit(50))
+      .collect()
+    recs.foreach { r =>
+      val all = Multimodal.sampleFramesStub(r, 1)
+      val expected = (r.content.length + Multimodal.FrameBytes - 1) / Multimodal.FrameBytes
+      assert(all.size == expected, s"doc ${r.doc_id}: ${all.size} frames, expected $expected")
+      val strided = Multimodal.sampleFramesStub(r, 3)
+      assert(strided.map(_.frame_idx) == all.map(_.frame_idx).filter(_ % 3 == 0),
+        s"doc ${r.doc_id}: stride-3 indexes wrong")
+      // Checksums must match the stride-1 run's for the same frames.
+      val byIdx = all.map(f => f.frame_idx -> f.checksum).toMap
+      strided.foreach(f => assert(f.checksum == byIdx(f.frame_idx)))
+    }
+  }
+
+  test("q67 pipeline summary equals direct per-doc recomputation") {
+    import graft.operators.Multimodal
+    val out = byName("q67_multimodal_pipeline").query(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val recs = Multimodal.mediaRecords(spark, Tables.documents(spark, sfDir)).collect()
+    recs.foreach { r =>
+      val frames = Multimodal.sampleFramesStub(Multimodal.resizeStub(r, 64, 64), 2)
+      if (frames.nonEmpty) {
+        val (n, bytes, csum) = out(r.doc_id)
+        assert(n == frames.size && bytes == frames.map(_.n_bytes).sum &&
+          csum == frames.map(_.checksum).sum,
+          s"doc ${r.doc_id}: pipeline summary diverges from direct recomputation")
+      } else assert(!out.contains(r.doc_id))
+    }
+  }
 }
