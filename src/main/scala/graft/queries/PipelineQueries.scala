@@ -83,6 +83,14 @@ object PipelineQueries {
     Seq(7L, 23L, 41L, 59L, 83L, 101L, 127L, 149L, 173L, 199L, 223L, 251L,
       277L, 307L, 331L, 353L)
 
+  /** q68's fixed IVF "centroids": 16 deterministic seed vectors, all
+    * < 500 so they exist at every scale factor. A real deployment trains
+    * these with k-means; fixing them keeps the oracle reproducible.
+    */
+  val IvfSeedIds: Seq[Long] =
+    Seq(2L, 3L, 5L, 11L, 17L, 29L, 37L, 47L, 67L, 89L, 113L, 151L, 197L,
+      241L, 283L, 347L)
+
   /** norm CTE over a (vec_id, embedding, ...) relation. */
   private def normsCte(name: String, rel: String, extraCols: String = ""): String =
     s"""$name AS (
@@ -873,6 +881,76 @@ object PipelineQueries {
       "q67_multimodal_pipeline",
       (s, d) => Multimodal.framePipeline(s, Tables.documents(s, d)),
       None
+    ),
+    QueryDef(
+      // IVF-style ANN: assign every vector to its nearest of 16 fixed
+      // centroids (argmax cosine; at real scale the centroids come from
+      // k-means — here they're deterministic seed vectors so the oracle
+      // can reproduce them), then answer each query from its top-2
+      // probed buckets only. The IVF shape: assignment is a broadcast-16
+      // scoring pass (linear, map-side), search is a bucket equi-join —
+      // candidates shrink by ~#centroids/probes vs brute force. All dots
+      // are exact DECIMAL so bucket assignment cannot drift between
+      // engines; ties break on centroid/vector id.
+      "q68_ann_ivf",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = sparkNorm(Tables.embeddings(s, d).select("vec_id", "embedding"))
+        val cents = e.filter(col("vec_id").isin(IvfSeedIds: _*))
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+        val byVec = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
+        val assign = e.crossJoin(broadcast(cents))
+          .withColumn("csim",
+            VectorOps.dotDecimal(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+          .withColumn("arnk", row_number().over(byVec))
+        val data = assign.filter(col("arnk") === 1)
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
+        val qprobe = assign
+          .filter(col("vec_id").isin(KnnQueryIds: _*) && col("arnk") <= 2)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("nrm").as("qn"), col("cid"))
+        val byQ = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+        data.join(qprobe, Seq("cid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("cos",
+            VectorOps.dotDecimal(col("embedding"), col("qe")) / (col("nrm") * col("qn")))
+          .withColumn("rnk", row_number().over(byQ))
+          .filter(col("rnk") <= 5)
+          .select(col("qid"), col("vec_id"), col("rnk"), round(col("cos"), 6).as("cos"))
+      },
+      Some(s"""WITH ${normsCte("nrms", "embeddings")},
+              |cents AS (
+              |  SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM nrms
+              |  WHERE vec_id IN (${IvfSeedIds.mkString(", ")})),
+              |csims AS (
+              |  SELECT n.vec_id, c.cid, MAX(n.nrm) AS nrm, MAX(c.cn) AS cn,
+              |         ${VectorOps.dotDecimalSql("n.embedding", "c.ce")} AS cdot
+              |  FROM nrms n CROSS JOIN cents c, range(1, ${VectorOps.Dim + 1}) t(i)
+              |  GROUP BY n.vec_id, c.cid),
+              |assign AS (
+              |  SELECT vec_id, cid,
+              |         ROW_NUMBER() OVER (PARTITION BY vec_id
+              |             ORDER BY cdot / (nrm * cn) DESC, cid ASC) AS arnk
+              |  FROM csims),
+              |pairs AS (
+              |  SELECT v.vec_id, p.vec_id AS qid, MAX(v.nrm) AS vn, MAX(q.nrm) AS qn,
+              |         ${VectorOps.dotDecimalSql("v.embedding", "q.embedding")} AS dot
+              |  FROM assign d
+              |  JOIN nrms v ON v.vec_id = d.vec_id
+              |  JOIN assign p ON p.cid = d.cid AND p.arnk <= 2
+              |       AND p.vec_id IN (${KnnQueryIds.mkString(", ")})
+              |       AND p.vec_id <> d.vec_id
+              |  JOIN nrms q ON q.vec_id = p.vec_id,
+              |       range(1, ${VectorOps.Dim + 1}) t(i)
+              |  WHERE d.arnk = 1
+              |  GROUP BY v.vec_id, p.vec_id),
+              |ranked AS (
+              |  SELECT qid, vec_id, dot / (vn * qn) AS cos,
+              |         ROW_NUMBER() OVER (PARTITION BY qid
+              |             ORDER BY dot / (vn * qn) DESC, vec_id ASC) AS rnk
+              |  FROM pairs)
+              |SELECT qid, vec_id, rnk, round(cos, 6) AS cos
+              |FROM ranked WHERE rnk <= 5""".stripMargin)
     )
   )
 }

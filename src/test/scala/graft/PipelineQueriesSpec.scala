@@ -229,6 +229,31 @@ class PipelineQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q68 IVF: ranked buckets-only results, cos values exact vs brute force") {
+    val ivf = byName("q68_ann_ivf").query(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.length <= 5, s"query $q returned ${rs.length} > 5")
+      val byRank = rs.sortBy(_._3).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"query $q not sorted by cos")
+    }
+    // Every IVF cos must equal the brute-force cos for that exact pair
+    // (IVF prunes CANDIDATES, it must not change SCORES), and probing 2
+    // of 16 buckets should still recover a nontrivial share of the true
+    // top-5 on sf0.001's ~500 vectors.
+    val brute = byName("q44_cosine_knn").query(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getInt(2), r.getDouble(3)))).toMap
+    val hits = ivf.count { case (q, v, _, _) => brute.contains((q, v)) }
+    ivf.foreach { case (q, v, _, cos) =>
+      brute.get((q, v)).foreach { case (_, bcos) =>
+        assert(math.abs(cos - bcos) < 1e-9, s"($q,$v): IVF cos $cos != brute $bcos")
+      }
+    }
+    assert(hits > 0, "IVF recovered none of the brute-force top-5")
+  }
+
   test("q67 pipeline summary equals direct per-doc recomputation") {
     import graft.operators.Multimodal
     val out = byName("q67_multimodal_pipeline").query(spark, sfDir).collect()

@@ -49,10 +49,11 @@ class PlanSpec extends SparkTestBase {
     GraftFunctions.register(spark)
     // q30 samples both sides then cross-joins (intended); q44 is the
     // brute-force KNN baseline against a broadcast query set (intended);
-    // q33/q39/q53/q66 cross-join a single-row totals frame (intended).
+    // q33/q39/q53/q66 cross-join a single-row totals frame (intended);
+    // q68's IVF assignment scores a broadcast 16-centroid set (intended).
     val intendedCross = Set(
       "q30_u_estimation", "q44_cosine_knn", "q33_accuracy_eval",
-      "q39_pik_rate", "q53_tfidf", "q66_unigram_logprob")
+      "q39_pik_rate", "q53_tfidf", "q66_unigram_logprob", "q68_ann_ivf")
     SparkEntry.queries.keys.filterNot(intendedCross).foreach { name =>
       val p = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
