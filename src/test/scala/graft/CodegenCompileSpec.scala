@@ -17,7 +17,8 @@ class CodegenCompileSpec extends SparkTestBase {
     "q13_std_address", "q15_trunc_names", "q23_soundex", "q24_nysiis",
     "q26_block_pairs", "q27_comparison_vectors", "q28_match_weights",
     "q32_cascade_best_link", "q41_minhash_lsh", "q43_ngram_jaccard_dedup",
-    "q46_langid", "q53_tfidf", "q56_decontaminate", "q57_vocab_oov")
+    "q46_langid", "q53_tfidf", "q56_decontaminate", "q57_vocab_oov",
+    "q59_dataset_mix", "q66_unigram_logprob", "q68_ann_ivf")
 
   test("all whole-stage regions of the heavy plans compile") {
     graft.functions.GraftFunctions.register(spark)
