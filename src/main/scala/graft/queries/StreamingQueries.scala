@@ -176,6 +176,25 @@ object StreamingQueries {
              |           ORDER BY ts, event_id) AS rn
              |  FROM events) t
              |WHERE rn = 1""".stripMargin)
+    ),
+    QueryDef(
+      // Sketch-based summary stats: HyperLogLog++ distinct users and
+      // t-digest median value per event type — THE summary path at
+      // 100 TB, where exact distinct/percentile would shuffle every
+      // value. Both sketches are merge-associative (map-side partials,
+      // O(sketch) per partition) and deterministic (hash-based, no RNG),
+      // but their estimates are engine-specific, so this declares no SQL
+      // oracle; the golden spec bounds the estimates against exact
+      // answers (HLL++ rsd 5%, t-digest vs exact median).
+      "q69_sketch_stats",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_events"),
+            approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
+            expr("approx_percentile(value, 0.5, 1000)").as("approx_median")),
+      None
     )
   )
 }

@@ -187,4 +187,30 @@ class StreamingSpec extends SparkTestBase {
       s"streaming vs batch dedup differ: only-streaming=${(streamed -- batch).take(5)} " +
         s"only-batch=${(batch -- streamed).take(5)}")
   }
+
+  test("q69 sketches bound the exact answers") {
+    import graft.queries.StreamingQueries
+    val approx = StreamingQueries.defs.find(_.name == "q69_sketch_stats").get
+      .query(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val exact = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("users"),
+        expr("percentile(value, 0.5)").as("median"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (tpe, (n, users, median)) =>
+      val (an, aUsers, aMedian) = approx(tpe)
+      assert(an == n, s"$tpe: plain count must be exact")
+      // HLL++ at rsd=0.05: allow 3 standard deviations.
+      assert(math.abs(aUsers - users) <= math.max(3, 0.15 * users),
+        s"$tpe: approx users $aUsers vs exact $users out of bounds")
+      // t-digest median of a smooth value distribution: within 10% of
+      // the exact median's magnitude (values span ~[0, 100]).
+      assert(math.abs(aMedian - median) <= math.max(1.0, 0.10 * math.abs(median)),
+        s"$tpe: approx median $aMedian vs exact $median out of bounds")
+    }
+  }
 }
