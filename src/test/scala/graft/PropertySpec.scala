@@ -64,4 +64,53 @@ class PropertySpec extends AnyFunSuite {
       assert(fwd == rev, s"decimal sum depends on order: $fwd vs $rev")
     }
   }
+
+  import graft.operators.Multimodal
+  import graft.operators.Multimodal.MediaRecord
+
+  private def randMedia(maxLen: Int = 512): MediaRecord = {
+    val content = Array.fill(rnd.nextInt(maxLen + 1))(rnd.nextInt(256).toByte)
+    MediaRecord(rnd.nextLong().abs, content,
+      rnd.nextInt(640) + 1, rnd.nextInt(480) + 1, "jpeg")
+  }
+
+  test("resize: byte budget respected, never empty on nonempty input, idempotent dims") {
+    (1 to 500).foreach { _ =>
+      val r = randMedia()
+      val (tw, th) = (rnd.nextInt(640) + 1, rnd.nextInt(480) + 1)
+      val out = Multimodal.resizeStub(r, tw, th)
+      val srcArea = r.width.toLong * r.height
+      val dstArea = tw.toLong * th
+      if (dstArea >= srcArea) assert(out.content.length == r.content.length)
+      else {
+        assert(out.content.length <= r.content.length)
+        if (r.content.nonEmpty) assert(out.content.nonEmpty, "downsample emptied payload")
+      }
+      // Resizing an already-resized record to the same dims is identity.
+      val twice = Multimodal.resizeStub(out, tw, th)
+      assert(twice.content.sameElements(out.content), "resize not idempotent at fixed dims")
+    }
+  }
+
+  test("frame sampling: strided indexes, full byte coverage at stride 1") {
+    (1 to 500).foreach { _ =>
+      val r = randMedia()
+      val n = rnd.nextInt(5) + 1
+      val frames = Multimodal.sampleFramesStub(r, n)
+      assert(frames.map(_.frame_idx) == frames.map(_.frame_idx).sorted)
+      frames.foreach(f => assert(f.frame_idx % n == 0, s"off-stride frame ${f.frame_idx}"))
+      val all = Multimodal.sampleFramesStub(r, 1)
+      assert(all.map(_.n_bytes).sum == r.content.length,
+        "stride-1 frames don't cover the payload")
+    }
+  }
+
+  test("quota-sampling hash: plain-BIGINT arithmetic stays in range and is total") {
+    (1 to 2000).foreach { _ =>
+      val id = rnd.nextLong().abs % 100000000L
+      val h = (id * 2654435761L) % 4294967296L
+      assert(h >= 0 && h < 4294967296L, s"hash out of range for $id")
+      assert(h == (id * 2654435761L) % 4294967296L)
+    }
+  }
 }
