@@ -192,6 +192,50 @@ object CoreQueries {
           .filter(pmod(col("c_custkey"), lit(10)) === 3)
           .select("c_custkey", "c_name", "c_mktsegment"),
       Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey % 10 = 3""")
+    ),
+    QueryDef(
+      // CDC/upsert merge (lakehouse MERGE INTO semantics, expressed as a
+      // plan): apply a change batch — updates for key%10=0 (acctbal +100),
+      // deletes for key%37=0, inserts above the key space — to the base
+      // table. Shape: base anti-join the touched keys ∪ surviving
+      // changes; ONE shuffle on the merge key either way. At 100 TB this
+      // is the merge-on-read compaction pattern — the change batch is
+      // usually small enough to broadcast the anti-join, and a bucketed
+      // base table makes the whole merge shuffle-free.
+      "q70_upsert_merge",
+      (s, d) => {
+        val base = Tables.customer(s, d)
+          .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        val updates = base.filter(pmod(col("c_custkey"), lit(10)) === 0)
+          .select(col("c_custkey"), col("c_name"),
+            round(col("c_acctbal") + lit(100.0), 2).as("c_acctbal"),
+            col("c_mktsegment"))
+        val inserts = base.filter(pmod(col("c_custkey"), lit(100)) === 7)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+        val deletes = base.filter(pmod(col("c_custkey"), lit(37)) === 0)
+          .select("c_custkey")
+        val touched = updates.select("c_custkey").unionByName(deletes).distinct()
+        base.join(broadcast(touched), Seq("c_custkey"), "left_anti")
+          .unionByName(updates.join(broadcast(deletes), Seq("c_custkey"), "left_anti"))
+          .unionByName(inserts)
+      },
+      Some("""WITH base AS (
+             |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer),
+             |updates AS (
+             |  SELECT c_custkey, c_name, round(c_acctbal + 100.0, 2) AS c_acctbal, c_mktsegment
+             |  FROM base WHERE c_custkey % 10 = 0),
+             |inserts AS (
+             |  SELECT c_custkey + 1000000 AS c_custkey, c_name, c_acctbal, c_mktsegment
+             |  FROM base WHERE c_custkey % 100 = 7),
+             |deletes AS (SELECT c_custkey FROM base WHERE c_custkey % 37 = 0),
+             |touched AS (
+             |  SELECT c_custkey FROM updates UNION SELECT c_custkey FROM deletes)
+             |SELECT * FROM base WHERE c_custkey NOT IN (SELECT c_custkey FROM touched)
+             |UNION ALL
+             |SELECT * FROM updates WHERE c_custkey NOT IN (SELECT c_custkey FROM deletes)
+             |UNION ALL
+             |SELECT * FROM inserts""".stripMargin)
     )
   )
 }

@@ -39,4 +39,25 @@ class CoreQueriesSpec extends SparkTestBase {
     assert(scan.contains("PushedFilters: ["), scan)
     assert(scan.contains("l_quantity"), scan)
   }
+
+  test("q70 merge: deletes gone, updates applied, inserts present, count balances") {
+    import org.apache.spark.sql.functions._
+    val base = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_acctbal").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val merged = CoreQueries.defs.find(_.name == "q70_upsert_merge").get
+      .query(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val deleted = base.keySet.filter(_ % 37 == 0)
+    assert(deleted.forall(k => !merged.contains(k)), "a deleted key survived")
+    base.foreach { case (k, bal) =>
+      if (k % 37 != 0 && k % 10 == 0)
+        assert(math.abs(merged(k) - (bal + 100.0)) < 1e-6, s"update not applied to $k")
+      else if (k % 37 != 0)
+        assert(merged(k) == bal, s"untouched row $k changed")
+    }
+    val inserts = base.keySet.filter(_ % 100 == 7)
+    inserts.foreach(k => assert(merged.contains(k + 1000000L), s"insert $k missing"))
+    assert(merged.size == base.size - deleted.size + inserts.size, "merge count off")
+  }
 }
