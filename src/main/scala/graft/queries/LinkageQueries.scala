@@ -17,11 +17,13 @@ import org.apache.spark.sql.functions._
   *    addresses, plus planted noise classes that each exercise one cascade
   *    mechanism (see below). Ground truth is pik == rec_id.
   *
-  * The PVS-style cascade mirrors the reference's modules
+  * The PVS-style cascade mirrors the reference's FULL 15-pass inventory
   * (/root/reference/03_link_datasets.ipynb cells 83-142):
-  * geokey → geokey+name-switch → house-number+street-Soundex (cut zip3) →
-  * name+yob → DOB+NYSIIS → DOB+initials → bday+name →
-  * reverse-Soundex (cut day+month) → hhcomp initials → hhcomp yob.
+  * geosearch (cut zip3, scores geokey): geokey → geokey+name-switch →
+  * house-number+street-Soundex → street-Soundex+name-switch → name2+yob;
+  * namesearch (cut initial categories): DOB+NYSIIS → DOB+initials →
+  * yob+name2 → bday+name2; dobsearch (cut day+month): initials+name-switch
+  * → name3 → reverse-Soundex → first2+yob; hhcomp: initials → yob.
   * Probable-GQ geokeys are nulled out of every blocking column first
   * (reference "HACK: Remove address information from GQ", cells 31-33) —
   * both a correctness feature and the defusal of the worst blocking skew.
@@ -41,9 +43,16 @@ import org.apache.spark.sql.functions._
   *    hhcomp initials pass
   *  - moved households ∧ k%4==2 (Hb): first char of first name
   *    dropped, day+month bumped → hhcomp yob pass
+  *  - k%47 (SwZ): transposed names AND the zip typo → street-Soundex
+  *    name-switch pass (geokey broken, so neither geokey pass blocks; the
+  *    bumped Sw DOB day+month keeps the dobsearch initials-switch cut out)
+  *  - k%31 (SwD): transposed clean names, DOB intact, stale census
+  *    address → dobsearch initials+name-switch pass
+  *  - k%43 (L): last name reversed wholesale (remarriage-style), first
+  *    name and DOB clean, stale census address → dobsearch first2+yob pass
   *
   * Everything — sides, passes, model — renders to BOTH Spark plans and
-  * DuckDB SQL from the same config objects, so the full 10-pass cascade
+  * DuckDB SQL from the same config objects, so the full 15-pass cascade
   * (including the phonetic keys) is hash-verified against the oracle.
   */
 object LinkageQueries {
@@ -100,6 +109,8 @@ object LinkageQueries {
     "fn12" -> "ln12", "ln15" -> "fn15",
     "fn1" -> "ln1", "ln1" -> "fn1",
     "fn2" -> "ln2", "ln2" -> "fn2",
+    "fn3" -> "ln3", "ln3" -> "fn3",
+    "cut_first" -> "cut_last", "cut_last" -> "cut_first",
     "nys_first" -> "nys_last", "nys_last" -> "nys_first",
     "rsdx_first" -> "rsdx_last", "rsdx_last" -> "rsdx_first")
 
@@ -116,23 +127,44 @@ object LinkageQueries {
     */
   private val geoExact = Map("geo" -> 2)
 
+  /** The full reference pass inventory — 13 non-household passes in the
+    * reference's order (03_link_datasets.ipynb cells 85-122), plus the two
+    * hhcomp passes below. Geosearch passes (p1-p4b) score the geokey
+    * comparison (module matching_columns include geokey, cell 83);
+    * namesearch passes (p5-p7) carry the module's first/last-initial cut
+    * columns (cell 101 cut_columns) and dobsearch passes (p7b-p8b) the
+    * day+month cuts (cell 114), both rendered as extra blocking equalities
+    * exactly like the reference composes cut_columns into every pass.
+    */
   val passes: Seq[BlockingPass] = Seq(
+    // geosearch (cut zip3; scores geokey)
     BlockingPass("p1_geokey", Seq("geokey_blk"), constGammas = geoExact),
     BlockingPass("p2_geokey_switch", Seq("geokey_blk"), rightRemap = switchNames,
       constGammas = geoExact),
     BlockingPass("p3_street_sdx", Seq("street_num_blk", "sdx_street_blk"),
       cuts = Seq("zip3")),
-    BlockingPass("p4_name_yob", Seq("fn2", "ln2", "dob_year"),
-      excludeComparisons = noGeo),
+    BlockingPass("p3b_street_sdx_switch", Seq("street_num_blk", "sdx_street_blk"),
+      rightRemap = switchNames, cuts = Seq("zip3")),
+    BlockingPass("p4_name_yob", Seq("fn2", "ln2", "dob_year")),
+    // namesearch (cut first/last-initial categories; no geokey scoring)
     BlockingPass("p5_dob_nysiis",
       Seq("dob_year", "dob_month", "dob_day", "nys_first", "nys_last"),
-      excludeComparisons = noGeo),
+      cuts = Seq("cut_first", "cut_last"), excludeComparisons = noGeo),
     BlockingPass("p6_dob_initials",
       Seq("dob_year", "dob_month", "dob_day", "fn1", "ln1"),
-      excludeComparisons = noGeo),
+      cuts = Seq("cut_first", "cut_last"), excludeComparisons = noGeo),
+    BlockingPass("p6b_yob_name", Seq("fn2", "ln2", "dob_year"),
+      cuts = Seq("cut_first", "cut_last"), excludeComparisons = noGeo),
     BlockingPass("p7_bday_name", Seq("dob_month", "dob_day", "fn2", "ln2"),
-      excludeComparisons = noGeo),
+      cuts = Seq("cut_first", "cut_last"), excludeComparisons = noGeo),
+    // dobsearch (cut day+month; no geokey scoring)
+    BlockingPass("p7b_initials_switch", Seq("fn1", "ln1"), rightRemap = switchNames,
+      cuts = Seq("dob_day", "dob_month"), excludeComparisons = noGeo),
+    BlockingPass("p7c_name3", Seq("fn3", "ln3"),
+      cuts = Seq("dob_day", "dob_month"), excludeComparisons = noGeo),
     BlockingPass("p8_rev_sdx", Seq("rsdx_first", "rsdx_last"),
+      cuts = Seq("dob_day", "dob_month"), excludeComparisons = noGeo),
+    BlockingPass("p8b_fn2_yob", Seq("fn2", "dob_year"),
       cuts = Seq("dob_day", "dob_month"), excludeComparisons = noGeo))
 
   val hhPasses: Seq[BlockingPass] = Seq(
@@ -159,10 +191,10 @@ object LinkageQueries {
   private val keyConditions: Map[String, String] = Map(
     "zip3" -> "geo", "geokey_blk" -> "geo", "street_num_blk" -> "geo",
     "sdx_street_blk" -> "geo", "hh_geokey" -> "geo",
-    "fn1" -> "first", "fn2" -> "first", "fn15" -> "first",
-    "nys_first" -> "first", "rsdx_first" -> "first",
-    "ln1" -> "last", "ln2" -> "last", "ln12" -> "last",
-    "nys_last" -> "last", "rsdx_last" -> "last",
+    "fn1" -> "first", "fn2" -> "first", "fn3" -> "first", "fn15" -> "first",
+    "nys_first" -> "first", "rsdx_first" -> "first", "cut_first" -> "first",
+    "ln1" -> "last", "ln2" -> "last", "ln3" -> "last", "ln12" -> "last",
+    "nys_last" -> "last", "rsdx_last" -> "last", "cut_last" -> "last",
     "dob_year" -> "byear", "dob_month" -> "bmonth", "dob_day" -> "bday")
 
   /** The comparisons a training pass with these block keys must exclude. */
@@ -216,8 +248,8 @@ object LinkageQueries {
   private val sideCols: Seq[String] = Seq(
     "first_name", "last_name", "middle_initial",
     "dob_year", "dob_month", "dob_day",
-    "zipcode", "zip3", "fn1", "fn2", "ln1", "ln2", "fn15", "ln12",
-    "fn12", "ln15",
+    "zipcode", "zip3", "fn1", "fn2", "fn3", "ln1", "ln2", "ln3",
+    "fn15", "ln12", "fn12", "ln15", "cut_first", "cut_last",
     "nys_first", "nys_last", "rsdx_first", "rsdx_last",
     "geokey", "geokey_blk", "street_num_blk", "sdx_street_blk")
 
@@ -234,8 +266,10 @@ object LinkageQueries {
   private def deriveFirst(df: DataFrame): DataFrame =
     df.withColumn("fn1", substring(col("first_name"), 1, 1))
       .withColumn("fn2", substring(col("first_name"), 1, 2))
+      .withColumn("fn3", substring(col("first_name"), 1, 3))
       .withColumn("fn15", substring(col("first_name"), 1, 15))
       .withColumn("fn12", substring(col("first_name"), 1, 12))
+      .withColumn("cut_first", Preprocess.initialCut(substring(col("first_name"), 1, 1)))
       .withColumn("nys_first", Phonetics.nysKey(col("first_name")))
       .withColumn("rsdx_first", Phonetics.rsdx(col("first_name")))
 
@@ -244,8 +278,10 @@ object LinkageQueries {
       .withColumn("zip3", substring(col("zipcode"), 1, 3))
       .withColumn("ln1", substring(col("last_name"), 1, 1))
       .withColumn("ln2", substring(col("last_name"), 1, 2))
+      .withColumn("ln3", substring(col("last_name"), 1, 3))
       .withColumn("ln12", substring(col("last_name"), 1, 12))
       .withColumn("ln15", substring(col("last_name"), 1, 15))
+      .withColumn("cut_last", Preprocess.initialCut(substring(col("last_name"), 1, 1)))
       .withColumn("nys_last", Phonetics.nysKey(col("last_name")))
       .withColumn("rsdx_last", Phonetics.rsdx(col("last_name")))
       .withColumn("sdx_street", Phonetics.sdx(col("street_std")))
@@ -336,12 +372,38 @@ object LinkageQueries {
     val isHb0 = hhm && pmod(k, lit(4)) === 2 && !isN0 && !isV0
     val isSw0 = pmod(k, lit(23)) === 0 && !isN0 && !isV0 &&
       !(hhm && (pmod(k, lit(4)) === 1 || pmod(k, lit(4)) === 2))
-    // Census staleness: moved households, the N/V classes, and class K
-    // (nickname records are stale so no address pass can recover them).
-    val stale0 = hhm || isN0 || pmod(k, lit(19)) === 0 || isK0
+    // SwZ (geosearch street-switch): transposed messy names + zip typo +
+    // the Sw DOB bumps. The broken zip keeps both geokey passes from
+    // blocking, the transposition keeps the plain street pass below
+    // threshold, and the bumped day+month keeps the dobsearch
+    // initials-switch cut out — p3b is the only recoverer.
+    val isSwz0 = pmod(k, lit(47)) === 0 && !isN0 && !isV0 && !hhm &&
+      pmod(k, lit(23)) =!= 0 && pmod(k, lit(37)) =!= 0 && pmod(k, lit(41)) =!= 0 &&
+      pmod(k, lit(200)) >= 20
+    // SwD (dobsearch initials-switch): names transposed CLEAN, DOB intact,
+    // census address stale — only the swapped-initials blocking with the
+    // day+month cut can reach these.
+    val isSwd0 = pmod(k, lit(31)) === 0 && !isN0 && !isV0 && !hhm &&
+      pmod(k, lit(23)) =!= 0 && pmod(k, lit(37)) =!= 0 &&
+      pmod(k, lit(41)) =!= 0 && pmod(k, lit(47)) =!= 0 &&
+      pmod(k, lit(17)) =!= 0 && pmod(k, lit(13)) =!= 0
+    // L (dobsearch fn2+yob): last name replaced wholesale (reversed —
+    // breaks ln1/ln2/ln3, NYSIIS, forward and reverse Soundex), first name
+    // and DOB clean, census address stale — only fn2+yob blocking reaches
+    // these, and the weight survives one full-disagreement name.
+    val isL0 = pmod(k, lit(43)) === 0 && !isN0 && !isV0 && !hhm &&
+      pmod(k, lit(23)) =!= 0 && pmod(k, lit(37)) =!= 0 &&
+      pmod(k, lit(41)) =!= 0 && pmod(k, lit(31)) =!= 0 &&
+      pmod(k, lit(47)) =!= 0 &&
+      pmod(k, lit(17)) =!= 0 && pmod(k, lit(13)) =!= 0
+    // Census staleness: moved households, the N/V classes, and the
+    // K/SwD/L classes (stale admin data keeps address passes from
+    // recovering them first).
+    val stale0 = hhm || isN0 || pmod(k, lit(19)) === 0 || isK0 || isSwd0 || isL0
     People.persons(s, d).select(col("*"),
       isN0.as("is_n"), isV0.as("is_v"), isF0.as("is_f"), isK0.as("is_k"),
       isHa0.as("is_ha"), isHb0.as("is_hb"), isSw0.as("is_sw"),
+      isSwz0.as("is_swz"), isSwd0.as("is_swd"), isL0.as("is_l"),
       stale0.as("is_stale"))
   }
 
@@ -349,7 +411,8 @@ object LinkageQueries {
     val k = col("k")
     val isN = col("is_n"); val isV = col("is_v"); val isF = col("is_f")
     val isK = col("is_k"); val isHa = col("is_ha"); val isHb = col("is_hb")
-    val isSw = col("is_sw")
+    val isSw = col("is_sw"); val isSwz = col("is_swz")
+    val isSwd = col("is_swd"); val isL = col("is_l")
     val pre = flagged.select(
       k.as("rec_id"),
       when(isN, vowelMangle(col("first_name")))
@@ -358,28 +421,32 @@ object LinkageQueries {
         .when(isK, nickOf(col("first_name")))
         .when(isHa, col("first_name"))
         .when(isHb, substring(col("first_name"), 2, Int.MaxValue))
-        .when(isSw, col("messy_last"))
+        .when(isSw || isSwz, col("messy_last"))
+        .when(isSwd, col("last_name"))
+        .when(isL, col("first_name"))
         .otherwise(col("messy_first")).as("first_name"),
       when(isN, vowelMangle(col("last_name")))
         .when(isV, letterMangle(col("last_name")))
         .when(isF, lit("UNKNOWN"))
         .when(isK || isHa || isHb, col("last_name"))
-        .when(isSw, col("messy_first"))
+        .when(isSw || isSwz, col("messy_first"))
+        .when(isSwd, col("first_name"))
+        .when(isL, reverse(col("last_name")))
         .otherwise(col("messy_last")).as("last_name"),
       col("middle_initial"),
       when(isHa, col("dob_year") + 1).otherwise(col("dob_year"))
         .cast("int").as("dob_year"),
-      when(isHa || isHb || isSw || isF, pmod(col("dob_month"), lit(12)) + 1)
+      when(isHa || isHb || isSw || isSwz || isF, pmod(col("dob_month"), lit(12)) + 1)
         .otherwise(col("dob_month")).cast("int").as("dob_month"),
-      when(isHb || isSw || isF, pmod(col("dob_day"), lit(28)) + 1)
-        .when(isN || isV || isHa || isK, col("dob_day"))
+      when(isHb || isSw || isSwz || isF, pmod(col("dob_day"), lit(28)) + 1)
+        .when(isN || isV || isHa || isK || isSwd || isL, col("dob_day"))
         .when(pmod(k, lit(13)) === 0, pmod(col("dob_day"), lit(28)) + 1)
         .otherwise(col("dob_day")).cast("int").as("dob_day"),
       col("street_num"),
       std(col("street_raw")).as("street_std"),
       std(col("unit_raw")).as("unit_std"),
       col("city"), col("state"),
-      when(pmod(k, lit(17)) === 0,
+      when(pmod(k, lit(17)) === 0 || isSwz,
         concat(substring(col("zipcode"), 1, 3), lit("99")))
         .otherwise(col("zipcode")).as("zipcode"),
       col("housing_type"))
@@ -515,6 +582,15 @@ object LinkageQueries {
   private val hbSql = s"($hhmSql AND k % 4 = 2 AND $notNV)"
   private val swSql =
     s"(k % 23 = 0 AND $notNV AND NOT ($hhmSql AND (k % 4 = 1 OR k % 4 = 2)))"
+  private val swzSql =
+    s"(k % 47 = 0 AND $notNV AND NOT $hhmSql AND k % 23 <> 0 AND k % 37 <> 0 " +
+      "AND k % 41 <> 0 AND k % 200 >= 20)"
+  private val swdSql =
+    s"(k % 31 = 0 AND $notNV AND NOT $hhmSql AND k % 23 <> 0 AND k % 37 <> 0 " +
+      "AND k % 41 <> 0 AND k % 47 <> 0 AND k % 17 <> 0 AND k % 13 <> 0)"
+  private val lSql =
+    s"(k % 43 = 0 AND $notNV AND NOT $hhmSql AND k % 23 <> 0 AND k % 37 <> 0 " +
+      "AND k % 41 <> 0 AND k % 31 <> 0 AND k % 47 <> 0 AND k % 17 <> 0 AND k % 13 <> 0)"
 
   private def nullPlaceholderSql(x: String): String =
     s"CASE WHEN $x IN (${Preprocess.placeholderNamesSqlList}) THEN NULL ELSE $x END"
@@ -535,30 +611,35 @@ object LinkageQueries {
        |              WHEN $kSql THEN ${nickOfSql("first_name")}
        |              WHEN $haSql THEN first_name
        |              WHEN $hbSql THEN substr(first_name, 2)
-       |              WHEN $swSql THEN messy_last
+       |              WHEN $swSql OR $swzSql THEN messy_last
+       |              WHEN $swdSql THEN last_name
+       |              WHEN $lSql THEN first_name
        |              ELSE messy_first END AS first_name,
        |         CASE WHEN $nSql THEN ${vowelMangleSql("last_name")}
        |              WHEN $vSql THEN ${letterMangleSql("last_name")}
        |              WHEN $fSql THEN 'UNKNOWN'
        |              WHEN $kSql OR $haSql OR $hbSql THEN last_name
-       |              WHEN $swSql THEN messy_first
+       |              WHEN $swSql OR $swzSql THEN messy_first
+       |              WHEN $swdSql THEN first_name
+       |              WHEN $lSql THEN reverse(last_name)
        |              ELSE messy_last END AS last_name,
        |         middle_initial,
        |         CAST(CASE WHEN $haSql THEN dob_year + 1 ELSE dob_year END AS INTEGER) AS dob_year,
-       |         CAST(CASE WHEN $haSql OR $hbSql OR $swSql OR $fSql THEN dob_month % 12 + 1 ELSE dob_month END AS INTEGER) AS dob_month,
-       |         CAST(CASE WHEN $hbSql OR $swSql OR $fSql THEN dob_day % 28 + 1
-       |              WHEN $nSql OR $vSql OR $haSql OR $kSql THEN dob_day
+       |         CAST(CASE WHEN $haSql OR $hbSql OR $swSql OR $swzSql OR $fSql THEN dob_month % 12 + 1 ELSE dob_month END AS INTEGER) AS dob_month,
+       |         CAST(CASE WHEN $hbSql OR $swSql OR $swzSql OR $fSql THEN dob_day % 28 + 1
+       |              WHEN $nSql OR $vSql OR $haSql OR $kSql OR $swdSql OR $lSql THEN dob_day
        |              WHEN k % 13 = 0 THEN dob_day % 28 + 1
        |              ELSE dob_day END AS INTEGER) AS dob_day,
        |         street_num,
        |         ${stdSql("street_raw")} AS street_std,
        |         ${stdSql("unit_raw")} AS unit_std,
        |         city, state,
-       |         CASE WHEN k % 17 = 0 THEN substr(zipcode, 1, 3) || '99' ELSE zipcode END AS zipcode,
+       |         CASE WHEN k % 17 = 0 OR $swzSql THEN substr(zipcode, 1, 3) || '99' ELSE zipcode END AS zipcode,
        |         housing_type
        |  FROM persons) raw)""".stripMargin
 
-  private val censusStaleSql = s"($hhmSql OR k % 29 = 0 OR k % 19 = 0 OR $kSql)"
+  private val censusStaleSql =
+    s"($hhmSql OR k % 29 = 0 OR k % 19 = 0 OR $kSql OR $swdSql OR $lSql)"
 
   private val censusPreCte: String =
     s"""census_pre AS MATERIALIZED (
@@ -579,12 +660,16 @@ object LinkageQueries {
     s"""substr(zipcode, 1, 3) AS zip3,
        |         substr(first_name, 1, 1) AS fn1,
        |         substr(first_name, 1, 2) AS fn2,
+       |         substr(first_name, 1, 3) AS fn3,
        |         substr(last_name, 1, 1) AS ln1,
        |         substr(last_name, 1, 2) AS ln2,
+       |         substr(last_name, 1, 3) AS ln3,
        |         substr(first_name, 1, 15) AS fn15,
        |         substr(last_name, 1, 12) AS ln12,
        |         substr(first_name, 1, 12) AS fn12,
        |         substr(last_name, 1, 15) AS ln15,
+       |         ${Preprocess.initialCutSql("substr(first_name, 1, 1)")} AS cut_first,
+       |         ${Preprocess.initialCutSql("substr(last_name, 1, 1)")} AS cut_last,
        |         ${Phonetics.nysKeySql("first_name")} AS nys_first,
        |         ${Phonetics.nysKeySql("last_name")} AS nys_last,
        |         ${Phonetics.rsdxSql("first_name")} AS rsdx_first,
@@ -600,7 +685,8 @@ object LinkageQueries {
 
   /** Column set of input_base (mirror of what derive() leaves in scope). */
   private val derivedColsSeq = Seq(
-    "zip3", "fn1", "fn2", "ln1", "ln2", "fn15", "ln12", "fn12", "ln15",
+    "zip3", "fn1", "fn2", "fn3", "ln1", "ln2", "ln3",
+    "fn15", "ln12", "fn12", "ln15", "cut_first", "cut_last",
     "nys_first", "nys_last", "rsdx_first", "rsdx_last", "sdx_street", "geokey")
 
   /** The first-name-derived columns an alternate row recomputes (mirror of
@@ -609,8 +695,10 @@ object LinkageQueries {
   private val firstDerivedSql: Map[String, String] = Map(
     "fn1" -> "substr(first_name, 1, 1)",
     "fn2" -> "substr(first_name, 1, 2)",
+    "fn3" -> "substr(first_name, 1, 3)",
     "fn15" -> "substr(first_name, 1, 15)",
     "fn12" -> "substr(first_name, 1, 12)",
+    "cut_first" -> Preprocess.initialCutSql("substr(first_name, 1, 1)"),
     "nys_first" -> Phonetics.nysKeySql("first_name"),
     "rsdx_first" -> Phonetics.rsdxSql("first_name"))
 

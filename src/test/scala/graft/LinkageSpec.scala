@@ -120,7 +120,8 @@ class LinkageSpec extends SparkTestBase {
     // No earlier pass should have caught a class-N record: the vowel swap
     // breaks geokey (stale census address), fn2/ln2, and prefixes.
     val early = cascade.filter(t => t._2 % 29 == 0 &&
-      Set("p1_geokey", "p2_geokey_switch", "p3_street_sdx").contains(t._3))
+      Set("p1_geokey", "p2_geokey_switch", "p3_street_sdx",
+        "p3b_street_sdx_switch").contains(t._3))
     assert(early.isEmpty, s"class-N recovered before NYSIIS: ${early.toSeq}")
   }
 
@@ -129,6 +130,82 @@ class LinkageSpec extends SparkTestBase {
     val classV = links.filter(t => t._2 % 19 == 0 && t._2 % 29 != 0)
     assert(classV.nonEmpty, "reverse-soundex pass recovered no class-V records")
     classV.foreach { case (pik, rec, _) => assert(pik == rec, s"V mislink $pik -> $rec") }
+  }
+
+  /** Class-SwZ membership (transposed names + zip typo; mirror of
+    * inputPre's isSwz).
+    */
+  private def isSwzRec(k: Long): Boolean =
+    k % 47 == 0 && k % 29 != 0 && k % 19 != 0 && !movedHh(k) &&
+      k % 23 != 0 && k % 37 != 0 && k % 41 != 0 && k % 200 >= 20
+
+  test("street-soundex name-switch pass recovers transposed names with zip typos") {
+    // SwZ: the broken zip keeps both geokey passes from blocking, the
+    // transposed names keep the plain street pass below threshold, and the
+    // bumped Sw-style day+month keeps the dobsearch initials-switch cut
+    // from firing — p3b is the only recoverer.
+    val links = linksOf("p3b_street_sdx_switch")
+    assert(links.nonEmpty, "street-switch pass linked nothing")
+    links.foreach { case (pik, rec, _) =>
+      assert(pik == rec, s"street-switch mislink $pik -> $rec")
+      assert(isSwzRec(rec), s"street-switch linked a non-SwZ record $rec")
+    }
+    val expected = census.select("pik").collect().map(_.getLong(0)).filter(isSwzRec).toSet
+    assert(links.map(_._2).toSet == expected,
+      s"class-SwZ coverage: got ${links.size}, expected ${expected.size}")
+  }
+
+  /** Class-SwD membership (transposed clean names, DOB intact, stale
+    * census; mirror of inputPre's isSwd).
+    */
+  private def isSwdRec(k: Long): Boolean =
+    k % 31 == 0 && k % 29 != 0 && k % 19 != 0 && !movedHh(k) &&
+      k % 23 != 0 && k % 37 != 0 && k % 41 != 0 && k % 47 != 0 &&
+      k % 17 != 0 && k % 13 != 0
+
+  /** Class-L membership (reversed last name; mirror of inputPre's isL). */
+  private def isLRec(k: Long): Boolean =
+    k % 43 == 0 && k % 29 != 0 && k % 19 != 0 && !movedHh(k) &&
+      k % 23 != 0 && k % 37 != 0 && k % 41 != 0 && k % 31 != 0 &&
+      k % 47 != 0 && k % 17 != 0 && k % 13 != 0
+
+  test("dobsearch initials-switch pass recovers transposed names at stale addresses") {
+    val swd = cascade.filter(t => isSwdRec(t._2))
+    assert(swd.nonEmpty, "no class-SwD records recovered")
+    swd.foreach { case (pik, rec, pass) =>
+      assert(pik == rec, s"SwD mislink $pik -> $rec")
+      assert(pass == "p7b_initials_switch",
+        s"SwD recovered by unexpected pass $pass for $rec")
+    }
+    val expected = census.select("pik").collect().map(_.getLong(0)).filter(isSwdRec).toSet
+    assert(swd.map(_._2).toSet == expected,
+      s"class-SwD coverage: got ${swd.size}, expected ${expected.size}")
+  }
+
+  test("dobsearch first2+yob pass recovers reversed-last-name records") {
+    val l = cascade.filter(t => isLRec(t._2))
+    assert(l.nonEmpty, "no class-L records recovered")
+    l.foreach { case (pik, rec, pass) =>
+      assert(pik == rec, s"L mislink $pik -> $rec")
+      assert(pass == "p8b_fn2_yob", s"L recovered by unexpected pass $pass for $rec")
+    }
+    val expected = census.select("pik").collect().map(_.getLong(0)).filter(isLRec).toSet
+    assert(l.map(_._2).toSet == expected,
+      s"class-L coverage: got ${l.size}, expected ${expected.size}")
+  }
+
+  test("name3 pass links nothing bday+name2 has not already caught") {
+    // Structural shadowing on shared sides: agreement on (fn3, ln3, day,
+    // month) implies agreement on (fn2, ln2, day, month) plus the initial
+    // cuts, which is exactly p7_bday_name's blocking with an identical
+    // comparison set — so whatever survives to p7c scores identically and
+    // was already decided. The pass exists for reference fidelity (the
+    // reference's dobsearch runs against a different reference file with
+    // alternate name/DOB combinations); any link it does make must be
+    // correct.
+    linksOf("p7c_name3").foreach { case (pik, rec, _) =>
+      assert(pik == rec, s"name3 mislink $pik -> $rec")
+    }
   }
 
   test("hhcomp passes recover moved-household records via housemate links") {
@@ -186,7 +263,8 @@ class LinkageSpec extends SparkTestBase {
     // phonetic/prefix key of the raw nickname matches the canonical name —
     // only the expanded alternate row blocks.
     val early = cascade.filter(t => isKRec(t._2) &&
-      Set("p1_geokey", "p2_geokey_switch", "p3_street_sdx").contains(t._3))
+      Set("p1_geokey", "p2_geokey_switch", "p3_street_sdx",
+        "p3b_street_sdx_switch").contains(t._3))
     assert(early.isEmpty, s"class-K recovered before expansion could matter: ${early.toSeq}")
     val expected = census.select("pik").collect().map(_.getLong(0)).filter(isKRec).toSet
     assert(kLinks.map(_._2).toSet == expected,
@@ -197,7 +275,7 @@ class LinkageSpec extends SparkTestBase {
     val gqRecs = cascade.filter(t =>
       t._2 % 200 < 20 &&
         Set("p1_geokey", "p2_geokey_switch", "p3_street_sdx",
-          "p9_hh_initials", "p10_hh_yob").contains(t._3))
+          "p3b_street_sdx_switch", "p9_hh_initials", "p10_hh_yob").contains(t._3))
     assert(gqRecs.isEmpty, s"GQ records linked via address blocking: ${gqRecs.toSeq}")
   }
 
