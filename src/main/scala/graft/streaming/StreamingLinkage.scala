@@ -1,0 +1,58 @@
+package graft.streaming
+
+import graft.linkage.{BlockingPass, LinkageCascade, LinkageConfig}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming linkage: continuous PIK assignment for records arriving on a
+  * stream, scored against a static census reference — the production
+  * deployment shape of the flagship cascade (the reference links fixed
+  * files; an engine fed by a live intake queue links the same model
+  * per-arrival). Reuses the batch blocking/scoring machinery verbatim:
+  * the Column trees are identical, so streaming and batch scores cannot
+  * drift (StreamingSpec asserts equality against the batch predict pass).
+  *
+  * Scale shape: each micro-batch plans the same single equi-join on the
+  * pass's block keys that the batch pass plans; the arriving batch is
+  * small, so at scale the natural physical pick is broadcasting the
+  * arrivals against a bucketed census table — no stateful streaming
+  * shuffle, no watermark-bounded state (scoring is stateless; only the
+  * OPTIONAL per-batch best-link resolution aggregates, and it aggregates
+  * within one micro-batch only).
+  */
+object StreamingLinkage {
+
+  /** Reconstitute full derived records for an arriving stream of rec_ids
+    * (intake queues carry keys, not 25-column derived rows) via a
+    * stream-static join against the preprocessed input snapshot.
+    */
+  def reconstitute(arrivals: DataFrame, inputStatic: DataFrame): DataFrame =
+    arrivals.join(inputStatic, Seq("rec_id"))
+
+  /** One blocked predict pass over a stream of (derived) input records:
+    * block → score → offset → threshold, in append mode. Best-link
+    * resolution is NOT applied here — window aggregation over an unbounded
+    * stream is unsupported and semantically unbounded; resolve per
+    * micro-batch with [[resolveBatch]] (foreachBatch) or downstream.
+    */
+  def scoredLinks(census: DataFrame, inputStream: DataFrame, pass: BlockingPass,
+      cfg: LinkageConfig): DataFrame = {
+    val scored = LinkageCascade.score(
+      LinkageCascade.pairs(census, inputStream, pass),
+      pass.comparisonsFor(cfg), pass.constGammas)
+    val offset =
+      if (pass.weightOffset == 0.0) scored
+      else scored.withColumn("match_weight", col("match_weight") + lit(pass.weightOffset))
+    offset
+      .filter(col("match_weight") >= cfg.thresholdWeight)
+      .select(col("l_pik").as("pik"), col("r_rec_id").as("rec_id"), col("match_weight"))
+  }
+
+  /** Per-micro-batch best-link resolution for a foreachBatch sink: each
+    * record arrives on exactly one micro-batch, so resolving within the
+    * batch equals the batch pass's resolution for that record's candidate
+    * set.
+    */
+  def resolveBatch(scoredBatch: DataFrame): DataFrame =
+    LinkageCascade.bestLink(scoredBatch)
+}

@@ -188,6 +188,53 @@ class StreamingSpec extends SparkTestBase {
         s"only-batch=${(batch -- streamed).take(5)}")
   }
 
+  test("streaming linkage predict agrees with the batch pass per arrival") {
+    import graft.functions.GraftFunctions
+    import graft.linkage.LinkageCascade
+    import graft.queries.LinkageQueries
+    import graft.streaming.StreamingLinkage
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    GraftFunctions.register(spark)
+
+    val census = LinkageQueries.census(spark, sfDir)
+    val input = LinkageQueries.input(spark, sfDir)
+    val cfg = LinkageQueries.config
+    val pass = cfg.passes.find(_.name == "p1_geokey").get
+
+    // Arrivals carry rec_ids only (the intake-queue shape); records are
+    // reconstituted from the static preprocessed snapshot, then scored.
+    val stream = MemoryStream[Long]
+    val arrivals = stream.toDF().withColumnRenamed("value", "rec_id")
+    val scored = StreamingLinkage.scoredLinks(census,
+      StreamingLinkage.reconstitute(arrivals, input), pass, cfg)
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val query = scored.writeStream.outputMode("append")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        out ++= StreamingLinkage.resolveBatch(df).select("pik", "rec_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        ()
+      }.start()
+    try {
+      val recIds = input.select("rec_id").distinct()
+        .collect().map(_.getLong(0)).sorted
+      val (first, second) = recIds.splitAt(recIds.length / 2)
+      stream.addData(first.toIndexedSeq)
+      query.processAllAvailable()
+      stream.addData(second.toIndexedSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val batch = LinkageCascade.predict(census, input, pass, cfg)
+      .select("pik", "rec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.toSet == batch,
+      s"streaming vs batch predict differ: only-streaming=${(out.toSet -- batch).take(5)} " +
+        s"only-batch=${(batch -- out.toSet).take(5)}")
+  }
+
   test("q69 sketches bound the exact answers") {
     import graft.queries.StreamingQueries
     val approx = StreamingQueries.defs.find(_.name == "q69_sketch_stats").get
