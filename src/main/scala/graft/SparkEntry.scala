@@ -10,6 +10,7 @@ object SparkEntry {
       _root_.graft.queries.PrepQueries.defs ++
       _root_.graft.queries.StringQueries.defs ++
       _root_.graft.queries.LinkageQueries.defs ++
+      _root_.graft.queries.RefFileQueries.defs ++
       _root_.graft.queries.PipelineQueries.defs ++
       _root_.graft.queries.StreamingQueries.defs
 

@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.ops.{DfOps, Lineage}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.G — reference-file construction (the notebook-02 surface:
+  * /root/reference/02_generate_case_study_files.ipynb). A two-era
+  * "numident" derives deterministically from `persons` (era 0 clean
+  * names, era 1 the messy name variants and a bumped DOB day for k%6),
+  * then the lineage operators build the alternate-name file, the
+  * name×DOB reference file (all combinations per SSN, each record
+  * tracing to every source row that contributed), and the SSN→PIK
+  * assignment — cells 62/66/70/114.
+  *
+  * Spark + DuckDB render from the same construction so the whole chain is
+  * hash-verified: group-mins for dedupe ids, parent-id concatenation for
+  * merge ids, windowed group mapping for pairings.
+  */
+object RefFileQueries {
+
+  /** Two rows per person: the SSA-era clean record and a later filing with
+    * the messy names (and a shifted DOB day for k%6 — alternate DOBs).
+    */
+  private def numident(s: SparkSession, d: String): DataFrame = {
+    val p = People.persons(s, d)
+    val era0 = p.select(
+      concat(lit("num0_"), col("k")).as("record_id"),
+      col("k").as("ssn"),
+      col("first_name"), col("last_name"),
+      col("dob_year"), col("dob_month"), col("dob_day"))
+    // k%9==0 refiles under the unchanged clean name, so a real fraction of
+    // (ssn, name) groups COLLAPSES in the alternate-name dedupe
+    // (n_sources 2) rather than every era minting a new alternate.
+    val era1 = p.select(
+      concat(lit("num1_"), col("k")).as("record_id"),
+      col("k").as("ssn"),
+      when(pmod(col("k"), lit(9)) === 0, col("first_name"))
+        .otherwise(col("messy_first")).as("first_name"),
+      when(pmod(col("k"), lit(9)) === 0, col("last_name"))
+        .otherwise(col("messy_last")).as("last_name"),
+      col("dob_year"), col("dob_month"),
+      when(pmod(col("k"), lit(6)) === 0, pmod(col("dob_day"), lit(28)) + 1)
+        .otherwise(col("dob_day")).cast("int").as("dob_day"))
+    era0.unionByName(era1)
+  }
+
+  private val numidentCte: String =
+    s"""numident AS (
+       |  SELECT 'num0_' || CAST(k AS VARCHAR) AS record_id, k AS ssn,
+       |         first_name, last_name, dob_year, dob_month, dob_day
+       |  FROM persons
+       |  UNION ALL
+       |  SELECT 'num1_' || CAST(k AS VARCHAR), k,
+       |         CASE WHEN k % 9 = 0 THEN first_name ELSE messy_first END,
+       |         CASE WHEN k % 9 = 0 THEN last_name ELSE messy_last END,
+       |         dob_year, dob_month,
+       |         CAST(CASE WHEN k % 6 = 0 THEN dob_day % 28 + 1 ELSE dob_day END AS INTEGER)
+       |  FROM persons)""".stripMargin
+
+  private val base = s"WITH ${People.personsCte},\n$numidentCte"
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      // Alternate-name file (cell 62): dedupe the numident on
+      // (ssn, names), each output record carrying how many source rows
+      // collapsed into it. One shuffle on the dedupe keys.
+      "q71_alternate_names",
+      (s, d) => {
+        val n = numident(s, d)
+        val (alt, pairs) = Lineage.dedupePreservingSourceRecords(
+          n, Lineage.initPairs(n), Seq("ssn", "first_name", "last_name"), "altn")
+        alt.join(
+          pairs.groupBy("record_id")
+            .agg(countDistinct("source_record_id").as("n_sources")),
+          Seq("record_id"))
+          .select("record_id", "ssn", "first_name", "last_name", "n_sources")
+      },
+      Some(s"""$base
+              |SELECT 'altn_' || min(record_id) AS record_id, ssn,
+              |       first_name, last_name,
+              |       count(DISTINCT record_id) AS n_sources
+              |FROM numident
+              |GROUP BY ssn, first_name, last_name""".stripMargin)
+    ),
+    QueryDef(
+      // Name×DOB reference file (cells 66/70): alternate names LEFT JOIN
+      // alternate DOBs on ssn — every name/DOB combination per person,
+      // with the merged record's sources = union of both parents'
+      // sources. Joins on ssn only; lineage via two equi-joins + distinct.
+      "q72_name_dob_reference",
+      (s, d) => {
+        val n = numident(s, d)
+        val init = Lineage.initPairs(n)
+        val (altN, pN) = Lineage.dedupePreservingSourceRecords(
+          n, init, Seq("ssn", "first_name", "last_name"), "altn")
+        val (altD, pD) = Lineage.dedupePreservingSourceRecords(
+          n.select("record_id", "ssn", "dob_year", "dob_month", "dob_day"),
+          init, Seq("ssn", "dob_year", "dob_month", "dob_day"), "altd")
+        val (ndr, pM) = Lineage.mergePreservingSourceRecords(
+          altN, pN, altD, pD, Seq("ssn"), "ndr")
+        ndr.join(
+          pM.groupBy("record_id")
+            .agg(countDistinct("source_record_id").as("n_sources")),
+          Seq("record_id"))
+          .select("record_id", "ssn", "first_name", "last_name",
+            "dob_year", "dob_month", "dob_day", "n_sources")
+      },
+      Some(s"""$base,
+              |altn AS (
+              |  SELECT 'altn_' || min(record_id) AS record_id, ssn, first_name, last_name
+              |  FROM numident GROUP BY ssn, first_name, last_name),
+              |altd AS (
+              |  SELECT 'altd_' || min(record_id) AS record_id, ssn, dob_year, dob_month, dob_day
+              |  FROM numident GROUP BY ssn, dob_year, dob_month, dob_day),
+              |ndr AS (
+              |  SELECT 'ndr_' || an.record_id || '_' || coalesce(ad.record_id, 'na') AS record_id,
+              |         an.ssn, an.first_name, an.last_name,
+              |         ad.dob_year, ad.dob_month, ad.dob_day,
+              |         an.record_id AS an_id, ad.record_id AS ad_id
+              |  FROM altn an LEFT JOIN altd ad ON an.ssn = ad.ssn),
+              |an_map AS (
+              |  SELECT record_id AS src,
+              |         'altn_' || min(record_id) OVER (PARTITION BY ssn, first_name, last_name) AS an_id
+              |  FROM numident),
+              |ad_map AS (
+              |  SELECT record_id AS src,
+              |         'altd_' || min(record_id) OVER (PARTITION BY ssn, dob_year, dob_month, dob_day) AS ad_id
+              |  FROM numident),
+              |pairs AS (
+              |  SELECT r.record_id, m.src FROM ndr r JOIN an_map m ON r.an_id = m.an_id
+              |  UNION
+              |  SELECT r.record_id, m.src FROM ndr r JOIN ad_map m ON r.ad_id = m.ad_id),
+              |counts AS (SELECT record_id, count(DISTINCT src) AS n_sources FROM pairs GROUP BY record_id)
+              |SELECT r.record_id, r.ssn, r.first_name, r.last_name,
+              |       r.dob_year, r.dob_month, r.dob_day, c.n_sources
+              |FROM ndr r JOIN counts c ON r.record_id = c.record_id""".stripMargin)
+    ),
+    QueryDef(
+      // SSN→PIK assignment (cell 114): distinct SSNs across the reference
+      // files minted contiguous PIKs — range-partitioned id assignment,
+      // no single-partition window.
+      "q73_ssn_to_pik",
+      (s, d) => {
+        val ssns = numident(s, d).select("ssn").distinct()
+        DfOps.addContiguousId(ssns, "ssn", "pik").select("ssn", "pik")
+      },
+      Some(s"""$base
+              |SELECT ssn, row_number() OVER (ORDER BY ssn) - 1 AS pik
+              |FROM (SELECT DISTINCT ssn FROM numident) t""".stripMargin)
+    )
+  )
+}
