@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
+import graft.operators.Noise
 import graft.ops.{DfOps, Lineage}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -149,6 +150,40 @@ object RefFileQueries {
       Some(s"""$base
               |SELECT ssn, row_number() OVER (ORDER BY ssn) - 1 AS pik
               |FROM (SELECT DISTINCT ssn FROM numident) t""".stripMargin)
+    ),
+    QueryDef(
+      // The notebook-02 1040 noise chain (cells 24-26): wrong-boundary
+      // name re-splits (1%), IRS last-name truncation to 4 chars (40%),
+      // name-part shuffles (1%) — hash-gated instead of RNG-gated, so the
+      // noise is reproducible under any partitioning and DuckDB renders
+      // the identical transform.
+      "q74_noise_inject",
+      (s, d) => {
+        val nameCols = Seq("first_name", "middle_initial", "last_name")
+        val base = People.persons(s, d)
+          .select("k", "first_name", "middle_initial", "last_name")
+        val split = Noise.splitColumnsIncorrectly(base, nameCols, "k", 0.01, 1)
+        val trunc = Noise.truncateColumn(split, "last_name", "k", 0.4, 4, 2)
+        Noise.shuffleColumns(trunc, nameCols, "k", 0.01, 3)
+      }, {
+        val nameCols = Seq("first_name", "middle_initial", "last_name")
+        val sp = Noise.splitColumnsIncorrectlySql(nameCols, "k", 0.01, 1)
+        val tr = Noise.truncateColumnSql("last_name", "k", 0.4, 4, 2)
+        val sh = Noise.shuffleColumnsSql(nameCols, "k", 0.01, 3)
+        Some(s"""WITH ${People.personsCte},
+                |split AS (
+                |  SELECT k, ${sp("first_name")} AS first_name,
+                |         ${sp("middle_initial")} AS middle_initial,
+                |         ${sp("last_name")} AS last_name
+                |  FROM persons),
+                |trunc AS (
+                |  SELECT k, first_name, middle_initial, $tr AS last_name
+                |  FROM split)
+                |SELECT k, ${sh("first_name")} AS first_name,
+                |       ${sh("middle_initial")} AS middle_initial,
+                |       ${sh("last_name")} AS last_name
+                |FROM trunc""".stripMargin)
+      }
     )
   )
 }
