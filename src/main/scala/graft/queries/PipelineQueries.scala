@@ -632,16 +632,20 @@ object PipelineQueries {
           .select(col("doc_id"), TextOps.wordShingles(planted, 5).as("grams"))
         val bench = sh.filter(isBench)
           .select(explode(col("grams")).as("shingle")).distinct()
-        val hits = sh.filter(!isBench)
-          .select(col("doc_id"), explode(col("grams")).as("shingle"))
-          .join(broadcast(bench), Seq("shingle"))
-          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        // ONE shingle pass over the corpus: explode_outer keeps docs whose
+        // gram array is empty (short texts), the broadcast left join marks
+        // benchmark shingles, and a single doc_id aggregate yields both
+        // counters — the naive shape recomputes the shingle projection
+        // per consumer (3 full-corpus passes instead of 1).
         sh.filter(!isBench)
-          .select(col("doc_id"), size(col("grams")).cast("long").as("n_shingles"))
-          .join(hits, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_shingles"),
-            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-            (coalesce(col("n_hits"), lit(0L)) >= 1).as("contaminated"))
+          .select(col("doc_id"), size(col("grams")).cast("long").as("n_shingles"),
+            explode_outer(col("grams")).as("shingle"))
+          .join(broadcast(bench.withColumn("hit", lit(1L))), Seq("shingle"), "left")
+          .groupBy("doc_id")
+          .agg(max("n_shingles").as("n_shingles"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+            (col("n_hits") >= 1).as("contaminated"))
       },
       Some("""WITH planted AS (
              |  SELECT doc_id,
