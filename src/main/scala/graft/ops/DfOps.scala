@@ -114,6 +114,22 @@ object DfOps {
   def concat(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
 
+  /** reference 02_generate_case_study_files.ipynb cell 60
+    * best_data_from_columns: keep each key's best row under an event-date
+    * column in yyyyMMdd text (latest by default). Invalid or missing
+    * dates fill with the value LEAST likely to win, so an undated row
+    * survives only when the key has nothing better — one window over the
+    * shuffle on `by`, no extra exchange.
+    */
+  def bestDataFromColumns(df: DataFrame, by: Seq[String], dateCol: String,
+      bestIsLatest: Boolean = true): DataFrame = {
+    val parsed = try_to_timestamp(col(dateCol), lit("yyyyMMdd")).cast("date")
+    val fill = if (bestIsLatest) "1900-01-01" else "2100-01-01"
+    val filled = df.withColumn("__best_date", coalesce(parsed, lit(fill).cast("date")))
+    dropDuplicates(filled, by, Some("__best_date"), keepLast = bestIsLatest)
+      .drop("__best_date")
+  }
+
   /** pandas-style merge with optional relationship validation ("1:1",
     * "1:m", "m:1") — the reference merges with validate="1:1" in its
     * post-search confirm step. Validation is an action (two tiny aggs).

@@ -29,6 +29,24 @@ class DfOpsSpec extends SparkTestBase {
     }
   }
 
+  test("bestDataFromColumns keeps the latest valid date, undated only as fallback") {
+    val df = Seq(
+      (1L, "s1", "20200115"), (2L, "s1", "20230704"), (3L, "s1", "garbage"),
+      (4L, "s2", "bad"), (5L, "s2", null.asInstanceOf[String]),
+      (6L, "s3", "19991231")
+    ).toDF("id", "ssn", "event_date")
+    val latest = DfOps.bestDataFromColumns(df, Seq("ssn"), "event_date")
+      .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    // s1: the valid 2023 row beats 2020 and the unparseable row; s2 has
+    // only invalid dates, so one of its rows still survives; s3 trivial.
+    assert(latest("s1") == 2L, s"s1 kept ${latest("s1")}")
+    assert(Set(4L, 5L).contains(latest("s2")))
+    assert(latest("s3") == 6L)
+    val earliest = DfOps.bestDataFromColumns(df, Seq("ssn"), "event_date",
+      bestIsLatest = false).collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(earliest("s1") == 1L, s"s1 earliest kept ${earliest("s1")}")
+  }
+
   test("concat tolerates missing columns like pandas") {
     val a = Seq((1, "x")).toDF("id", "name")
     val b = Seq(2).toDF("id")
