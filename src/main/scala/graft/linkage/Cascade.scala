@@ -189,6 +189,31 @@ object LinkageCascade {
     * Scale shape: the bridge is two equi-joins over the (small) link set;
     * the candidate join is an equi-join on geokey. No cross products.
     */
+  /** Per-block cost report for a pass: each block key's side counts and
+    * the implied candidate-pair count, heaviest first — the pre-flight
+    * that decides which passes need `salt` (or a blocking redesign)
+    * BEFORE a 100 TB run, instead of discovering the straggler reducer
+    * mid-job. One aggregate per side + an equi-join on the keys; rows
+    * with a null block key are excluded exactly like the pass's equi-join
+    * excludes them.
+    */
+  def blockSkewReport(census: DataFrame, input: DataFrame, pass: BlockingPass,
+      topN: Int = 20): DataFrame = {
+    val keys = pass.blockKeys
+    val right =
+      if (pass.rightRemap.isEmpty) input
+      else input.select(input.columns.map(c =>
+        col(pass.rightRemap.getOrElse(c, c)).as(c)): _*)
+    val l = census.na.drop(keys)
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_census"))
+    val r = right.na.drop(keys)
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_input"))
+    l.join(r, keys)
+      .withColumn("n_pairs", col("n_census") * col("n_input"))
+      .orderBy((col("n_pairs").desc +: keys.map(col(_).asc)): _*)
+      .limit(topN)
+  }
+
   def hhcompReference(census: DataFrame, input: DataFrame, links: DataFrame): DataFrame = {
     val bridge = links.select("pik", "rec_id")
       .join(

@@ -290,6 +290,24 @@ class LinkageSpec extends SparkTestBase {
     links.unpersist()
   }
 
+  test("block-skew report counts candidate pairs per key exactly") {
+    GraftFunctions.register(spark)
+    val pass = cfg.passes.find(_.name == "p4_name_yob").get
+    val report = LinkageCascade.blockSkewReport(census, input, pass, topN = 5)
+      .collect()
+    assert(report.nonEmpty, "skew report empty")
+    val heaviest = report.head
+    val keys = pass.blockKeys
+    val cond = keys.zipWithIndex.map { case (k, i) =>
+      col(s"l_$k") === lit(heaviest.get(i)) }.reduce(_ && _)
+    val actual = LinkageCascade.pairs(census, input, pass).filter(cond).count()
+    assert(actual == heaviest.getAs[Long]("n_pairs"),
+      s"reported ${heaviest.getAs[Long]("n_pairs")} pairs, actual $actual")
+    // Heaviest-first ordering.
+    val pairsCounts = report.map(_.getAs[Long]("n_pairs")).toSeq
+    assert(pairsCounts == pairsCounts.sortBy(-_), s"not sorted: $pairsCounts")
+  }
+
   test("predict pass plans as a single equi-join, no cartesian product") {
     GraftFunctions.register(spark)
     val plan = LinkageCascade
