@@ -290,6 +290,21 @@ class LinkageSpec extends SparkTestBase {
     links.unpersist()
   }
 
+  test("cascade links are invariant to input partitioning and row order") {
+    GraftFunctions.register(spark)
+    // On a real cluster the physical layout of the inputs is whatever the
+    // previous job left behind; links must not depend on it (no
+    // partition-order tie-breaks anywhere in block/score/bestLink).
+    val base = LinkageCascade.run(census, input, cfg)
+      .select("pik", "rec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def scrambled(df: org.apache.spark.sql.DataFrame) =
+      df.repartition(13).sortWithinPartitions(xxhash64(struct(df.columns.map(col): _*), lit(7)))
+    val alt = LinkageCascade.run(scrambled(census), scrambled(input), cfg)
+      .select("pik", "rec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(base == alt,
+      s"layout changed links: only-base=${(base -- alt).take(5)} only-alt=${(alt -- base).take(5)}")
+  }
+
   test("block-skew report counts candidate pairs per key exactly") {
     GraftFunctions.register(spark)
     val pass = cfg.passes.find(_.name == "p4_name_yob").get
