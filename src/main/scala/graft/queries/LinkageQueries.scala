@@ -334,11 +334,16 @@ object LinkageQueries {
     * probable-GQ aggregation. Two classes exercise the reference's
     * preprocessing wiring (both avoid every other class, moved households,
     * and for F also zip typos/GQ, so exactly one mechanism recovers each):
-    *  - k%37 (F): both names are the placeholder "UNKNOWN" and DOB
-    *    day+month are bumped. Without fake-name null-out the name
-    *    disagreement drags the p1 weight to ~7.9 < 9 (lost); with the
-    *    null-out both name comparisons sit at the null level and p1 links
-    *    at ~13.8.
+    *  - k%37 (F): the FIRST name is the placeholder "UNKNOWN" (the last
+    *    name is real) and DOB day+month are bumped. The fake-name null-out
+    *    routes the first-name comparison to the Splink null level (gamma
+    *    -1, weight 0) instead of a ~-3.2 hard-disagreement penalty —
+    *    exactly the reference's per-column null-out (cell 21 loops over
+    *    first_name, last_name separately). p1 recovers them on geokey.
+    *  - k%59 (F2): BOTH names are placeholders. After the null-out the
+    *    record has no name data, and the reference's insufficient-
+    *    information edit (cell 26) DROPS it before linking — these records
+    *    never enter any pass and stay unPIKed.
     *  - k%41 (K): the first name arrives as a NICKNAME of the canonical
     *    (BILL for WILLIAM) and the census address is stale, so no address
     *    pass blocks and no phonetic/prefix key of the nickname matches.
@@ -396,6 +401,16 @@ object LinkageQueries {
       pmod(k, lit(41)) =!= 0 && pmod(k, lit(31)) =!= 0 &&
       pmod(k, lit(47)) =!= 0 &&
       pmod(k, lit(17)) =!= 0 && pmod(k, lit(13)) =!= 0
+    // F2 (insufficient information): BOTH names are placeholders, so after
+    // the fake-name null-out the record has no name data at all and the
+    // reference DROPS it before linking (03_link_datasets.ipynb cell 26:
+    // keep first_name notnull OR last_name notnull). Mutually exclusive
+    // with every other class by construction.
+    val isF20 = pmod(k, lit(59)) === 0 && !isN0 && !isV0 && !hhm &&
+      pmod(k, lit(23)) =!= 0 && pmod(k, lit(37)) =!= 0 &&
+      pmod(k, lit(41)) =!= 0 && pmod(k, lit(47)) =!= 0 &&
+      pmod(k, lit(31)) =!= 0 && pmod(k, lit(43)) =!= 0 &&
+      pmod(k, lit(200)) >= 20
     // Census staleness: moved households, the N/V classes, and the
     // K/SwD/L classes (stale admin data keeps address passes from
     // recovering them first).
@@ -404,7 +419,7 @@ object LinkageQueries {
       isN0.as("is_n"), isV0.as("is_v"), isF0.as("is_f"), isK0.as("is_k"),
       isHa0.as("is_ha"), isHb0.as("is_hb"), isSw0.as("is_sw"),
       isSwz0.as("is_swz"), isSwd0.as("is_swd"), isL0.as("is_l"),
-      stale0.as("is_stale"))
+      isF20.as("is_f2"), stale0.as("is_stale"))
   }
 
   private def inputPre(flagged: DataFrame): DataFrame = {
@@ -412,12 +427,12 @@ object LinkageQueries {
     val isN = col("is_n"); val isV = col("is_v"); val isF = col("is_f")
     val isK = col("is_k"); val isHa = col("is_ha"); val isHb = col("is_hb")
     val isSw = col("is_sw"); val isSwz = col("is_swz")
-    val isSwd = col("is_swd"); val isL = col("is_l")
+    val isSwd = col("is_swd"); val isL = col("is_l"); val isF2 = col("is_f2")
     val pre = flagged.select(
       k.as("rec_id"),
       when(isN, vowelMangle(col("first_name")))
         .when(isV, letterMangle(col("first_name")))
-        .when(isF, lit("UNKNOWN"))
+        .when(isF || isF2, lit("UNKNOWN"))
         .when(isK, nickOf(col("first_name")))
         .when(isHa, col("first_name"))
         .when(isHb, substring(col("first_name"), 2, Int.MaxValue))
@@ -427,8 +442,8 @@ object LinkageQueries {
         .otherwise(col("messy_first")).as("first_name"),
       when(isN, vowelMangle(col("last_name")))
         .when(isV, letterMangle(col("last_name")))
-        .when(isF, lit("UNKNOWN"))
-        .when(isK || isHa || isHb, col("last_name"))
+        .when(isF2, lit("UNKNOWN"))
+        .when(isF || isK || isHa || isHb, col("last_name"))
         .when(isSw || isSwz, col("messy_first"))
         .when(isSwd, col("first_name"))
         .when(isL, reverse(col("last_name")))
@@ -452,10 +467,13 @@ object LinkageQueries {
       col("housing_type"))
     // Fake-name null-out runs FIRST among the preprocessing steps (a
     // placeholder is not a name, so it must not feed nickname expansion or
-    // any derived key).
+    // any derived key). Then the reference's insufficient-information edit
+    // (cell 26): a record with NO name data left cannot be linked with any
+    // confidence and is dropped before the search modules.
     pre
       .withColumn("first_name", nullPlaceholder(col("first_name")))
       .withColumn("last_name", nullPlaceholder(col("last_name")))
+      .filter(col("first_name").isNotNull || col("last_name").isNotNull)
   }
 
   /** Clean reference file (80% coverage): names exact; the address is the
@@ -591,12 +609,16 @@ object LinkageQueries {
   private val lSql =
     s"(k % 43 = 0 AND $notNV AND NOT $hhmSql AND k % 23 <> 0 AND k % 37 <> 0 " +
       "AND k % 41 <> 0 AND k % 31 <> 0 AND k % 47 <> 0 AND k % 17 <> 0 AND k % 13 <> 0)"
+  private val f2Sql =
+    s"(k % 59 = 0 AND $notNV AND NOT $hhmSql AND k % 23 <> 0 AND k % 37 <> 0 " +
+      "AND k % 41 <> 0 AND k % 47 <> 0 AND k % 31 <> 0 AND k % 43 <> 0 AND k % 200 >= 20)"
 
   private def nullPlaceholderSql(x: String): String =
     s"CASE WHEN $x IN (${Preprocess.placeholderNamesSqlList}) THEN NULL ELSE $x END"
 
   private val inputPreCte: String =
     s"""input_pre AS MATERIALIZED (
+       |  SELECT * FROM (
        |  SELECT rec_id,
        |         ${nullPlaceholderSql("first_name")} AS first_name,
        |         ${nullPlaceholderSql("last_name")} AS last_name,
@@ -607,7 +629,7 @@ object LinkageQueries {
        |  SELECT k AS rec_id,
        |         CASE WHEN $nSql THEN ${vowelMangleSql("first_name")}
        |              WHEN $vSql THEN ${letterMangleSql("first_name")}
-       |              WHEN $fSql THEN 'UNKNOWN'
+       |              WHEN $fSql OR $f2Sql THEN 'UNKNOWN'
        |              WHEN $kSql THEN ${nickOfSql("first_name")}
        |              WHEN $haSql THEN first_name
        |              WHEN $hbSql THEN substr(first_name, 2)
@@ -617,8 +639,8 @@ object LinkageQueries {
        |              ELSE messy_first END AS first_name,
        |         CASE WHEN $nSql THEN ${vowelMangleSql("last_name")}
        |              WHEN $vSql THEN ${letterMangleSql("last_name")}
-       |              WHEN $fSql THEN 'UNKNOWN'
-       |              WHEN $kSql OR $haSql OR $hbSql THEN last_name
+       |              WHEN $f2Sql THEN 'UNKNOWN'
+       |              WHEN $fSql OR $kSql OR $haSql OR $hbSql THEN last_name
        |              WHEN $swSql OR $swzSql THEN messy_first
        |              WHEN $swdSql THEN first_name
        |              WHEN $lSql THEN reverse(last_name)
@@ -636,7 +658,8 @@ object LinkageQueries {
        |         city, state,
        |         CASE WHEN k % 17 = 0 OR $swzSql THEN substr(zipcode, 1, 3) || '99' ELSE zipcode END AS zipcode,
        |         housing_type
-       |  FROM persons) raw)""".stripMargin
+       |  FROM persons) raw) named
+       |  WHERE first_name IS NOT NULL OR last_name IS NOT NULL)""".stripMargin
 
   private val censusStaleSql =
     s"($hhmSql OR k % 29 = 0 OR k % 19 = 0 OR $kSql OR $swdSql OR $lSql)"

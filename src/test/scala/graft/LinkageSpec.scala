@@ -237,6 +237,12 @@ class LinkageSpec extends SparkTestBase {
       k % 23 != 0 && k % 37 != 0 &&
       graft.operators.Preprocess.nicknames.exists(_._1 == firstNameOf(k))
 
+  /** Class-F2 membership (BOTH names placeholders; mirror of isF20). */
+  private def isF2Rec(k: Long): Boolean =
+    k % 59 == 0 && k % 29 != 0 && k % 19 != 0 && !movedHh(k) &&
+      k % 23 != 0 && k % 37 != 0 && k % 41 != 0 && k % 47 != 0 &&
+      k % 31 != 0 && k % 43 != 0 && k % 200 >= 20
+
   test("fake-name null-out rescues placeholder-named records in the geokey pass") {
     val f = cascade.filter(t => isFRec(t._2))
     assert(f.nonEmpty, "no class-F records recovered")
@@ -244,12 +250,33 @@ class LinkageSpec extends SparkTestBase {
       assert(pik == rec, s"F mislink $pik -> $rec")
       assert(pass == "p1_geokey", s"F recovered by unexpected pass $pass for $rec")
     }
-    // Completeness: every census-covered class-F record links (without the
-    // null-out, UNKNOWN-vs-real-name disagreement keeps the p1 weight
-    // below threshold and the class would be lost).
+    // Completeness: every census-covered class-F record links. The
+    // null-out routes the placeholder first name to the null level
+    // (weight 0) instead of a hard-disagreement penalty, per the
+    // reference's per-column fake-name processing (cell 21).
     val expected = census.select("pik").collect().map(_.getLong(0)).filter(isFRec).toSet
     assert(f.map(_._2).toSet == expected,
       s"class-F coverage: got ${f.size}, expected ${expected.size}")
+  }
+
+  test("records with no name data are dropped before linking (cell 26)") {
+    // Class F2 (both names placeholders) survives the null-out with no
+    // name data at all; the reference's insufficient-information edit
+    // drops those records from the input file entirely.
+    val f2Input = input.filter(col("rec_id") % 59 === 0)
+      .select("rec_id").collect().map(_.getLong(0)).filter(isF2Rec)
+    assert(f2Input.isEmpty, s"dropped records still in input: ${f2Input.take(5).toSeq}")
+    // Records that ARE in a k%53 residue but in some OTHER class keep
+    // their name data and stay in the input (the drop is about name
+    // nullness, not class membership).
+    assert(input.filter(col("rec_id") % 59 === 0).count() > 0,
+      "drop removed more than the no-name records")
+    // And they are never linked by any pass.
+    val f2Links = cascade.filter(t => isF2Rec(t._2))
+    assert(f2Links.isEmpty, s"dropped records got linked: ${f2Links.take(5).toSeq}")
+    // The class is non-empty at this sf (otherwise this test is vacuous).
+    val planted = census.select("pik").collect().map(_.getLong(0)).filter(isF2Rec)
+    assert(planted.nonEmpty, "no class-F2 records planted in census coverage")
   }
 
   test("nickname expansion rescues nickname-named records in the name+yob pass") {
