@@ -966,6 +966,76 @@ object LinkageQueries {
   private val countInputSql = "(SELECT CAST(COUNT(*) AS DOUBLE) FROM input)"
   private val countCensusSql = "(SELECT CAST(COUNT(*) AS DOUBLE) FROM census)"
 
+  // ---- model / pass diagnostics (the splink_reports surface) -------------
+
+  private def r12(x: Double): Double =
+    BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def log2d(x: Double): Double = math.log(x) / math.log(2.0)
+
+  /** Human-readable predicate label, shared verbatim by both renderers. */
+  private def levelDesc(p: LevelPred): String = p match {
+    case ExactMatch       => "exact"
+    case JwAtLeast(t)     => s"jw>=$t"
+    case AbsDiffAtMost(d) => s"absdiff<=$d"
+  }
+
+  /** One row per (comparison, gamma level) of the model the cascade scores
+    * with: m, u, Bayes factor K=m/u and log2 match weight — the tabular
+    * content of Splink's m/u-parameters and match-weights charts that the
+    * reference saves per pass (diagnostics/splink_reports/&#42;.html). Both
+    * sides render from [[comparisons]], so the report can never drift from
+    * the scoring.
+    */
+  private val modelReportRows: Seq[(String, String, Int, String,
+      Option[Double], Option[Double], Option[Double], Double)] =
+    comparisons.flatMap { c =>
+      val descByGamma: Map[Int, String] =
+        c.levels.zipWithIndex.map { case (l, i) =>
+          (c.numLevels - i) -> levelDesc(l.pred)
+        }.toMap + (0 -> "else")
+      val levels = c.params.map { case (gamma, m, u) =>
+        (c.name, c.column, gamma, descByGamma(gamma),
+          Some(r12(m)), Some(r12(u)), Some(r12(m / u)), r12(log2d(m / u)))
+      }
+      levels :+ ((c.name, c.column, -1, "null",
+        Option.empty[Double], Option.empty[Double], Option.empty[Double], 0.0))
+    }
+
+  private val modelReportSql: String = {
+    val rows = modelReportRows.map { case (cmp, coln, g, desc, m, u, k, w) =>
+      def d(o: Option[Double]) = o.fold("CAST(NULL AS DOUBLE)")(_.toString)
+      s"('$cmp', '$coln', $g, '$desc', ${d(m)}, ${d(u)}, ${d(k)}, $w)"
+    }
+    s"""SELECT * FROM (VALUES ${rows.mkString(", ")})
+       |AS t(comparison, col_name, gamma, level_desc, m, u, bayes_factor, weight)""".stripMargin
+  }
+
+  /** One row per (pass, comparison): whether the pass scores it, any
+    * blocking-implied constant gamma, the pass's blocking keys and fixed
+    * weight offset — the reference's per-module matching_columns /
+    * cut_columns configuration (cells 83/101/114/138) as a queryable table.
+    */
+  private val passMatrixRows: Seq[(String, Int, String, Int, String,
+      Int, Option[Int], Double)] =
+    (passes ++ hhPasses).zipWithIndex.flatMap { case (p, i) =>
+      comparisons.map { c =>
+        (p.name, i + 1, p.blockKeys.mkString("+"),
+          if (p.rightRemap.nonEmpty) 1 else 0, c.name,
+          if (p.excludeComparisons.contains(c.name)) 0 else 1,
+          p.constGammas.get(c.name), r12(p.weightOffset))
+      }
+    }
+
+  private val passMatrixSql: String = {
+    val rows = passMatrixRows.map { case (pass, ord, keys, sw, cmp, sc, cg, wo) =>
+      val cgs = cg.fold("CAST(NULL AS INTEGER)")(_.toString)
+      s"('$pass', $ord, '$keys', $sw, '$cmp', $sc, $cgs, $wo)"
+    }
+    s"""SELECT * FROM (VALUES ${rows.mkString(", ")})
+       |AS t(pass, ordinal, block_keys, name_switch, comparison, scored, const_gamma, weight_offset)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q26_block_pairs",
@@ -1210,6 +1280,27 @@ object LinkageQueries {
               .as("precision_"))
       },
       Some(pikRateSql)
+    ),
+    QueryDef(
+      // The splink_reports surface (reference diagnostics/splink_reports):
+      // m/u/Bayes-factor/match-weight per comparison level, straight from
+      // the config the cascade scores with.
+      "q75_model_report",
+      (s, _) =>
+        s.createDataFrame(modelReportRows).toDF("comparison", "col_name",
+          "gamma", "level_desc", "m", "u", "bayes_factor", "weight"),
+      Some(modelReportSql)
+    ),
+    QueryDef(
+      // Per-module matching_columns/cut_columns configuration as a table:
+      // which comparisons each pass scores, blocking-implied constant
+      // gammas, and the hhcomp weight offset.
+      "q76_pass_matrix",
+      (s, _) =>
+        s.createDataFrame(passMatrixRows).toDF("pass", "ordinal",
+          "block_keys", "name_switch", "comparison", "scored",
+          "const_gamma", "weight_offset"),
+      Some(passMatrixSql)
     )
   )
 }
