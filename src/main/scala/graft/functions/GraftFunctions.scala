@@ -32,8 +32,21 @@ object GraftFunctions {
           throw new IllegalArgumentException(s"topk_by_score k must be a literal, got $other")
       }
       TopKByScore(es(0), es(1), k).toAggregateExpression()
-    })
+    }),
+    "typo_noise" -> (es =>
+      TypoNoiseExpr(es(0), es(1), litNum(es(2), "typo_noise token ppm").longValue(),
+        litNum(es(3), "typo_noise seed").intValue())),
+    "wrong_digits" -> (es =>
+      WrongDigitsExpr(es(0), es(1), litNum(es(2), "wrong_digits token ppm").longValue(),
+        litNum(es(3), "wrong_digits seed").intValue()))
   )
+
+  private def litNum(e: Expression, what: String): Number = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+      v.asInstanceOf[Number]
+    case other =>
+      throw new IllegalArgumentException(s"$what must be a literal, got $other")
+  }
 
   // Sessions already registered (weak keys: sessions can be GC'd). Keying
   // on the session — not on functionExists — means a name colliding with a
@@ -77,6 +90,14 @@ object GraftFunctions {
   /** Top-k (score desc, id asc) aggregate → array<struct<score,id>>. */
   def topKByScore(score: Column, id: Column, k: Int): Column =
     call_function("topk_by_score", score, id, lit(k))
+
+  /** pseudopeople make_typos: hash-gated QWERTY-adjacent char noise. */
+  def typoNoise(s: Column, key: Column, tokenPpm: Long, seed: Int): Column =
+    call_function("typo_noise", s, key, lit(tokenPpm), lit(seed))
+
+  /** pseudopeople write_wrong_digits: hash-gated wrong-digit char noise. */
+  def wrongDigits(s: Column, key: Column, tokenPpm: Long, seed: Int): Column =
+    call_function("wrong_digits", s, key, lit(tokenPpm), lit(seed))
 
   /** Soundex of the reversed string (PVS blocking key; reference
     * 03_link_datasets.ipynb `reverse_soundex`). Composed from built-ins.

@@ -117,4 +117,121 @@ object Noise {
         s"ELSE $cName END")
     }.toMap
   }
+
+  // ---- pseudopeople column-noise types (notebook 01, cell 16) ------------
+
+  /** pseudopeople make_typos: cell_probability of the row key picking the
+    * cell, then token_probability per character (QWERTY-adjacent
+    * substitution, [[graft.functions.CharNoiseImpl]]).
+    */
+  def makeTypos(df: DataFrame, column: String, key: String,
+      cellProbability: Double, tokenProbability: Double, seed: Int): DataFrame =
+    project(df, Map(column ->
+      when(gate(col(key), cellProbability, seed),
+        graft.functions.GraftFunctions.typoNoise(col(column), col(key),
+          math.round(tokenProbability * 1e6), seed + 1))
+        .otherwise(col(column))))
+
+  /** pseudopeople write_wrong_digits: as [[makeTypos]] but each gated
+    * digit character becomes a different digit.
+    */
+  def writeWrongDigits(df: DataFrame, column: String, key: String,
+      cellProbability: Double, tokenProbability: Double, seed: Int): DataFrame =
+    project(df, Map(column ->
+      when(gate(col(key), cellProbability, seed),
+        graft.functions.GraftFunctions.wrongDigits(col(column), col(key),
+          math.round(tokenProbability * 1e6), seed + 1))
+        .otherwise(col(column))))
+
+  /** Per-character transform shared by the two char-noise SQL renderers:
+    * list_transform over character positions with the same hash
+    * arithmetic as the JVM kernel, concatenated back in order.
+    */
+  private def charNoiseSql(column: String, key: String, tokenPpm: Long,
+      seed: Int)(replaceCase: (String, String) => String): String = {
+    val base = s"($key * 131 + i + $seed)"
+    val cur = s"substr($column, CAST(i + 1 AS INT), 1)"
+    s"CASE WHEN $column IS NULL THEN NULL WHEN length($column) = 0 THEN '' " +
+      s"ELSE list_aggregate(list_transform(range(0, length($column)), i -> " +
+      s"CASE WHEN ($base * 2654435761 % 1000000 + 1000000) % 1000000 < $tokenPpm " +
+      s"THEN ${replaceCase(cur, base)} ELSE $cur END), 'string_agg', '') END"
+  }
+
+  def makeTyposSql(column: String, key: String, cellProbability: Double,
+      tokenProbability: Double, seed: Int): String = {
+    val tokenPpm = math.round(tokenProbability * 1e6)
+    val inner = charNoiseSql(column, key, tokenPpm, seed + 1) { (cur, base) =>
+      val arms = graft.functions.CharNoiseImpl.adjacency.toSeq.sortBy(_._1)
+        .map { case (c, cand) =>
+          s"WHEN '$c' THEN substr('$cand', " +
+            s"CAST(($base * 5167 % 104729 + 104729) % 104729 % ${cand.length} AS INT) + 1, 1)"
+        }.mkString(" ")
+      s"(CASE $cur $arms ELSE $cur END)"
+    }
+    s"CASE WHEN ${gateSql(key, cellProbability, seed)} THEN $inner ELSE $column END"
+  }
+
+  def writeWrongDigitsSql(column: String, key: String, cellProbability: Double,
+      tokenProbability: Double, seed: Int): String = {
+    val tokenPpm = math.round(tokenProbability * 1e6)
+    val inner = charNoiseSql(column, key, tokenPpm, seed + 1) { (cur, base) =>
+      s"(CASE WHEN $cur BETWEEN '0' AND '9' THEN CAST((CAST($cur AS INT) + 1 + " +
+        s"CAST(($base * 5167 % 104729 + 104729) % 104729 % 9 AS INT)) % 10 AS VARCHAR) ELSE $cur END)"
+    }
+    s"CASE WHEN ${gateSql(key, cellProbability, seed)} THEN $inner ELSE $column END"
+  }
+
+  /** pseudopeople leave_blank: hash-selected cells become NULL. */
+  def leaveBlank(df: DataFrame, column: String, key: String,
+      cellProbability: Double, seed: Int): DataFrame =
+    project(df, Map(column ->
+      when(gate(col(key), cellProbability, seed), lit(null).cast("string"))
+        .otherwise(col(column))))
+
+  def leaveBlankSql(column: String, key: String, cellProbability: Double,
+      seed: Int): String =
+    s"CASE WHEN ${gateSql(key, cellProbability, seed)} THEN NULL ELSE $column END"
+
+  /** pseudopeople swap_month_and_day: selected rows exchange the two
+    * columns (one simultaneous projection — neither side observes the
+    * other's overwrite).
+    */
+  def swapColumns(df: DataFrame, c1: String, c2: String, key: String,
+      rowProbability: Double, seed: Int): DataFrame = {
+    val g = gate(col(key), rowProbability, seed)
+    project(df, Map(
+      c1 -> when(g, col(c2)).otherwise(col(c1)),
+      c2 -> when(g, col(c1)).otherwise(col(c2))))
+  }
+
+  def swapColumnsSql(c1: String, c2: String, key: String,
+      rowProbability: Double, seed: Int): Map[String, String] = {
+    val g = gateSql(key, rowProbability, seed)
+    Map(
+      c1 -> s"CASE WHEN $g THEN $c2 ELSE $c1 END",
+      c2 -> s"CASE WHEN $g THEN $c1 ELSE $c2 END")
+  }
+
+  /** pseudopeople misreport_age shape: selected cells shift an integer
+    * column by a hash-picked nonzero delta.
+    */
+  def perturbInt(df: DataFrame, column: String, key: String,
+      cellProbability: Double, deltas: Seq[Int], seed: Int): DataFrame = {
+    val idx = permIdx(col(key), seed + 1, deltas.size)
+    val shifted = deltas.zipWithIndex.tail
+      .foldLeft(when(idx === 0, col(column) + lit(deltas.head))) {
+        case (w, (d, i)) => w.when(idx === i, col(column) + lit(d))
+      }.otherwise(col(column))
+    project(df, Map(column ->
+      when(gate(col(key), cellProbability, seed), shifted).otherwise(col(column))))
+  }
+
+  def perturbIntSql(column: String, key: String, cellProbability: Double,
+      deltas: Seq[Int], seed: Int): String = {
+    val idx = permIdxSql(key, seed + 1, deltas.size)
+    val arms = deltas.zipWithIndex
+      .map { case (d, i) => s"WHEN $idx = $i THEN $column + ($d)" }.mkString(" ")
+    s"CASE WHEN ${gateSql(key, cellProbability, seed)} THEN (CASE $arms ELSE $column END) " +
+      s"ELSE $column END"
+  }
 }

@@ -184,6 +184,50 @@ object RefFileQueries {
                 |       ${sh("last_name")} AS last_name
                 |FROM trunc""".stripMargin)
       }
+    ),
+    QueryDef(
+      // The notebook-01 pseudopeople column-noise surface at the
+      // reference's very_noisy settings (cell 16): make_typos on name
+      // columns (cell 0.1, token 0.1; middle initials cell 0.05, token 1),
+      // write_wrong_digits on number columns (cell 0.1, token 0.1), plus
+      // swap_month_and_day, misreport-age-style year shifts, and
+      // leave_blank. Character-level noise runs as a codegen'd Catalyst
+      // expression; DuckDB mirrors it with list_transform over the same
+      // hash arithmetic, so the oracle hash-verifies every character.
+      "q77_pseudopeople_noise",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val base = People.persons(s, d).select("k", "first_name", "last_name",
+          "middle_initial", "street_num", "zipcode",
+          "dob_day", "dob_month", "dob_year")
+        val t1 = Noise.makeTypos(base, "first_name", "k", 0.10, 0.10, 11)
+        val t2 = Noise.makeTypos(t1, "last_name", "k", 0.10, 0.10, 13)
+        val t3 = Noise.makeTypos(t2, "middle_initial", "k", 0.05, 1.0, 15)
+        val t4 = Noise.writeWrongDigits(t3, "street_num", "k", 0.10, 0.10, 17)
+        val t5 = Noise.writeWrongDigits(t4, "zipcode", "k", 0.10, 0.10, 19)
+        val t6 = Noise.swapColumns(t5, "dob_day", "dob_month", "k", 0.02, 21)
+        val t7 = Noise.perturbInt(t6, "dob_year", "k", 0.01,
+          Seq(-3, -2, -1, 1, 2, 3), 23)
+        Noise.leaveBlank(t7, "middle_initial", "k", 0.02, 25)
+      }, {
+        val sw = Noise.swapColumnsSql("dob_day", "dob_month", "k", 0.02, 21)
+        Some(s"""WITH ${People.personsCte},
+                |noised AS (
+                |  SELECT k,
+                |         ${Noise.makeTyposSql("first_name", "k", 0.10, 0.10, 11)} AS first_name,
+                |         ${Noise.makeTyposSql("last_name", "k", 0.10, 0.10, 13)} AS last_name,
+                |         ${Noise.makeTyposSql("middle_initial", "k", 0.05, 1.0, 15)} AS middle_initial,
+                |         ${Noise.writeWrongDigitsSql("street_num", "k", 0.10, 0.10, 17)} AS street_num,
+                |         ${Noise.writeWrongDigitsSql("zipcode", "k", 0.10, 0.10, 19)} AS zipcode,
+                |         ${sw("dob_day")} AS dob_day,
+                |         ${sw("dob_month")} AS dob_month,
+                |         ${Noise.perturbIntSql("dob_year", "k", 0.01, Seq(-3, -2, -1, 1, 2, 3), 23)} AS dob_year
+                |  FROM persons)
+                |SELECT k, first_name, last_name,
+                |       ${Noise.leaveBlankSql("middle_initial", "k", 0.02, 25)} AS middle_initial,
+                |       street_num, zipcode, dob_day, dob_month, dob_year
+                |FROM noised""".stripMargin)
+      }
     )
   )
 }

@@ -18,7 +18,8 @@ class CodegenCompileSpec extends SparkTestBase {
     "q26_block_pairs", "q27_comparison_vectors", "q28_match_weights",
     "q32_cascade_best_link", "q41_minhash_lsh", "q43_ngram_jaccard_dedup",
     "q46_langid", "q53_tfidf", "q56_decontaminate", "q57_vocab_oov",
-    "q59_dataset_mix", "q66_unigram_logprob", "q68_ann_ivf")
+    "q59_dataset_mix", "q66_unigram_logprob", "q68_ann_ivf",
+    "q77_pseudopeople_noise")
 
   test("all whole-stage regions of the heavy plans compile") {
     graft.functions.GraftFunctions.register(spark)

@@ -79,4 +79,79 @@ class NoiseSpec extends SparkTestBase {
       s"changed fraction ${changed / total} out of expected band")
     out.unpersist()
   }
+
+  test("typos: length preserved, every changed char QWERTY-adjacent, ungated identical") {
+    import graft.functions.CharNoiseImpl.adjacency
+    graft.functions.GraftFunctions.register(spark)
+    val out = Noise.makeTypos(base, "first_name", "k", 0.5, 0.5, 101)
+    val joined = base.select(col("k"), col("first_name").as("orig"))
+      .join(out.select(col("k"), col("first_name").as("noised")), Seq("k"))
+      .withColumn("gated", Noise.gate(col("k"), 0.5, 101))
+      .collect()
+    var changedChars = 0
+    joined.foreach { r =>
+      val (k, orig, noised, gated) =
+        (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3))
+      if (!gated) assert(noised == orig, s"k=$k changed while ungated")
+      else {
+        assert(noised.length == orig.length, s"k=$k length changed")
+        orig.zip(noised).foreach { case (o, n) =>
+          if (o != n) {
+            changedChars += 1
+            assert(adjacency.getOrElse(o, "").contains(n),
+              s"k=$k '$o'->'$n' not QWERTY-adjacent")
+          }
+        }
+      }
+    }
+    assert(changedChars > 0, "no character ever mutated")
+  }
+
+  test("wrong digits: gated digit chars become different digits, non-digits untouched") {
+    graft.functions.GraftFunctions.register(spark)
+    val nums = People.persons(spark, sfDir).select("k", "zipcode")
+    val out = Noise.writeWrongDigits(nums, "zipcode", "k", 0.5, 0.5, 103)
+    val joined = nums.select(col("k"), col("zipcode").as("orig"))
+      .join(out.select(col("k"), col("zipcode").as("noised")), Seq("k"))
+      .collect()
+    var changed = 0
+    joined.foreach { r =>
+      val (k, orig, noised) = (r.getLong(0), r.getString(1), r.getString(2))
+      assert(noised.length == orig.length, s"k=$k length changed")
+      orig.zip(noised).foreach { case (o, n) =>
+        if (o != n) {
+          changed += 1
+          assert(o.isDigit && n.isDigit && o != n, s"k=$k '$o'->'$n' invalid digit swap")
+        }
+      }
+    }
+    assert(changed > 0, "no digit ever mutated")
+  }
+
+  test("q77 chain: dob day/month multiset kept, year within ±3, blanks near rate") {
+    val persons = People.persons(spark, sfDir)
+      .select("k", "dob_day", "dob_month", "dob_year", "middle_initial")
+    val out = RefFileQueries.defs.find(_.name == "q77_pseudopeople_noise").get
+      .query(spark, sfDir).cache()
+    assert(out.select("k").distinct().count() == out.count())
+    val joined = persons.select(col("k"), col("dob_day").as("od"),
+        col("dob_month").as("om"), col("dob_year").as("oy"))
+      .join(out.select(col("k"), col("dob_day"), col("dob_month"),
+        col("dob_year"), col("middle_initial")), Seq("k"))
+      .collect()
+    var blanks = 0
+    joined.foreach { r =>
+      val k = r.getLong(0)
+      def n(i: Int): Int = r.getAs[Number](i).intValue()
+      assert(Set(n(1), n(2)) == Set(n(4), n(5)),
+        s"k=$k day/month values lost in swap")
+      assert(math.abs(n(6) - n(3)) <= 3, s"k=$k year shifted > 3")
+      if (r.isNullAt(7)) blanks += 1
+    }
+    val blankRate = blanks.toDouble / joined.length
+    // leave_blank 2% plus typo'd initials never null — band around 0.02.
+    assert(blankRate > 0.005 && blankRate < 0.06,
+      s"blank rate $blankRate far from 0.02")
+    out.unpersist()
+  }
 }
