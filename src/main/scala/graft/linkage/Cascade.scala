@@ -214,6 +214,32 @@ object LinkageCascade {
       .limit(topN)
   }
 
+  /** One-row whole-pass cost summary: total candidate pairs the pass
+    * would generate against the full input, block count, and the largest
+    * single block's pair count (the straggler bound). Splink's
+    * count_comparisons pre-flight, shaped for unioning across a cascade:
+    * run this over every pass BEFORE committing cluster hours, and
+    * compare max_block_pairs against what one reducer can score.
+    */
+  def blockCostSummary(census: DataFrame, input: DataFrame,
+      pass: BlockingPass): DataFrame = {
+    val keys = pass.blockKeys
+    val right =
+      if (pass.rightRemap.isEmpty) input
+      else input.select(input.columns.map(c =>
+        col(pass.rightRemap.getOrElse(c, c)).as(c)): _*)
+    val l = census.na.drop(keys)
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_census"))
+    val r = right.na.drop(keys)
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_input"))
+    l.join(r, keys)
+      .select((col("n_census") * col("n_input")).as("n_pairs"))
+      .agg(
+        coalesce(sum("n_pairs"), lit(0L)).as("n_pairs"),
+        count(lit(1)).as("n_blocks"),
+        coalesce(max("n_pairs"), lit(0L)).as("max_block_pairs"))
+  }
+
   def hhcompReference(census: DataFrame, input: DataFrame, links: DataFrame): DataFrame = {
     val bridge = links.select("pik", "rec_id")
       .join(

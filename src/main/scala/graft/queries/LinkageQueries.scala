@@ -1292,6 +1292,41 @@ object LinkageQueries {
       Some(modelReportSql)
     ),
     QueryDef(
+      // Splink count_comparisons pre-flight over every main pass: total
+      // candidate pairs against the full input, block count, and the
+      // largest single block (the straggler bound that decides salting
+      // before a 100 TB run).
+      "q78_pair_counts",
+      (s, d) => {
+        val c = census(s, d)
+        val i = input(s, d)
+        passes.zipWithIndex.map { case (p, idx) =>
+          LinkageCascade.blockCostSummary(c, i, p)
+            .select(lit(p.name).as("pass"), lit(idx + 1).as("ordinal"),
+              col("n_pairs"), col("n_blocks"), col("max_block_pairs"))
+        }.reduce(_ unionByName _)
+      }, {
+        val parts = passes.zipWithIndex.map { case (p, idx) =>
+          val keys = p.blockKeys
+          val notNull = keys.map(k => s"$k IS NOT NULL").mkString(" AND ")
+          val kList = keys.mkString(", ")
+          val rel = remappedRel("input", p.rightRemap)
+          s"""SELECT '${p.name}' AS pass, ${idx + 1} AS ordinal,
+             |       CAST(COALESCE(SUM(n_pairs), 0) AS BIGINT) AS n_pairs,
+             |       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             |       CAST(COALESCE(MAX(n_pairs), 0) AS BIGINT) AS max_block_pairs
+             |FROM (
+             |  SELECT l.n_census * r.n_input AS n_pairs
+             |  FROM (SELECT $kList, COUNT(*) AS n_census FROM census
+             |        WHERE $notNull GROUP BY $kList) l
+             |  JOIN (SELECT $kList, COUNT(*) AS n_input FROM $rel i0
+             |        WHERE $notNull GROUP BY $kList) r
+             |  ON ${keys.map(k => s"l.$k = r.$k").mkString(" AND ")}) t""".stripMargin
+        }
+        Some(s"$base\n${parts.mkString("\nUNION ALL\n")}")
+      }
+    ),
+    QueryDef(
       // Per-module matching_columns/cut_columns configuration as a table:
       // which comparisons each pass scores, blocking-implied constant
       // gammas, and the hhcomp weight offset.

@@ -350,6 +350,19 @@ class LinkageSpec extends SparkTestBase {
     assert(pairsCounts == pairsCounts.sortBy(-_), s"not sorted: $pairsCounts")
   }
 
+  test("block cost summary totals match the exact candidate-pair count") {
+    GraftFunctions.register(spark)
+    Seq("p4_name_yob", "p2_geokey_switch").foreach { name =>
+      val pass = cfg.passes.find(_.name == name).get
+      val row = LinkageCascade.blockCostSummary(census, input, pass).collect().head
+      val exact = LinkageCascade.pairs(census, input, pass).count()
+      assert(row.getAs[Long]("n_pairs") == exact,
+        s"$name: summary ${row.getAs[Long]("n_pairs")} != exact $exact")
+      assert(row.getAs[Long]("max_block_pairs") <= row.getAs[Long]("n_pairs"))
+      assert(row.getAs[Long]("n_blocks") > 0L)
+    }
+  }
+
   test("predict pass plans as a single equi-join, no cartesian product") {
     GraftFunctions.register(spark)
     val plan = LinkageCascade
