@@ -234,4 +234,48 @@ object Noise {
     s"CASE WHEN ${gateSql(key, cellProbability, seed)} THEN (CASE $arms ELSE $column END) " +
       s"ELSE $column END"
   }
+
+  /** pseudopeople choose_wrong_option: gated cells take a DIFFERENT value
+    * from the categorical domain. The hash picks an index; a pick equal to
+    * the current value advances to the next option, so a gated cell always
+    * changes (pseudopeople samples from the incorrect options only).
+    */
+  def chooseWrongOption(df: DataFrame, column: String, key: String,
+      domain: Seq[String], cellProbability: Double, seed: Int): DataFrame = {
+    def pick(idx: Column): Column =
+      domain.zipWithIndex.tail.foldLeft(when(idx === 0, lit(domain.head))) {
+        case (w, (v, i)) => w.when(idx === i, lit(v))
+      }.otherwise(lit(domain.head))
+    val idx = permIdx(col(key), seed + 1, domain.size)
+    val first = pick(idx)
+    val second = pick(pmod(idx + 1, lit(domain.size)))
+    project(df, Map(column ->
+      when(gate(col(key), cellProbability, seed),
+        when(first === col(column), second).otherwise(first))
+        .otherwise(col(column))))
+  }
+
+  def chooseWrongOptionSql(column: String, key: String, domain: Seq[String],
+      cellProbability: Double, seed: Int): String = {
+    def pick(idx: String): String = {
+      val arms = domain.zipWithIndex
+        .map { case (v, i) => s"WHEN $idx = $i THEN '$v'" }.mkString(" ")
+      s"(CASE $arms ELSE '${domain.head}' END)"
+    }
+    val idx = permIdxSql(key, seed + 1, domain.size)
+    val first = pick(idx)
+    val second = pick(s"(($idx + 1) % ${domain.size})")
+    s"CASE WHEN ${gateSql(key, cellProbability, seed)} THEN " +
+      s"(CASE WHEN $first = $column THEN $second ELSE $first END) ELSE $column END"
+  }
+
+  /** pseudopeople row noise (omit_row / do_not_respond): hash-selected
+    * rows drop out of the dataset entirely.
+    */
+  def omitRows(df: DataFrame, key: String, rowProbability: Double,
+      seed: Int): DataFrame =
+    df.filter(!gate(col(key), rowProbability, seed))
+
+  def omitRowsSql(key: String, rowProbability: Double, seed: Int): String =
+    s"NOT (${gateSql(key, rowProbability, seed)})"
 }

@@ -198,7 +198,7 @@ object RefFileQueries {
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         val base = People.persons(s, d).select("k", "first_name", "last_name",
-          "middle_initial", "street_num", "zipcode",
+          "middle_initial", "street_num", "zipcode", "state",
           "dob_day", "dob_month", "dob_year")
         val t1 = Noise.makeTypos(base, "first_name", "k", 0.10, 0.10, 11)
         val t2 = Noise.makeTypos(t1, "last_name", "k", 0.10, 0.10, 13)
@@ -208,7 +208,9 @@ object RefFileQueries {
         val t6 = Noise.swapColumns(t5, "dob_day", "dob_month", "k", 0.02, 21)
         val t7 = Noise.perturbInt(t6, "dob_year", "k", 0.01,
           Seq(-3, -2, -1, 1, 2, 3), 23)
-        Noise.leaveBlank(t7, "middle_initial", "k", 0.02, 25)
+        val t8 = Noise.leaveBlank(t7, "middle_initial", "k", 0.02, 25)
+        val t9 = Noise.chooseWrongOption(t8, "state", "k", People.states, 0.03, 27)
+        Noise.omitRows(t9, "k", 0.01, 29)
       }, {
         val sw = Noise.swapColumnsSql("dob_day", "dob_month", "k", 0.02, 21)
         Some(s"""WITH ${People.personsCte},
@@ -219,14 +221,16 @@ object RefFileQueries {
                 |         ${Noise.makeTyposSql("middle_initial", "k", 0.05, 1.0, 15)} AS middle_initial,
                 |         ${Noise.writeWrongDigitsSql("street_num", "k", 0.10, 0.10, 17)} AS street_num,
                 |         ${Noise.writeWrongDigitsSql("zipcode", "k", 0.10, 0.10, 19)} AS zipcode,
+                |         ${Noise.chooseWrongOptionSql("state", "k", People.states, 0.03, 27)} AS state,
                 |         ${sw("dob_day")} AS dob_day,
                 |         ${sw("dob_month")} AS dob_month,
                 |         ${Noise.perturbIntSql("dob_year", "k", 0.01, Seq(-3, -2, -1, 1, 2, 3), 23)} AS dob_year
                 |  FROM persons)
                 |SELECT k, first_name, last_name,
                 |       ${Noise.leaveBlankSql("middle_initial", "k", 0.02, 25)} AS middle_initial,
-                |       street_num, zipcode, dob_day, dob_month, dob_year
-                |FROM noised""".stripMargin)
+                |       street_num, zipcode, state, dob_day, dob_month, dob_year
+                |FROM noised
+                |WHERE ${Noise.omitRowsSql("k", 0.01, 29)}""".stripMargin)
       }
     )
   )

@@ -128,6 +128,27 @@ class NoiseSpec extends SparkTestBase {
     assert(changed > 0, "no digit ever mutated")
   }
 
+  test("wrong option: gated cells change within the domain, omit drops near rate") {
+    val src = People.persons(spark, sfDir).select("k", "state")
+    val out = Noise.chooseWrongOption(src, "state", "k", People.states, 0.5, 201)
+    val joined = src.select(col("k"), col("state").as("orig"))
+      .join(out.select(col("k"), col("state").as("noised")), Seq("k"))
+      .withColumn("gated", Noise.gate(col("k"), 0.5, 201))
+      .collect()
+    joined.foreach { r =>
+      val (k, orig, noised, gated) =
+        (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3))
+      if (gated) {
+        assert(noised != orig, s"k=$k gated cell kept its value")
+        assert(People.states.contains(noised), s"k=$k '$noised' outside domain")
+      } else assert(noised == orig, s"k=$k changed while ungated")
+    }
+    val total = src.count()
+    val kept = Noise.omitRows(src, "k", 0.1, 203).count()
+    val rate = 1.0 - kept.toDouble / total
+    assert(rate > 0.05 && rate < 0.15, s"omit rate $rate far from 0.1")
+  }
+
   test("q77 chain: dob day/month multiset kept, year within ±3, blanks near rate") {
     val persons = People.persons(spark, sfDir)
       .select("k", "dob_day", "dob_month", "dob_year", "middle_initial")
