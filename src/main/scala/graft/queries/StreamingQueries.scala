@@ -195,6 +195,27 @@ object StreamingQueries {
             approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
             expr("approx_percentile(value, 0.5, 1000)").as("approx_median")),
       None
+    ),
+    QueryDef(
+      // Semi-structured extraction: the events props column is a JSON
+      // string; pull a typed field out (get_json_object stays inside
+      // codegen — no UDF, no Jackson per-row object churn beyond the
+      // shared parser) and aggregate on it. The JSON parse is map-side;
+      // the only shuffle is the final bounded-key aggregation.
+      "q79_json_extract",
+      (s, d) =>
+        Tables.events(s, d)
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("int").as("prop_k"),
+            col("value"))
+          .groupBy("event_type", "prop_k")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
+      Some("""SELECT event_type,
+             |       CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
+             |       COUNT(*) AS n,
+             |       CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+             |FROM events
+             |GROUP BY 1, 2""".stripMargin)
     )
   )
 }
