@@ -1327,6 +1327,49 @@ object LinkageQueries {
       }
     ),
     QueryDef(
+      // Splink's unlinkables chart: each input record's best-achievable
+      // match weight (top agreement level on every non-null column, the
+      // null level contributing 0), histogrammed with the cumulative
+      // record proportion. Records whose ceiling sits below the
+      // threshold can NEVER link regardless of blocking — the data-
+      // quality floor notebook 03 inspects per pass. The cumulative
+      // window runs over the aggregated distinct-weight frame (bounded
+      // by the model's level combinations, not the data), so the
+      // unpartitioned window is O(levels), never O(rows).
+      "q80_unlinkables",
+      (s, d) => {
+        val selfWeight = comparisons.map { c =>
+          val (_, m, u) = c.params.head
+          when(col(c.column).isNull, lit(0.0))
+            .otherwise(lit(r12(log2d(m / u))))
+        }.reduce(_ + _)
+        val hist = input(s, d)
+          .select(round(selfWeight, 6).as("self_weight"))
+          .groupBy("self_weight").agg(count(lit(1)).as("n_records"))
+        val total = hist.agg(sum("n_records")).first().getLong(0).toDouble
+        hist.withColumn("cum_proportion",
+          round(
+            sum("n_records").over(org.apache.spark.sql.expressions.Window
+              .orderBy("self_weight")
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+              .cast("double") / lit(total), 6))
+      }, {
+        val terms = comparisons.map { c =>
+          val (_, m, u) = c.params.head
+          s"(CASE WHEN ${c.column} IS NULL THEN 0.0 ELSE ${r12(log2d(m / u))} END)"
+        }.mkString(" + ")
+        Some(s"""$base,
+                |hist AS (
+                |  SELECT round($terms, 6) AS self_weight, COUNT(*) AS n_records
+                |  FROM input GROUP BY 1)
+                |SELECT self_weight, n_records,
+                |       round(CAST(SUM(n_records) OVER (ORDER BY self_weight
+                |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                |             / (SELECT CAST(SUM(n_records) AS DOUBLE) FROM hist), 6) AS cum_proportion
+                |FROM hist""".stripMargin)
+      }
+    ),
+    QueryDef(
       // Per-module matching_columns/cut_columns configuration as a table:
       // which comparisons each pass scores, blocking-implied constant
       // gammas, and the hhcomp weight offset.
