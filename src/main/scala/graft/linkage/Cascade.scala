@@ -240,6 +240,56 @@ object LinkageCascade {
         coalesce(max("n_pairs"), lit(0L)).as("max_block_pairs"))
   }
 
+  /** [[blockCostSummary]] for a whole cascade in ONE scan and ONE
+    * shuffle per side: each row emits an array entry per pass whose block
+    * keys are all present — (pass, ordinal, key-tuple) — explode, group,
+    * join, aggregate. 13 passes cost the same 2 scans + 3 shuffles as 1
+    * pass, and the plan holds at any pass count. Key tuples join their
+    * columns with a \u0001 separator (absent from the data) so composite
+    * keys cannot collide. Name-switch passes resolve their keys through
+    * the pass's rightRemap instead of re-projecting the whole frame.
+    */
+  def blockCostSummaryAll(census: DataFrame, input: DataFrame,
+      passList: Seq[BlockingPass]): DataFrame = {
+    val spark = census.sparkSession
+    val sep = "\u0001"
+    def keyEntries(applyRemap: Boolean): Column = array(
+      passList.zipWithIndex.map { case (p, i) =>
+        val srcCols = p.blockKeys.map { k =>
+          if (applyRemap) col(p.rightRemap.getOrElse(k, k)) else col(k)
+        }
+        val anyNull = srcCols.map(_.isNull).reduce(_ || _)
+        when(anyNull, lit(null)).otherwise(struct(
+          lit(p.name).as("pass"), lit(i + 1).as("ordinal"),
+          concat_ws(sep, srcCols.map(_.cast("string")): _*).as("bkey")))
+      }: _*)
+    def grouped(df: DataFrame, applyRemap: Boolean, outName: String): DataFrame =
+      df.select(explode(keyEntries(applyRemap)).as("e"))
+        .filter(col("e").isNotNull)
+        .select(col("e.pass").as("pass"), col("e.ordinal").as("ordinal"),
+          col("e.bkey").as("bkey"))
+        .groupBy("pass", "ordinal", "bkey").agg(count(lit(1)).as(outName))
+    val joined = grouped(census, applyRemap = false, "n_census")
+      .join(grouped(input, applyRemap = true, "n_input"),
+        Seq("pass", "ordinal", "bkey"))
+      .select(col("pass"), col("ordinal"),
+        (col("n_census") * col("n_input")).as("pairs"))
+      .groupBy("pass", "ordinal")
+      .agg(
+        sum("pairs").as("n_pairs"),
+        count(lit(1)).as("n_blocks"),
+        max("pairs").as("max_block_pairs"))
+    // A pass whose blocking matches nothing still reports a zero row
+    // (left join from the O(passes) literal pass list).
+    val allRows = passList.zipWithIndex.map { case (p, i) => (p.name, i + 1) }
+    spark.createDataFrame(allRows).toDF("pass", "ordinal")
+      .join(joined, Seq("pass", "ordinal"), "left")
+      .select(col("pass"), col("ordinal"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("max_block_pairs"), lit(0L)).as("max_block_pairs"))
+  }
+
   def hhcompReference(census: DataFrame, input: DataFrame, links: DataFrame): DataFrame = {
     val bridge = links.select("pik", "rec_id")
       .join(

@@ -1297,15 +1297,8 @@ object LinkageQueries {
       // largest single block (the straggler bound that decides salting
       // before a 100 TB run).
       "q78_pair_counts",
-      (s, d) => {
-        val c = census(s, d)
-        val i = input(s, d)
-        passes.zipWithIndex.map { case (p, idx) =>
-          LinkageCascade.blockCostSummary(c, i, p)
-            .select(lit(p.name).as("pass"), lit(idx + 1).as("ordinal"),
-              col("n_pairs"), col("n_blocks"), col("max_block_pairs"))
-        }.reduce(_ unionByName _)
-      }, {
+      (s, d) =>
+        LinkageCascade.blockCostSummaryAll(census(s, d), input(s, d), passes), {
         val parts = passes.zipWithIndex.map { case (p, idx) =>
           val keys = p.blockKeys
           val notNull = keys.map(k => s"$k IS NOT NULL").mkString(" AND ")

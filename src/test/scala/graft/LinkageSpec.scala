@@ -363,6 +363,21 @@ class LinkageSpec extends SparkTestBase {
     }
   }
 
+  test("single-scan cascade cost summary equals the per-pass summaries") {
+    GraftFunctions.register(spark)
+    val all = LinkageCascade.blockCostSummaryAll(census, input, cfg.passes)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_blocks"),
+          r.getAs[Long]("max_block_pairs"))).toMap
+    assert(all.size == cfg.passes.size, s"expected ${cfg.passes.size} rows, got ${all.size}")
+    cfg.passes.foreach { p =>
+      val one = LinkageCascade.blockCostSummary(census, input, p).collect().head
+      val expected = (one.getAs[Long]("n_pairs"), one.getAs[Long]("n_blocks"),
+        one.getAs[Long]("max_block_pairs"))
+      assert(all(p.name) == expected, s"${p.name}: ${all(p.name)} != $expected")
+    }
+  }
+
   test("predict pass plans as a single equi-join, no cartesian product") {
     GraftFunctions.register(spark)
     val plan = LinkageCascade
