@@ -955,6 +955,73 @@ object PipelineQueries {
               |  FROM pairs)
               |SELECT qid, vec_id, rnk, round(cos, 6) AS cos
               |FROM ranked WHERE rnk <= 5""".stripMargin)
+    ),
+    QueryDef(
+      // The composite nightly shape a training-data team runs: exact-dedup
+      // survivors → language-ID + quality scoring → gate → per-(source,
+      // predicted-language) corpus stats. One chain, no intermediate
+      // materialization: the dedup shuffle and the final bounded-key agg
+      // are the only shuffles; scoring is map-side over survivors only.
+      // Near-dup clustering / decontamination / mixing compose the same
+      // way via q41-q43, q52, q56, q58/q59.
+      "q81_curation_pipeline",
+      (s, d) => {
+        val docs = docsWithDups(s, d)
+        val kept = docs
+          .groupBy(md5(col("text")).as("content_hash"))
+          .agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        val hits = TextOps.stopwords.map { case (lang, stops) =>
+          lang -> TextOps.stopwordHits(col("text"), stops)
+        }
+        val mx = greatest(hits.map(_._2): _*)
+        val pred = hits.foldLeft(when(mx === 0, "und")) {
+          case (acc, (lang, h)) => acc.when(h === mx, lang)
+        }.otherwise("und")
+        val nWords = size(TextOps.words(col("text")))
+        val stopHits = TextOps.stopwordHits(col("text"), TextOps.stopwords.head._2)
+        val stopRatio = stopHits.cast("double") / nWords.cast("double")
+        val quality =
+          least(lit(1.0), nWords.cast("double") / 50.0) * 0.6 + stopRatio * 0.4
+        docs.join(kept, Seq("doc_id"))
+          .select(col("source"), pred.as("pred_lang"),
+            nWords.cast("long").as("n_tokens"), round(quality, 6).as("quality"))
+          .filter(col("quality") >= 0.5 && col("pred_lang") =!= "und")
+          .groupBy("source", "pred_lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("n_tokens"),
+            round(sum(col("quality").cast("decimal(28,6)")).cast("double") /
+              count(lit(1)).cast("double"), 6).as("mean_quality"))
+      },
+      Some {
+        val hitsSql = TextOps.stopwords.map { case (lang, stops) =>
+          lang -> TextOps.stopwordHitsSql("text", stops)
+        }
+        val mxSql = s"greatest(${hitsSql.map(_._2).mkString(", ")})"
+        val predCases = hitsSql
+          .map { case (lang, h) => s"WHEN $h = $mxSql THEN '$lang'" }
+          .mkString(" ")
+        val stops = TextOps.stopwordHitsSql("text", TextOps.stopwords.head._2)
+        val nWords = "len(string_split(text, ' '))"
+        s"""WITH $docs2Cte,
+           |kept AS (SELECT MIN(doc_id) AS doc_id FROM docs2 GROUP BY md5(text)),
+           |scored AS (
+           |  SELECT source,
+           |         CASE WHEN $mxSql = 0 THEN 'und' $predCases ELSE 'und' END AS pred_lang,
+           |         CAST($nWords AS BIGINT) AS n_tokens,
+           |         round(least(1.0, CAST($nWords AS DOUBLE) / 50.0) * 0.6 +
+           |               (CAST($stops AS DOUBLE) / CAST($nWords AS DOUBLE)) * 0.4, 6) AS quality
+           |  FROM docs2 JOIN kept USING (doc_id))
+           |SELECT source, pred_lang,
+           |       COUNT(*) AS n_docs,
+           |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           |       round(CAST(SUM(CAST(quality AS DECIMAL(28,6))) AS DOUBLE) /
+           |             CAST(COUNT(*) AS DOUBLE), 6) AS mean_quality
+           |FROM scored
+           |WHERE quality >= 0.5 AND pred_lang <> 'und'
+           |GROUP BY source, pred_lang""".stripMargin
+      }
     )
   )
 }
