@@ -957,6 +957,40 @@ object PipelineQueries {
               |FROM ranked WHERE rnk <= 5""".stripMargin)
     ),
     QueryDef(
+      // Greedy document packing into fixed token-budget training
+      // sequences: per (source, shard) docs fill 4096-token packs in
+      // doc_id order — the running token sum's floor-division assigns
+      // each doc the pack it STARTS in. The window partitions by
+      // (source, shard % 8), so packing parallelizes across shards and
+      // no global single-partition window exists; at 100 TB raise the
+      // shard count, not the partition size. Deterministic in both
+      // engines (integer arithmetic only).
+      "q82_sequence_pack",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source", "shard").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            pmod(col("doc_id"), lit(8)).as("shard"),
+            expr("(length(text) + 3) div 4").cast("long").as("n_tokens"))
+          .withColumn("cum_tokens", sum("n_tokens").over(w))
+          .withColumn("pack_id",
+            floor((col("cum_tokens") - col("n_tokens")) / lit(4096)).cast("long"))
+      },
+      Some("""SELECT doc_id, source, doc_id % 8 AS shard,
+             |       CAST((length(text) + 3) // 4 AS BIGINT) AS n_tokens,
+             |       CAST(SUM((length(text) + 3) // 4) OVER (
+             |              PARTITION BY source, doc_id % 8 ORDER BY doc_id
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |         AS cum_tokens,
+             |       CAST(floor((CAST(SUM((length(text) + 3) // 4) OVER (
+             |              PARTITION BY source, doc_id % 8 ORDER BY doc_id
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |            - (length(text) + 3) // 4) / 4096) AS BIGINT) AS pack_id
+             |FROM documents""".stripMargin)
+    ),
+    QueryDef(
       // The composite nightly shape a training-data team runs: exact-dedup
       // survivors → language-ID + quality scoring → gate → per-(source,
       // predicted-language) corpus stats. One chain, no intermediate
