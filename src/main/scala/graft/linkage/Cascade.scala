@@ -290,6 +290,28 @@ object LinkageCascade {
         coalesce(col("max_block_pairs"), lit(0L)).as("max_block_pairs"))
   }
 
+  /** Pre-flight → action: re-writes the pass list with `salt` set wherever
+    * the largest single block exceeds what one reducer should score
+    * (`maxBlockPairs`). The salt fans the oversized block over
+    * ceil(max/budget) reducers, capped at `maxSalt`; passes under budget
+    * are returned untouched, and [[pairs]] guarantees salted and unsalted
+    * blocking produce identical candidate pairs. Run once per dataset
+    * shape — the one summary job prices all passes (one scan per side).
+    */
+  def autoSalt(census: DataFrame, input: DataFrame,
+      passList: Seq[BlockingPass], maxBlockPairs: Long = 100000000L,
+      maxSalt: Int = 32): Seq[BlockingPass] = {
+    require(maxBlockPairs > 0, s"maxBlockPairs must be positive: $maxBlockPairs")
+    val worst = blockCostSummaryAll(census, input, passList).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("max_block_pairs")).toMap
+    passList.map { p =>
+      val mx = worst.getOrElse(p.name, 0L)
+      if (mx <= maxBlockPairs) p
+      else p.copy(salt = math.min(maxSalt.toLong,
+        (mx + maxBlockPairs - 1) / maxBlockPairs).toInt)
+    }
+  }
+
   def hhcompReference(census: DataFrame, input: DataFrame, links: DataFrame): DataFrame = {
     val bridge = links.select("pik", "rec_id")
       .join(

@@ -363,6 +363,31 @@ class LinkageSpec extends SparkTestBase {
     }
   }
 
+  test("autoSalt salts exactly the over-budget passes and keeps pairs identical") {
+    GraftFunctions.register(spark)
+    // Budget of 1 pair: every pass with any multi-record block goes salted.
+    val salted = LinkageCascade.autoSalt(census, input, cfg.passes, maxBlockPairs = 1L)
+    val worst = LinkageCascade.blockCostSummaryAll(census, input, cfg.passes)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("max_block_pairs")).toMap
+    salted.foreach { p =>
+      if (worst(p.name) > 1L) assert(p.salt > 1, s"${p.name} not salted")
+      else assert(p.salt == 1, s"${p.name} salted needlessly")
+    }
+    assert(salted.exists(_.salt > 1), "no pass exceeded the 1-pair budget")
+    // A generous budget leaves every pass untouched.
+    val untouched = LinkageCascade.autoSalt(census, input, cfg.passes,
+      maxBlockPairs = Long.MaxValue)
+    assert(untouched == cfg.passes, "passes rewritten under a generous budget")
+    // Salted blocking yields exactly the unsalted candidate pairs.
+    val heavy = salted.maxBy(p => worst(p.name))
+    val plain = heavy.copy(salt = 1)
+    def pairSet(p: graft.linkage.BlockingPass) =
+      LinkageCascade.pairs(census, input, p)
+        .select("l_pik", "r_rec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(heavy) == pairSet(plain), s"${heavy.name}: salted pairs diverge")
+  }
+
   test("single-scan cascade cost summary equals the per-pass summaries") {
     GraftFunctions.register(spark)
     val all = LinkageCascade.blockCostSummaryAll(census, input, cfg.passes)
