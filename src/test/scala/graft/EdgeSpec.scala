@@ -1,0 +1,73 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.linkage._
+import graft.operators.Noise
+import graft.queries.LinkageQueries
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input hardening: a library API that works at 100 TB must
+  * also survive the empty partitions, all-null keys and zero-match blocks
+  * that show up at the edges of real runs (a fresh tenant, a filter that
+  * matches nothing, a block with no counterpart side).
+  */
+class EdgeSpec extends SparkTestBase {
+
+  private def census = LinkageQueries.census(spark, sfDir)
+  private def input = LinkageQueries.input(spark, sfDir)
+  private val cfg = LinkageQueries.config
+
+  private def emptyInput = input.limit(0)
+
+  test("cascade over an empty input yields zero links, no failure") {
+    GraftFunctions.register(spark)
+    assert(LinkageCascade.run(census, emptyInput, cfg).count() == 0L)
+  }
+
+  test("cost summary over an empty input reports a zero row per pass") {
+    GraftFunctions.register(spark)
+    val rows = LinkageCascade.blockCostSummaryAll(census, emptyInput, cfg.passes)
+      .collect()
+    assert(rows.length == cfg.passes.size)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") == 0L, s"${r.getString(0)} nonzero pairs")
+      assert(r.getAs[Long]("n_blocks") == 0L)
+      assert(r.getAs[Long]("max_block_pairs") == 0L)
+    }
+  }
+
+  test("autoSalt over an empty input leaves every pass untouched") {
+    GraftFunctions.register(spark)
+    assert(LinkageCascade.autoSalt(census, emptyInput, cfg.passes) == cfg.passes)
+  }
+
+  test("bestLink of an empty scored frame is empty") {
+    val empty = spark.createDataFrame(
+      Seq.empty[(Long, Long, Double)]).toDF("pik", "rec_id", "match_weight")
+    assert(LinkageCascade.bestLink(empty).count() == 0L)
+  }
+
+  test("EM on a blocking that matches nothing keeps the prior, never NaN") {
+    GraftFunctions.register(spark)
+    // A block key pair that can never agree: census zip3 vs a sentinel.
+    val nowhere = input.withColumn("zip3", lit("###"))
+    val est = LinkageCascade.emTrainM(census, nowhere,
+      BlockingPass("void", Seq("zip3")), cfg, iterations = 3)
+    assert(est.nonEmpty)
+    est.foreach { case (name, g, m) =>
+      assert(!m.isNaN && m >= 0.0 && m <= 1.0, s"($name, $g) m=$m out of range")
+    }
+  }
+
+  test("char noise on empty and null strings is identity") {
+    GraftFunctions.register(spark)
+    val df = spark.createDataFrame(Seq(
+      (1L, ""), (2L, null.asInstanceOf[String]), (3L, "ABC"))).toDF("k", "s")
+    val out = Noise.makeTypos(
+      Noise.writeWrongDigits(df, "s", "k", 1.0, 1.0, 7), "s", "k", 1.0, 1.0, 9)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L).contains(""), "empty string changed shape")
+    assert(out(2L).isEmpty, "null string materialized")
+    assert(out(3L).exists(_.length == 3), "length not preserved")
+  }
+}
