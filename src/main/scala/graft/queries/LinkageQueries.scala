@@ -922,6 +922,42 @@ object LinkageQueries {
        |FROM per CROSS JOIN tot""".stripMargin
   }
 
+  /** Notebook 04 cell 10: distribution of links per PIK. */
+  private def pikSizesSql: String = {
+    val links = allPasses.zipWithIndex
+      .map { case (_, idx) => s"SELECT pik, rec_id FROM best_p${idx + 1}" }
+      .mkString("\n  UNION ALL\n  ")
+    s"""$cascadeCtes,
+       |links AS (
+       |  $links)
+       |SELECT pik_size, COUNT(*) AS n_piks FROM (
+       |  SELECT pik, COUNT(*) AS pik_size FROM links GROUP BY pik) t
+       |GROUP BY pik_size""".stripMargin
+  }
+
+  /** Notebook 04 cells 19/66: reachable ground truth and missed links. */
+  private def possibleToPikSql: String = {
+    val links = allPasses.zipWithIndex
+      .map { case (_, idx) => s"SELECT pik, rec_id FROM best_p${idx + 1}" }
+      .mkString("\n  UNION ALL\n  ")
+    s"""$cascadeCtes,
+       |links AS (
+       |  $links),
+       |c AS (
+       |  SELECT CAST((SELECT COUNT(DISTINCT rec_id) FROM input) AS BIGINT) AS n_records,
+       |         CAST((SELECT COUNT(DISTINCT rec_id) FROM input
+       |               WHERE rec_id IN (SELECT pik FROM census)) AS BIGINT) AS n_possible,
+       |         CAST((SELECT COUNT(DISTINCT rec_id) FROM links) AS BIGINT) AS n_piked,
+       |         CAST((SELECT COUNT(DISTINCT rec_id) FROM input
+       |               WHERE rec_id IN (SELECT pik FROM census)
+       |                 AND rec_id NOT IN (SELECT rec_id FROM links)) AS BIGINT) AS n_missed)
+       |SELECT n_records, n_possible, n_piked, n_missed,
+       |       round(CAST(n_possible AS DOUBLE) / CAST(n_records AS DOUBLE), 6) AS possible_rate,
+       |       CASE WHEN n_possible = 0 THEN 0.0
+       |            ELSE round(CAST(n_missed AS DOUBLE) / CAST(n_possible AS DOUBLE), 6) END AS missed_rate
+       |FROM c""".stripMargin
+  }
+
   /** Accuracy over the cascade links vs ground truth pik == rec_id. */
   private def accuracySql: String = {
     val links = allPasses.zipWithIndex
@@ -1318,6 +1354,45 @@ object LinkageQueries {
         }
         Some(s"$base\n${parts.mkString("\nUNION ALL\n")}")
       }
+    ),
+    QueryDef(
+      // Notebook 04 cell 10: how many input rows share each assigned PIK
+      // — sizes > 1 flag suspected in-file duplicates (pseudopeople
+      // sometimes gives siblings the same common first name).
+      "q83_pik_sizes",
+      (s, d) => {
+        reg(s)
+        cascadeLinks(s, d)
+          .groupBy("pik").agg(count(lit(1)).as("pik_size"))
+          .groupBy("pik_size").agg(count(lit(1)).as("n_piks"))
+      },
+      Some(pikSizesSql)
+    ),
+    QueryDef(
+      // Notebook 04 cells 19/66: how much of the input is REACHABLE —
+      // records whose true identity exists in the reference at all — and
+      // how many reachable records the cascade nonetheless missed. The
+      // unPIKable remainder bounds every accuracy number downstream.
+      "q84_possible_to_pik",
+      (s, d) => {
+        reg(s)
+        val recs = input(s, d).select("rec_id").distinct()
+        val truth = census(s, d).select(col("pik").as("rec_id")).distinct()
+        val piked = cascadeLinks(s, d).select("rec_id").distinct()
+        val nRecords = recs.count()
+        val nPossible = recs.join(truth, Seq("rec_id"), "left_semi").count()
+        val nPiked = piked.count()
+        val nMissed = recs.join(truth, Seq("rec_id"), "left_semi")
+          .join(piked, Seq("rec_id"), "left_anti").count()
+        def r6(x: Double): Double =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val row = (nRecords, nPossible, nPiked, nMissed,
+          r6(nPossible.toDouble / nRecords.toDouble),
+          if (nPossible == 0L) 0.0 else r6(nMissed.toDouble / nPossible.toDouble))
+        s.createDataFrame(Seq(row)).toDF("n_records", "n_possible",
+          "n_piked", "n_missed", "possible_rate", "missed_rate")
+      },
+      Some(possibleToPikSql)
     ),
     QueryDef(
       // Splink's unlinkables chart: each input record's best-achievable
