@@ -28,6 +28,12 @@ object Sources {
     schema.fold(r)(r.schema).json(path)
   }
 
+  def orc(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.foreach(r.schema)
+    r.orc(path)
+  }
+
   /** Parquet writer; `partitionBy` columns become directory partitions
     * (downstream partition pruning), `coalesceTo` bounds small-file count.
     */
@@ -44,6 +50,14 @@ object Sources {
 
   def writeJson(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
+
+  /** ORC writer with the same partition-pruning controls as parquet. */
+  def writeOrc(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite,
+      partitionBy: Seq[String] = Nil, coalesceTo: Option[Int] = None): Unit = {
+    val out = coalesceTo.fold(df)(df.coalesce)
+    val w = out.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
 
   /** Bucketed managed table: co-locates both sides of a repeated equi-join
     * (e.g. census × input on block keys) so the join needs NO shuffle —

@@ -116,6 +116,12 @@ class DfOpsSpec extends SparkTestBase {
     assert(c.count() == 25 && c.schema == schema)
     val j = Sources.json(spark, s"$dir/j", Some(schema))
     assert(j.count() == 25 && j.schema == schema)
+    Sources.writeOrc(df, s"$dir/o", coalesceTo = Some(1))
+    val o = Sources.orc(spark, s"$dir/o")
+    assert(o.count() == 25 && o.schema == schema)
+    assert(o.collect().map(_.getAs[Number](0).longValue()).sorted.toSeq ==
+      df.collect().map(_.getAs[Number](0).longValue()).sorted.toSeq,
+      "orc round-trip lost rows")
   }
 
   test("partitioned parquet write enables partition pruning") {
