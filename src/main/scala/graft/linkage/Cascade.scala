@@ -415,9 +415,13 @@ object LinkageCascade {
     val withGammas = cfg.comparisons.foldLeft(l.crossJoin(r)) { (df, c) =>
       df.withColumn(c.gammaName, FellegiSunter.gammaCol(c))
     }
-    val stacked = cfg.comparisons
-      .map(c => withGammas.select(lit(c.name).as("comparison"), col(c.gammaName).as("gamma")))
-      .reduce(_ unionByName _)
+    // One (comparison, gamma) entry per comparison from EACH pair row in a
+    // single pass — a union of per-comparison selects would re-evaluate
+    // the cross join and every gamma expression once per branch.
+    val stacked = withGammas
+      .select(explode(array(cfg.comparisons.map(c =>
+        struct(lit(c.name).as("comparison"), col(c.gammaName).as("gamma"))): _*)).as("e"))
+      .select(col("e.comparison").as("comparison"), col("e.gamma").as("gamma"))
     stacked
       .groupBy("comparison", "gamma")
       .agg(count(lit(1)).as("n"))

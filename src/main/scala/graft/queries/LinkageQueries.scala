@@ -580,7 +580,8 @@ object LinkageQueries {
     * happens to run first.
     */
   def warm(s: SparkSession, d: String): Unit = {
-    census(s, d).count(); input(s, d).count(); ()
+    GraftFunctions.register(s)
+    census(s, d).count(); input(s, d).count(); scoredBlock(s, d).count(); ()
   }
 
   // ---- SQL mirrors of the sides ------------------------------------------
@@ -1002,6 +1003,30 @@ object LinkageQueries {
   private val countInputSql = "(SELECT CAST(COUNT(*) AS DOUBLE) FROM input)"
   private val countCensusSql = "(SELECT CAST(COUNT(*) AS DOUBLE) FROM census)"
 
+  /** q27/q28/q29 all demonstrate scoring over the SAME zip3 demo blocking;
+    * the blocked+scored frame is built once, projected narrow (ids, gamma
+    * ints, weight) and cached — each consumer is then a projection or a
+    * filter+window over the cached frame instead of a fresh join + JW
+    * evaluation. Same latest-key-only eviction as [[cascadeFrames]].
+    */
+  private val scoredFrames =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def scoredBlock(s: SparkSession, d: String): DataFrame =
+    scoredFrames.synchronized {
+      val key = (s, d)
+      scoredFrames.getOrElse(key, {
+        scoredFrames.clear()
+        val df = LinkageCascade
+          .score(LinkageCascade.pairs(census(s, d), input(s, d), blockPass), config)
+          .select(col("l_pik").as("pik") +: col("r_rec_id").as("rec_id") +:
+            comparisons.map(c => col(c.gammaName)) :+ col("match_weight"): _*)
+          .cache()
+        scoredFrames.put(key, df)
+        df
+      })
+    }
+
   // ---- model / pass diagnostics (the splink_reports surface) -------------
 
   private def r12(x: Double): Double =
@@ -1085,9 +1110,7 @@ object LinkageQueries {
       "q27_comparison_vectors",
       (s, d) => {
         reg(s)
-        comparisons.foldLeft(LinkageCascade.pairs(census(s, d), input(s, d), blockPass)) {
-          (df, c) => df.withColumn(c.gammaName, FellegiSunter.gammaCol(c))
-        }.select(col("l_pik").as("pik") +: col("r_rec_id").as("rec_id") +:
+        scoredBlock(s, d).select(col("pik") +: col("rec_id") +:
           comparisons.map(c => col(c.gammaName)): _*)
       },
       Some(s"""$base
@@ -1102,10 +1125,9 @@ object LinkageQueries {
       (s, d) => {
         reg(s)
         val lam = LinkageCascade.estimateLambda(census(s, d), input(s, d))
-        LinkageCascade.score(
-            LinkageCascade.pairs(census(s, d), input(s, d), blockPass), config)
+        scoredBlock(s, d)
           .select(
-            col("l_pik").as("pik"), col("r_rec_id").as("rec_id"),
+            col("pik"), col("rec_id"),
             round(col("match_weight"), 6).as("mw"),
             round(FellegiSunter.probabilityCol(col("match_weight"), lam), 6)
               .as("match_probability"))
@@ -1127,7 +1149,10 @@ object LinkageQueries {
       "q29_predict_links",
       (s, d) => {
         reg(s)
-        LinkageCascade.predict(census(s, d), input(s, d), blockPass, config)
+        LinkageCascade.bestLink(
+            scoredBlock(s, d)
+              .filter(col("match_weight") >= config.thresholdWeight)
+              .select(col("pik"), col("rec_id"), col("match_weight")))
           .select(col("pik"), col("rec_id"), round(col("match_weight"), 6).as("mw"))
       },
       Some(s"""$base,
