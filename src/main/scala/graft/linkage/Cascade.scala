@@ -451,7 +451,8 @@ object LinkageCascade {
     * sessions that produced them (Splink's combine step).
     */
   def emTrainMMulti(census: DataFrame, input: DataFrame, trainingPasses: Seq[BlockingPass],
-      cfg: LinkageConfig, iterations: Int = 5): Seq[(String, Int, Double)] = {
+      cfg: LinkageConfig, iterations: Int = 5,
+      cvProvider: BlockingPass => Option[DataFrame] = _ => None): Seq[(String, Int, Double)] = {
     // Sessions are independent (each owns its blocking, cached gamma frame
     // and iteration loop), so they submit their Spark jobs CONCURRENTLY —
     // wall-clock is the slowest session, not the sum. Results stay
@@ -467,7 +468,8 @@ object LinkageCascade {
         Future.sequence(trainingPasses.map { p =>
           Future {
             val cmps = p.comparisonsFor(cfg)
-            (cmps.map(_.name).toSet, emSession(census, input, p, cmps, cfg, iterations))
+            (cmps.map(_.name).toSet,
+              emSession(census, input, p, cmps, cfg, iterations, cvProvider(p)))
           }
         }),
         Duration.Inf)
@@ -485,16 +487,27 @@ object LinkageCascade {
     * session's comparisons and cached NARROW (gamma ints only — gammas are
     * computed map-side before any exchange); each iteration is a single
     * map-side aggregate with only per-level scalars collected.
+    *
+    * `cvOpt` supplies an already-materialized frame carrying (at least)
+    * this session's gamma columns for the SAME blocking — a caller that
+    * has the blocked+scored frame cached (e.g. for prediction) hands it
+    * over and the session skips the join and every gamma evaluation. A
+    * provided frame is the caller's to unpersist, not the session's.
     */
   private def emSession(census: DataFrame, input: DataFrame, pass: BlockingPass,
       comparisons: Seq[Comparison], cfg: LinkageConfig,
-      iterations: Int): Map[(String, Int), Double] = {
-    val cv = comparisons
-      .foldLeft(pairs(census, input, pass)) { (df, c) =>
-        df.withColumn(c.gammaName, FellegiSunter.gammaCol(c))
-      }
-      .select(comparisons.map(c => col(c.gammaName)): _*)
-      .cache()
+      iterations: Int, cvOpt: Option[DataFrame] = None): Map[(String, Int), Double] = {
+    val owned = cvOpt.isEmpty
+    val cv = cvOpt match {
+      case Some(f) => f.select(comparisons.map(c => col(c.gammaName)): _*)
+      case None =>
+        comparisons
+          .foldLeft(pairs(census, input, pass)) { (df, c) =>
+            df.withColumn(c.gammaName, FellegiSunter.gammaCol(c))
+          }
+          .select(comparisons.map(c => col(c.gammaName)): _*)
+          .cache()
+    }
 
     // init: strongest level 0.8, rest of the mass uniform over lower levels
     var m: Map[(String, Int), Double] = comparisons.flatMap { c =>
@@ -545,7 +558,7 @@ object LinkageCascade {
         }
       }.toMap
     }
-    cv.unpersist()
+    if (owned) cv.unpersist()
     m
   }
 }

@@ -1191,8 +1191,16 @@ object LinkageQueries {
       "q31_em_training",
       (s, d) => {
         reg(s)
+        // The zip3 session's blocking is the demo blockPass whose scored
+        // frame is already cached — hand it over so the session skips the
+        // join + gamma evaluation (its gammas are a superset of the
+        // session's comparisons).
         val result = LinkageCascade.emTrainMMulti(
-          census(s, d), input(s, d), emPasses, config)
+          census(s, d), input(s, d), emPasses, config,
+          cvProvider = p =>
+            if (p.keys == blockPass.keys && p.rightRemap.isEmpty && p.cuts.isEmpty)
+              Some(scoredBlock(s, d))
+            else None)
         s.createDataFrame(result.map { case (c, g, m) => (c, g, BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) })
           .toDF("comparison", "gamma", "m_hat")
       }
