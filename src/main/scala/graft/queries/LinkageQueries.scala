@@ -1389,6 +1389,55 @@ object LinkageQueries {
       }
     ),
     QueryDef(
+      // Blocking recall per pass: of the TRUE (pik == rec_id) pairs, how
+      // many agree on the pass's block keys — the fraction of real
+      // matches the pass's blocking can even SEE. The complement of q78:
+      // q78 prices a pass's cost, this measures its reach; together they
+      // are the blocking-design loop. One identity join, one explode —
+      // the per-pass conditions evaluate on the joined row, so 13 passes
+      // cost one scan.
+      "q85_blocking_recall",
+      (s, d) => {
+        reg(s)
+        val l = census(s, d).select(census(s, d).columns.map(c =>
+          col(c).as(s"l_$c")): _*)
+        val r = input(s, d).select(input(s, d).columns.map(c =>
+          col(c).as(s"r_$c")): _*)
+        val truth = l.join(r, col("l_pik") === col("r_rec_id"))
+        val entries = explode(array(passes.zipWithIndex.map { case (p, i) =>
+          val eq = p.blockKeys.map { k =>
+            val rk = p.rightRemap.getOrElse(k, k)
+            col(s"l_$k") === col(s"r_$rk")
+          }.reduce(_ && _)
+          struct(lit(p.name).as("pass"), lit(i + 1).as("ordinal"),
+            when(eq, 1L).otherwise(0L).as("hit"))
+        }: _*))
+        truth.select(entries.as("e"))
+          .select(col("e.pass").as("pass"), col("e.ordinal").as("ordinal"),
+            col("e.hit").as("hit"))
+          .groupBy("pass", "ordinal")
+          .agg(count(lit(1)).as("n_true_pairs"), sum("hit").as("n_coblocked"))
+          .select(col("pass"), col("ordinal"), col("n_true_pairs"),
+            col("n_coblocked"),
+            round(col("n_coblocked").cast("double") /
+              col("n_true_pairs").cast("double"), 6).as("recall"))
+      }, {
+        val parts = passes.zipWithIndex.map { case (p, i) =>
+          val eq = p.blockKeys.map { k =>
+            val rk = p.rightRemap.getOrElse(k, k)
+            s"c.$k = i.$rk"
+          }.mkString(" AND ")
+          s"""SELECT '${p.name}' AS pass, ${i + 1} AS ordinal,
+             |       COUNT(*) AS n_true_pairs,
+             |       CAST(SUM(CASE WHEN $eq THEN 1 ELSE 0 END) AS BIGINT) AS n_coblocked,
+             |       round(CAST(SUM(CASE WHEN $eq THEN 1 ELSE 0 END) AS DOUBLE) /
+             |             CAST(COUNT(*) AS DOUBLE), 6) AS recall
+             |FROM census c JOIN input i ON c.pik = i.rec_id""".stripMargin
+        }
+        Some(s"$base\n${parts.mkString("\nUNION ALL\n")}")
+      }
+    ),
+    QueryDef(
       // Notebook 04 cell 10: how many input rows share each assigned PIK
       // — sizes > 1 flag suspected in-file duplicates (pseudopeople
       // sometimes gives siblings the same common first name).
