@@ -186,6 +186,35 @@ object RefFileQueries {
       }
     ),
     QueryDef(
+      // best_data_from_columns (cell 60) as a hash-checked query: each
+      // SSN keeps its best-dated filing — the era-1 refile normally wins,
+      // but an invalid filing date (ssn%11) falls back to the least
+      // likely date, so the era-0 record survives for those keys. One
+      // window over the shuffle on ssn.
+      "q86_best_data",
+      (s, d) => {
+        val n = numident(s, d).withColumn("filing_date",
+          when(col("record_id").startsWith("num0_"), lit("20200101"))
+            .when(pmod(col("ssn"), lit(11)) === 0, lit("not-a-date"))
+            .otherwise(lit("20250101")))
+        DfOps.bestDataFromColumns(n, Seq("ssn"), "filing_date")
+      },
+      Some(s"""$base,
+              |dated AS (
+              |  SELECT n.*, CASE WHEN record_id LIKE 'num0_%' THEN '20200101'
+              |                   WHEN ssn % 11 = 0 THEN 'not-a-date'
+              |                   ELSE '20250101' END AS filing_date
+              |  FROM numident n),
+              |ranked AS (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY ssn
+              |             ORDER BY coalesce(try_strptime(filing_date, '%Y%m%d'),
+              |                               TIMESTAMP '1900-01-01') DESC,
+              |                      record_id DESC) AS rn
+              |  FROM dated)
+              |SELECT record_id, ssn, first_name, last_name, dob_year, dob_month, dob_day, filing_date
+              |FROM ranked WHERE rn = 1""".stripMargin)
+    ),
+    QueryDef(
       // The notebook-01 pseudopeople column-noise surface at the
       // reference's very_noisy settings (cell 16): make_typos on name
       // columns (cell 0.1, token 0.1; middle initials cell 0.05, token 1),
