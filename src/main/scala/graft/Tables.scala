@@ -19,15 +19,20 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark reads as a raw
-    * long under spark.sql.legacy.parquet.nanosAsLong; normalize to a µs
-    * timestamp (truncating, which matches DuckDB's ns→µs cast).
+  /** events.ts arrives in whatever flavor the generator used: TIMESTAMP
+    * (NANOS) reads as a raw long under spark.sql.legacy.parquet.nanosAsLong,
+    * and a tz-less TIMESTAMP(MICROS) reads as TIMESTAMP_NTZ. Normalize both
+    * to a session-tz TIMESTAMP (sessions pin UTC, so the NTZ cast is a pure
+    * re-tag of the same micros — identical to DuckDB's naive reading).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = load(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }
