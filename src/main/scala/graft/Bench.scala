@@ -90,9 +90,10 @@ object Bench {
     results.collect { case (name, _, Some(e)) =>
       System.err.println(s"BENCH ERROR $name: $e")
     }
+    def sec(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v, err) =>
       // A crashed query must not masquerade as a fast one: report -1.
-      val shown = if (err.isDefined) -1.0 else v
+      val shown = if (err.isDefined) "-1" else sec(v)
       s"\"" + k + "\":" + shown
     }.mkString("{", ",", "}")
     // Full JSON string escape: Spark exception toString often carries
@@ -112,7 +113,27 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     val nErr = results.count(_._3.isDefined)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":$nErr,"warm_sec":$warmSec,"passes":$passesRun,"agg":"min","sf":"$sfDir"}""")
+    // BASELINE.md chains: prep = q13..q20, linkage = q26..q38; their sum is
+    // the ratio vs the reference small_sample run (41.66 s).
+    def chain(lo: Int, hi: Int): Double = results.collect {
+      case (k, v, None) if k.take(3).drop(1).forall(_.isDigit) && {
+        val n = k.slice(1, 3).toInt; n >= lo && n <= hi
+      } => v
+    }.sum
+    val prepSec = chain(13, 20)
+    val linkSec = chain(26, 38)
+    // One JSON line; the long queries map comes FIRST so the headline
+    // scalars land at the END of the line — the harness keeps only the
+    // last ~2000 chars of output, and totals must survive that window.
+    val line =
+      s"""{"queries":$qs,"errors":$errs,"sf":"$sfDir","passes":$passesRun,"agg":"min","warm_sec":${sec(warmSec)},"prep_sec":${sec(prepSec)},"linkage_sec":${sec(linkSec)},"chain_sec":${sec(prepSec + linkSec)},"n_errors":$nErr,"metric":"total","value":${sec(total)},"unit":"sec"}"""
+    println(line)
+    // Also drop the full line in the repo so the complete per-query map is
+    // readable even when the captured stdout tail truncates it.
+    try {
+      val w = new java.io.PrintWriter("bench_last.json")
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => }
     spark.stop()
   }
 }

@@ -1361,6 +1361,60 @@ object LinkageQueries {
       Some(modelReportSql)
     ),
     QueryDef(
+      // Splink waterfall-chart surface: per PAIR, the log2-Bayes-factor
+      // contribution of every comparison next to its gamma, plus the total
+      // weight — how a reviewer audits WHY one candidate outranked another
+      // (the reference saves these per-pass charts in splink_reports).
+      // Pure projection over the cached scored demo block: gammas are
+      // already materialized, so each contribution is a CASE over an int.
+      "q87_waterfall",
+      (s, d) => {
+        reg(s)
+        scoredBlock(s, d).select(
+          col("pik") +: col("rec_id") +:
+            comparisons.flatMap(c => Seq(
+              col(c.gammaName),
+              round(FellegiSunter.weightTermCol(c), 6).as(s"bf_${c.name}"))) :+
+            round(col("match_weight"), 6).as("mw"): _*)
+      },
+      Some(s"""$base,
+              |cand AS (
+              |  SELECT c.pik, i.rec_id,
+              |         $gammaSelects
+              |  FROM census c JOIN input i ON c.zip3 = i.zip3)
+              |SELECT pik, rec_id,
+              |       ${comparisons.map(c =>
+                s"${c.gammaName}, round((${FellegiSunter.weightTermSql(c)}), 6) AS bf_${c.name}")
+                .mkString(",\n       ")},
+              |       round(${FellegiSunter.matchWeightSql(comparisons)}, 6) AS mw
+              |FROM cand""".stripMargin)
+    ),
+    QueryDef(
+      // Splink comparison_viewer_dashboard surface: the distinct
+      // comparison-vector patterns over the demo block with their pair
+      // counts. The weight is a pure function of the gamma vector, so
+      // max() per group IS the pattern's weight — one hash-agg over the
+      // cached scored frame, no re-scoring.
+      "q88_comparison_patterns",
+      (s, d) => {
+        reg(s)
+        scoredBlock(s, d)
+          .groupBy(comparisons.map(c => col(c.gammaName)): _*)
+          .agg(count(lit(1)).as("n_pairs"),
+            round(max(col("match_weight")), 6).as("pattern_weight"))
+      },
+      Some(s"""$base,
+              |cand AS (
+              |  SELECT c.pik, i.rec_id,
+              |         $gammaSelects
+              |  FROM census c JOIN input i ON c.zip3 = i.zip3)
+              |SELECT ${comparisons.map(_.gammaName).mkString(", ")},
+              |       COUNT(*) AS n_pairs,
+              |       round(MAX(${FellegiSunter.matchWeightSql(comparisons)}), 6) AS pattern_weight
+              |FROM cand
+              |GROUP BY ${comparisons.map(_.gammaName).mkString(", ")}""".stripMargin)
+    ),
+    QueryDef(
       // Splink count_comparisons pre-flight over every main pass: total
       // candidate pairs against the full input, block count, and the
       // largest single block (the straggler bound that decides salting
@@ -1497,9 +1551,17 @@ object LinkageQueries {
           .select(round(selfWeight, 6).as("self_weight"))
           .groupBy("self_weight").agg(count(lit(1)).as("n_records"))
         val total = hist.agg(sum("n_records")).first().getLong(0).toDouble
+        // The cumsum window runs over the HISTOGRAM (one row per distinct
+        // null-pattern weight, <= 2^|comparisons| rows at any data scale),
+        // so a single partition is bounded by the model, not the data. The
+        // partition key is constant-VALUED but must not be constant-FOLDABLE:
+        // Spark's EliminateWindowPartitions strips foldable keys and the
+        // window would plan unpartitioned again (tripping WindowExec's
+        // single-partition warning, which is a lie here — the frame is tiny).
         hist.withColumn("cum_proportion",
           round(
             sum("n_records").over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("self_weight") * lit(0.0))
               .orderBy("self_weight")
               .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
               .cast("double") / lit(total), 6))

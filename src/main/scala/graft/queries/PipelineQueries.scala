@@ -755,8 +755,14 @@ object PipelineQueries {
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
         val wcol = when(col("lang") === "en", lit(0.40)).otherwise(lit(0.15))
         val perLang = toks.groupBy("lang").agg(sum("n_tokens").as("lang_tokens"))
+        // The global total is a window over the O(#languages) agg output,
+        // never the corpus. The partition key is constant-valued but NOT
+        // foldable — EliminateWindowPartitions strips foldable keys, and an
+        // empty partition spec trips WindowExec's single-partition warning
+        // (a false alarm on a frame this size, but noise worth not emitting).
         val rates = perLang
-          .withColumn("total_tokens", sum("lang_tokens").over(Window.partitionBy()))
+          .withColumn("total_tokens",
+            sum("lang_tokens").over(Window.partitionBy(col("lang_tokens") * lit(0L))))
           .withColumn("rate",
             round(least(lit(1.0),
               ((lit(0.5) * col("total_tokens")) * wcol) / col("lang_tokens")), 6))
