@@ -236,6 +236,62 @@ object CoreQueries {
              |SELECT * FROM updates WHERE c_custkey NOT IN (SELECT c_custkey FROM deletes)
              |UNION ALL
              |SELECT * FROM inserts""".stripMargin)
+    ),
+    QueryDef(
+      // SCD2 history build (the lakehouse slowly-changing-dimension shape
+      // a training-data pipeline uses to version metadata): per customer,
+      // collapse the order-status stream into validity intervals. Runs
+      // found gaps-and-islands style — a lag() marks changes, a running
+      // sum numbers the run, one groupBy collapses it, a lead() closes
+      // each interval with the next run's start. Every window partitions
+      // by o_custkey (the natural shuffle key), so the build is one
+      // shuffle and scales with the keyspace — no global window anywhere.
+      "q90_scd2_history",
+      (s, d) => {
+        val byOrd = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val runs = Tables.orders(s, d)
+          .select("o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate")
+          .withColumn("chg",
+            when(lag("o_orderstatus", 1).over(byOrd).isNull ||
+              lag("o_orderstatus", 1).over(byOrd) =!= col("o_orderstatus"), 1L)
+              .otherwise(0L))
+          .withColumn("version",
+            sum("chg").over(byOrd.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("o_custkey", "version")
+          .agg(
+            max("o_orderstatus").as("o_orderstatus"),
+            min("o_orderdate").as("valid_from"),
+            count(lit(1)).as("n_orders"))
+        val byVer = Window.partitionBy("o_custkey").orderBy("version")
+        runs
+          .withColumn("valid_to", lead("valid_from", 1).over(byVer))
+          .withColumn("is_current", col("valid_to").isNull)
+          .select("o_custkey", "version", "o_orderstatus",
+            "valid_from", "valid_to", "n_orders", "is_current")
+      },
+      Some("""WITH seq AS (
+             |  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+             |         CASE WHEN lag(o_orderstatus) OVER w IS NULL
+             |                OR lag(o_orderstatus) OVER w <> o_orderstatus
+             |              THEN 1 ELSE 0 END AS chg
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+             |runs AS (
+             |  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+             |         CAST(SUM(chg) OVER (PARTITION BY o_custkey
+             |             ORDER BY o_orderdate, o_orderkey
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+             |  FROM seq),
+             |grp AS (
+             |  SELECT o_custkey, version, MAX(o_orderstatus) AS o_orderstatus,
+             |         MIN(o_orderdate) AS valid_from, COUNT(*) AS n_orders
+             |  FROM runs GROUP BY o_custkey, version)
+             |SELECT o_custkey, version, o_orderstatus, valid_from,
+             |       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY version) AS valid_to,
+             |       n_orders,
+             |       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY version) IS NULL AS is_current
+             |FROM grp""".stripMargin)
     )
   )
 }

@@ -102,6 +102,115 @@ object PipelineQueries {
   private def sparkNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", VectorOps.norm(col("embedding")))
 
+  /** q44's exact brute-force top-5 (qid, vec_id, rnk, cos) — also the
+    * truth set the ANN recall eval (q89) measures q68 against. Top-k via
+    * the TypedImperativeAggregate: map-side partial top-5 buffers instead
+    * of a per-query sort of every candidate.
+    */
+  private def bruteTop5(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = sparkNorm(Tables.embeddings(s, d).select("vec_id", "embedding"))
+    val q = e.filter(col("vec_id").isin(KnnQueryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        VectorOps.dotDecimal(col("embedding"), col("qe")) / (col("nrm") * col("qn")))
+      .groupBy("qid")
+      .agg(graft.functions.GraftFunctions
+        .topKByScore(col("cos"), col("vec_id"), 5).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("vec_id"),
+        (col("pos") + 1).as("rnk"), round(col("col.score"), 6).as("cos"))
+  }
+
+  /** SQL tail for bruteTop5 (CTE names bq/bdots/truth; expects a `nrms`
+    * CTE from normsCte in scope). Shared by q44 and q89.
+    */
+  private def bruteKnnTailCtes: String =
+    s"""bq AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM nrms
+       |      WHERE vec_id IN (${KnnQueryIds.mkString(", ")})),
+       |bdots AS (
+       |  SELECT c.vec_id, q.qid, MAX(c.nrm) AS nrm, MAX(q.qn) AS qn,
+       |         ${VectorOps.dotDecimalSql("c.embedding", "q.qe")} AS dot
+       |  FROM nrms c CROSS JOIN bq q, range(1, ${VectorOps.Dim + 1}) t(i)
+       |  WHERE c.vec_id <> q.qid
+       |  GROUP BY c.vec_id, q.qid),
+       |truth AS (
+       |  SELECT qid, vec_id, rnk, round(cos, 6) AS cos FROM (
+       |    SELECT qid, vec_id, dot / (nrm * qn) AS cos,
+       |           ROW_NUMBER() OVER (PARTITION BY qid
+       |               ORDER BY dot / (nrm * qn) DESC, vec_id ASC) AS rnk
+       |    FROM bdots) r
+       |  WHERE rnk <= 5)""".stripMargin
+
+  /** q68's IVF probe-2 top-5 (qid, vec_id, rnk, cos) — the approximate
+    * side of the q89 recall eval. Assignment is a broadcast-16 scoring
+    * pass; search is a bucket equi-join.
+    */
+  private def ivfTop5(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = sparkNorm(Tables.embeddings(s, d).select("vec_id", "embedding"))
+    val cents = e.filter(col("vec_id").isin(IvfSeedIds: _*))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val byVec = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
+    val assign = e.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        VectorOps.dotDecimal(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+      .withColumn("arnk", row_number().over(byVec))
+    val data = assign.filter(col("arnk") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
+    val qprobe = assign
+      .filter(col("vec_id").isin(KnnQueryIds: _*) && col("arnk") <= 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("cid"))
+    val byQ = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    data.join(qprobe, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        VectorOps.dotDecimal(col("embedding"), col("qe")) / (col("nrm") * col("qn")))
+      .withColumn("rnk", row_number().over(byQ))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("vec_id"), col("rnk"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** SQL tail for ivfTop5 (CTE names cents/csims/assign/ipairs/approx;
+    * expects `nrms` in scope). Shared by q68 and q89.
+    */
+  private def ivfTailCtes: String =
+    s"""cents AS (
+       |  SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM nrms
+       |  WHERE vec_id IN (${IvfSeedIds.mkString(", ")})),
+       |csims AS (
+       |  SELECT n.vec_id, c.cid, MAX(n.nrm) AS nrm, MAX(c.cn) AS cn,
+       |         ${VectorOps.dotDecimalSql("n.embedding", "c.ce")} AS cdot
+       |  FROM nrms n CROSS JOIN cents c, range(1, ${VectorOps.Dim + 1}) t(i)
+       |  GROUP BY n.vec_id, c.cid),
+       |assign AS (
+       |  SELECT vec_id, cid,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id
+       |             ORDER BY cdot / (nrm * cn) DESC, cid ASC) AS arnk
+       |  FROM csims),
+       |ipairs AS (
+       |  SELECT v.vec_id, p.vec_id AS qid, MAX(v.nrm) AS vn, MAX(q.nrm) AS qn,
+       |         ${VectorOps.dotDecimalSql("v.embedding", "q.embedding")} AS dot
+       |  FROM assign d
+       |  JOIN nrms v ON v.vec_id = d.vec_id
+       |  JOIN assign p ON p.cid = d.cid AND p.arnk <= 2
+       |       AND p.vec_id IN (${KnnQueryIds.mkString(", ")})
+       |       AND p.vec_id <> d.vec_id
+       |  JOIN nrms q ON q.vec_id = p.vec_id,
+       |       range(1, ${VectorOps.Dim + 1}) t(i)
+       |  WHERE d.arnk = 1
+       |  GROUP BY v.vec_id, p.vec_id),
+       |approx AS (
+       |  SELECT qid, vec_id, rnk, round(cos, 6) AS cos FROM (
+       |    SELECT qid, vec_id, dot / (vn * qn) AS cos,
+       |           ROW_NUMBER() OVER (PARTITION BY qid
+       |               ORDER BY dot / (vn * qn) DESC, vec_id ASC) AS rnk
+       |    FROM ipairs) r
+       |  WHERE rnk <= 5)""".stripMargin
+
   /** Verified near-dup pairs (doc_a, doc_b, jaccard >= 0.5) — q43's body,
     * shared with q52's clustering. Length-banded candidate join: the
     * |n_chars diff| <= 20 predicate confines a match to the same or an
@@ -324,38 +433,10 @@ object PipelineQueries {
       // O(n·|Q|) work — a vec_id % k predicate would grow |Q| linearly
       // with the table and turn this into a quadratic crossJoin.
       "q44_cosine_knn",
-      (s, d) => {
-        graft.functions.GraftFunctions.register(s)
-        val e = sparkNorm(Tables.embeddings(s, d).select("vec_id", "embedding"))
-        val q = e.filter(col("vec_id").isin(KnnQueryIds: _*))
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-        // Top-k via the TypedImperativeAggregate: map-side partial top-5
-        // buffers instead of a per-query sort of every candidate.
-        e.crossJoin(broadcast(q))
-          .filter(col("vec_id") =!= col("qid"))
-          .withColumn("cos",
-            VectorOps.dotDecimal(col("embedding"), col("qe")) / (col("nrm") * col("qn")))
-          .groupBy("qid")
-          .agg(graft.functions.GraftFunctions
-            .topKByScore(col("cos"), col("vec_id"), 5).as("top"))
-          .select(col("qid"), posexplode(col("top")))
-          .select(col("qid"), col("col.id").as("vec_id"),
-            (col("pos") + 1).as("rnk"), round(col("col.score"), 6).as("cos"))
-      },
+      (s, d) => bruteTop5(s, d),
       Some(s"""WITH ${normsCte("nrms", "embeddings")},
-              |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM nrms
-              |      WHERE vec_id IN (${KnnQueryIds.mkString(", ")})),
-              |dots AS (
-              |  SELECT c.vec_id, q.qid, MAX(c.nrm) AS nrm, MAX(q.qn) AS qn,
-              |         ${VectorOps.dotDecimalSql("c.embedding", "q.qe")} AS dot
-              |  FROM nrms c CROSS JOIN q, range(1, ${VectorOps.Dim + 1}) t(i)
-              |  WHERE c.vec_id <> q.qid
-              |  GROUP BY c.vec_id, q.qid),
-              |ranked AS (
-              |  SELECT qid, vec_id, dot / (nrm * qn) AS cos,
-              |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot / (nrm * qn) DESC, vec_id ASC) AS rnk
-              |  FROM dots)
-              |SELECT qid, vec_id, rnk, round(cos, 6) AS cos FROM ranked WHERE rnk <= 5""".stripMargin)
+              |$bruteKnnTailCtes
+              |SELECT qid, vec_id, rnk, cos FROM truth""".stripMargin)
     ),
     QueryDef(
       // Random-hyperplane LSH buckets; exact cosine verify within buckets.
@@ -903,64 +984,10 @@ object PipelineQueries {
       // are exact DECIMAL so bucket assignment cannot drift between
       // engines; ties break on centroid/vector id.
       "q68_ann_ivf",
-      (s, d) => {
-        graft.functions.GraftFunctions.register(s)
-        val e = sparkNorm(Tables.embeddings(s, d).select("vec_id", "embedding"))
-        val cents = e.filter(col("vec_id").isin(IvfSeedIds: _*))
-          .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
-        val byVec = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
-        val assign = e.crossJoin(broadcast(cents))
-          .withColumn("csim",
-            VectorOps.dotDecimal(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
-          .withColumn("arnk", row_number().over(byVec))
-        val data = assign.filter(col("arnk") === 1)
-          .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
-        val qprobe = assign
-          .filter(col("vec_id").isin(KnnQueryIds: _*) && col("arnk") <= 2)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-            col("nrm").as("qn"), col("cid"))
-        val byQ = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
-        data.join(qprobe, Seq("cid"))
-          .filter(col("vec_id") =!= col("qid"))
-          .withColumn("cos",
-            VectorOps.dotDecimal(col("embedding"), col("qe")) / (col("nrm") * col("qn")))
-          .withColumn("rnk", row_number().over(byQ))
-          .filter(col("rnk") <= 5)
-          .select(col("qid"), col("vec_id"), col("rnk"), round(col("cos"), 6).as("cos"))
-      },
+      (s, d) => ivfTop5(s, d),
       Some(s"""WITH ${normsCte("nrms", "embeddings")},
-              |cents AS (
-              |  SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM nrms
-              |  WHERE vec_id IN (${IvfSeedIds.mkString(", ")})),
-              |csims AS (
-              |  SELECT n.vec_id, c.cid, MAX(n.nrm) AS nrm, MAX(c.cn) AS cn,
-              |         ${VectorOps.dotDecimalSql("n.embedding", "c.ce")} AS cdot
-              |  FROM nrms n CROSS JOIN cents c, range(1, ${VectorOps.Dim + 1}) t(i)
-              |  GROUP BY n.vec_id, c.cid),
-              |assign AS (
-              |  SELECT vec_id, cid,
-              |         ROW_NUMBER() OVER (PARTITION BY vec_id
-              |             ORDER BY cdot / (nrm * cn) DESC, cid ASC) AS arnk
-              |  FROM csims),
-              |pairs AS (
-              |  SELECT v.vec_id, p.vec_id AS qid, MAX(v.nrm) AS vn, MAX(q.nrm) AS qn,
-              |         ${VectorOps.dotDecimalSql("v.embedding", "q.embedding")} AS dot
-              |  FROM assign d
-              |  JOIN nrms v ON v.vec_id = d.vec_id
-              |  JOIN assign p ON p.cid = d.cid AND p.arnk <= 2
-              |       AND p.vec_id IN (${KnnQueryIds.mkString(", ")})
-              |       AND p.vec_id <> d.vec_id
-              |  JOIN nrms q ON q.vec_id = p.vec_id,
-              |       range(1, ${VectorOps.Dim + 1}) t(i)
-              |  WHERE d.arnk = 1
-              |  GROUP BY v.vec_id, p.vec_id),
-              |ranked AS (
-              |  SELECT qid, vec_id, dot / (vn * qn) AS cos,
-              |         ROW_NUMBER() OVER (PARTITION BY qid
-              |             ORDER BY dot / (vn * qn) DESC, vec_id ASC) AS rnk
-              |  FROM pairs)
-              |SELECT qid, vec_id, rnk, round(cos, 6) AS cos
-              |FROM ranked WHERE rnk <= 5""".stripMargin)
+              |$ivfTailCtes
+              |SELECT qid, vec_id, rnk, cos FROM approx""".stripMargin)
     ),
     QueryDef(
       // Greedy document packing into fixed token-budget training
@@ -1062,6 +1089,38 @@ object PipelineQueries {
            |WHERE quality >= 0.5 AND pred_lang <> 'und'
            |GROUP BY source, pred_lang""".stripMargin
       }
+    ),
+    QueryDef(
+      // ANN quality eval: recall@5 of the IVF probe-2 search (q68)
+      // against the exact brute-force truth (q44), per query point. The
+      // "measure, don't guess" loop for approximate search: before
+      // swapping brute force for IVF at 100 TB, this query prices the
+      // recall you give up — probe more buckets (or train more centroids)
+      // until the recall floor holds, THEN scale. Both sides are the
+      // shared q44/q68 builders, so the eval can never drift from what
+      // the operators actually return; the join is 80 rows a side.
+      // (On this synthetic near-uniform embedding table the measured
+      // recall is deliberately poor — untrained seed "centroids" over
+      // clusterless vectors is exactly the configuration this eval
+      // exists to catch before it ships.)
+      "q89_ann_recall",
+      (s, d) => {
+        val t = bruteTop5(s, d).select("qid", "vec_id")
+        val a = ivfTop5(s, d).select(col("qid"), col("vec_id"), lit(1).as("hit"))
+        t.join(a, Seq("qid", "vec_id"), "left")
+          .groupBy("qid")
+          .agg(count(col("hit")).as("n_hits"))
+          .select(col("qid"), col("n_hits"),
+            round(col("n_hits").cast("double") / lit(5.0), 6).as("recall_at_5"))
+      },
+      Some(s"""WITH ${normsCte("nrms", "embeddings")},
+              |$bruteKnnTailCtes,
+              |$ivfTailCtes
+              |SELECT t.qid, COUNT(a.vec_id) AS n_hits,
+              |       round(CAST(COUNT(a.vec_id) AS DOUBLE) / 5.0, 6) AS recall_at_5
+              |FROM truth t LEFT JOIN approx a
+              |  ON t.qid = a.qid AND t.vec_id = a.vec_id
+              |GROUP BY t.qid""".stripMargin)
     )
   )
 }
