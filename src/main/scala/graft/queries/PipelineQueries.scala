@@ -1121,6 +1121,42 @@ object PipelineQueries {
               |FROM truth t LEFT JOIN approx a
               |  ON t.qid = a.qid AND t.vec_id = a.vec_id
               |GROUP BY t.qid""".stripMargin)
+    ),
+    QueryDef(
+      // Deterministic stratified train/val/test split: EXACTLY
+      // floor(.8n)/floor(.9n) cuts within every (source, lang) stratum —
+      // not the expectation-only split a per-doc hash-mod gives. Docs are
+      // ranked inside their stratum by a multiplicative hash (a
+      // shuffle-stable pseudo-random order), and the cut thresholds use
+      // integer arithmetic only (rk*10 vs n*8) so neither engine can
+      // drift on float rounding. The window partitions on the stratum —
+      // the split parallelizes across strata and never funnels the
+      // corpus through one partition; a 100 TB run shards exactly the
+      // same way.
+      "q91_stratified_split",
+      (s, d) => {
+        val stratum = Window.partitionBy("source", "lang")
+        val byHash = stratum.orderBy(col("shuffle_key"), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("lang"),
+            ((col("doc_id") * lit(2654435761L)) % lit(4294967296L)).as("shuffle_key"))
+          .withColumn("rk", row_number().over(byHash))
+          .withColumn("n", count(lit(1)).over(stratum))
+          .select(col("doc_id"), col("source"), col("lang"),
+            when(col("rk") * 10 <= col("n") * 8, "train")
+              .when(col("rk") * 10 <= col("n") * 9, "val")
+              .otherwise("test").as("split"))
+      },
+      Some("""SELECT doc_id, source, lang,
+             |       CASE WHEN rk * 10 <= n * 8 THEN 'train'
+             |            WHEN rk * 10 <= n * 9 THEN 'val'
+             |            ELSE 'test' END AS split
+             |FROM (
+             |  SELECT doc_id, source, lang,
+             |         row_number() OVER (PARTITION BY source, lang
+             |             ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk,
+             |         COUNT(*) OVER (PARTITION BY source, lang) AS n
+             |  FROM documents) t""".stripMargin)
     )
   )
 }

@@ -60,4 +60,32 @@ class CoreQueriesSpec extends SparkTestBase {
     inserts.foreach(k => assert(merged.contains(k + 1000000L), s"insert $k missing"))
     assert(merged.size == base.size - deleted.size + inserts.size, "merge count off")
   }
+
+  test("q90 SCD2 history: contiguous non-overlapping intervals, full coverage") {
+    val byName = CoreQueries.defs.map(d => d.name -> d).toMap
+    // o_orderdate is TIMESTAMP_NTZ (LocalDateTime rows) — compare the
+    // interval bounds structurally, not through java.sql.Timestamp.
+    val rows = byName("q90_scd2_history").query(spark, sfDir).collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getString(2),
+        r.get(3), Option(r.get(4)), r.getLong(5), r.getBoolean(6))
+    }
+    val totalOrders = Tables.orders(spark, sfDir).count()
+    assert(rows.map(_._6).sum == totalOrders,
+      "interval order counts must partition the order stream")
+    rows.groupBy(_._1).foreach { case (cust, hist) =>
+      val sorted = hist.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.size).toSeq,
+        s"customer $cust: versions not contiguous from 1")
+      assert(sorted.count(_._7) == 1 && sorted.last._7,
+        s"customer $cust: exactly the last version must be current")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.contains(b._4),
+            s"customer $cust: version ${a._2} does not close at the next start")
+          assert(a._3 != b._3,
+            s"customer $cust: adjacent versions carry the same status (run not collapsed)")
+        case _ =>
+      }
+    }
+  }
 }

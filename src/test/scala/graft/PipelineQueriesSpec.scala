@@ -269,4 +269,29 @@ class PipelineQueriesSpec extends SparkTestBase {
       } else assert(!out.contains(r.doc_id))
     }
   }
+
+  test("q89 recall eval: one row per query point, hits bounded by k") {
+    val rows = byName("q89_ann_recall").query(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSet == PipelineQueries.KnnQueryIds.toSet,
+      "recall eval must cover exactly the fixed query points")
+    rows.foreach { case (qid, hits, recall) =>
+      assert(hits >= 0 && hits <= 5, s"qid $qid: $hits hits out of a top-5")
+      assert(math.abs(recall - hits / 5.0) < 1e-9, s"qid $qid: recall != hits/5")
+    }
+  }
+
+  test("q91 stratified split: exact 80/10/10 cuts inside every stratum") {
+    val rows = byName("q91_stratified_split").query(spark, sfDir).collect()
+      .map(r => ((r.getString(1), r.getString(2)), r.getString(3)))
+    rows.groupBy(_._1).foreach { case (stratum, docs) =>
+      val n = docs.size.toLong
+      val bySplit = docs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      assert(bySplit.getOrElse("train", 0L) == n * 8 / 10,
+        s"$stratum: train cut is not floor(.8n) of $n")
+      assert(bySplit.getOrElse("train", 0L) + bySplit.getOrElse("val", 0L) == n * 9 / 10,
+        s"$stratum: train+val cut is not floor(.9n) of $n")
+      assert(bySplit.values.sum == n, s"$stratum: splits do not partition the stratum")
+    }
+  }
 }
