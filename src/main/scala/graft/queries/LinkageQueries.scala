@@ -1017,9 +1017,13 @@ object LinkageQueries {
       val key = (s, d)
       scoredFrames.getOrElse(key, {
         scoredFrames.clear()
+        // tf_ln12 rides along for q92: the TERM the pair agreed on must be
+        // the pairing row's own ln12 (nickname expansion makes rec_id
+        // non-unique in input, so a later re-join on rec_id would fan out).
         val df = LinkageCascade
           .score(LinkageCascade.pairs(census(s, d), input(s, d), blockPass), config)
           .select(col("l_pik").as("pik") +: col("r_rec_id").as("rec_id") +:
+            col("r_ln12").as("tf_ln12") +:
             comparisons.map(c => col(c.gammaName)) :+ col("match_weight"): _*)
           .cache()
         scoredFrames.put(key, df)
@@ -1413,6 +1417,89 @@ object LinkageQueries {
               |       round(MAX(${FellegiSunter.matchWeightSql(comparisons)}), 6) AS pattern_weight
               |FROM cand
               |GROUP BY ${comparisons.map(_.gammaName).mkString(", ")}""".stripMargin)
+    ),
+    QueryDef(
+      // Splink term-frequency adjustment (beyond the reference's settings,
+      // but core PVS/Splink machinery): an exact last-name agreement on
+      // SMITH is far weaker evidence than on a rare name, so pairs at the
+      // exact ln12 level trade the comparison's GENERIC u for the term's
+      // observed frequency — adjustment = log2(u_exact / tf(term)), added
+      // to the base match weight (Splink's tf_adjustments with weight 1).
+      // Shape: the cached scored frame joins the input side's ln12 (one
+      // equi-join), then a broadcast term-frequency dim built from census
+      // — at 100 TB the tf dim is |distinct names|, always broadcastable.
+      "q92_tf_adjustment",
+      (s, d) => {
+        reg(s)
+        val uExact = comparisons.find(_.name == "last").get.levels.head.u
+        val nCen = census(s, d).count()
+        val tf = census(s, d).filter(col("ln12").isNotNull)
+          .groupBy(col("ln12").as("tf_term"))
+          .agg(count(lit(1)).as("tf_cnt"))
+        val adjRaw = log2(lit(uExact) * lit(nCen.toDouble) / col("tf_cnt"))
+        scoredBlock(s, d)
+          .join(broadcast(tf), col("tf_ln12") === col("tf_term"), "left")
+          .select(col("pik"), col("rec_id"),
+            coalesce(col("tf_cnt"), lit(0L)).as("tf_cnt"),
+            round(col("match_weight"), 6).as("base_weight"),
+            when(col("gamma_last") === 2 && col("tf_cnt").isNotNull,
+              round(adjRaw, 6)).otherwise(lit(0.0)).as("tf_adj"),
+            when(col("gamma_last") === 2 && col("tf_cnt").isNotNull,
+              round(col("match_weight") + adjRaw, 6))
+              .otherwise(round(col("match_weight"), 6)).as("adjusted_weight"))
+      }, {
+        val uExact = comparisons.find(_.name == "last").get.levels.head.u
+        val adjSql = s"log2($uExact * $countCensusSql / tf_cnt)"
+        Some(s"""$base,
+                |cand AS (
+                |  SELECT c.pik, i.rec_id, i.ln12,
+                |         $gammaSelects
+                |  FROM census c JOIN input i ON c.zip3 = i.zip3),
+                |scored AS (
+                |  SELECT pik, rec_id, ln12, gamma_last,
+                |         ${FellegiSunter.matchWeightSql(comparisons)} AS mw
+                |  FROM cand),
+                |tf AS (
+                |  SELECT ln12 AS tf_term, COUNT(*) AS tf_cnt
+                |  FROM census WHERE ln12 IS NOT NULL GROUP BY ln12)
+                |SELECT pik, rec_id,
+                |       CAST(coalesce(tf_cnt, 0) AS BIGINT) AS tf_cnt,
+                |       round(mw, 6) AS base_weight,
+                |       CASE WHEN gamma_last = 2 AND tf_cnt IS NOT NULL
+                |            THEN round($adjSql, 6) ELSE 0.0 END AS tf_adj,
+                |       CASE WHEN gamma_last = 2 AND tf_cnt IS NOT NULL
+                |            THEN round(mw + $adjSql, 6)
+                |            ELSE round(mw, 6) END AS adjusted_weight
+                |FROM scored LEFT JOIN tf ON scored.ln12 = tf.tf_term""".stripMargin)
+      }
+    ),
+    QueryDef(
+      // Splink's match-weight distribution chart: integer-bucket histogram
+      // of the demo block's match weights with the pair count above the
+      // cascade threshold marked out. One hash-agg over the cached scored
+      // frame; the floor buckets are sums of shared double literals, so
+      // both engines bucket identically.
+      "q93_weight_histogram",
+      (s, d) => {
+        reg(s)
+        scoredBlock(s, d)
+          .groupBy(floor(col("match_weight")).cast("long").as("weight_bucket"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("match_weight") >= config.thresholdWeight, 1L)
+              .otherwise(0L)).as("n_above_threshold"))
+      },
+      Some(s"""$base,
+              |cand AS (
+              |  SELECT c.pik, i.rec_id,
+              |         $gammaSelects
+              |  FROM census c JOIN input i ON c.zip3 = i.zip3),
+              |scored AS (
+              |  SELECT ${FellegiSunter.matchWeightSql(comparisons)} AS mw
+              |  FROM cand)
+              |SELECT CAST(FLOOR(mw) AS BIGINT) AS weight_bucket,
+              |       COUNT(*) AS n_pairs,
+              |       CAST(SUM(CASE WHEN mw >= ${config.thresholdWeight} THEN 1 ELSE 0 END) AS BIGINT) AS n_above_threshold
+              |FROM scored""".stripMargin + "\nGROUP BY 1")
     ),
     QueryDef(
       // Splink count_comparisons pre-flight over every main pass: total
