@@ -1502,6 +1502,78 @@ object LinkageQueries {
               |FROM scored""".stripMargin + "\nGROUP BY 1")
     ),
     QueryDef(
+      // Splink's dedupe_only link type: the reference file deduped against
+      // ITSELF — same blocking, same FS scoring, but the pair space is the
+      // a < b self-join and above-threshold pairs become duplicate
+      // CLUSTERS (distributed min-label components), not links. Planted
+      // duplicate filings (every pik%13 re-filed under a shifted id with
+      // the middle initial missing) must cluster with their originals.
+      // Scale shape: one zip3-blocked self-join (salting-ready like every
+      // pass) + the q52 clustering loop; output keeps only multi-member
+      // clusters with the min-pik survivor.
+      "q94_person_dedupe",
+      (s, d) => {
+        reg(s)
+        val cols = Seq("pik", "zip3") ++ comparisons.map(_.column)
+        val cen = census(s, d).select(cols.map(col): _*)
+        val dup = cen.filter(pmod(col("pik"), lit(13)) === 0)
+          .withColumn("pik", col("pik") + lit(10000000L))
+          .withColumn("middle_initial", lit(null).cast("string"))
+          .select(cols.map(col): _*)
+        val cen2 = cen.unionByName(dup)
+        val scored = LinkageCascade.score(
+          LinkageCascade.pairs(cen2, cen2, blockPass)
+            .filter(col("l_pik") < col("r_pik")),
+          config)
+        val edges = scored
+          .filter(col("match_weight") >= config.thresholdWeight)
+          .select(col("l_pik").as("a"), col("r_pik").as("b"))
+        val cc = graft.operators.Components.connectedComponents(
+          cen2.select(col("pik").as("node")), edges)
+        val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+        cc.join(sizes, Seq("cluster_id"))
+          .filter(col("n_members") > 1)
+          .select(col("node").as("pik"), col("cluster_id"), col("n_members"),
+            (col("node") === col("cluster_id")).as("is_survivor"))
+      }, {
+        val selfGammas = comparisons
+          .map(c => s"${FellegiSunter.gammaSql(c, "a", "b")} AS ${c.gammaName}")
+          .mkString(",\n         ")
+        val cols = "zip3, " + comparisons.map(_.column).mkString(", ")
+        val dupCols = ("zip3" +: comparisons.map(c =>
+          if (c.column == "middle_initial") "CAST(NULL AS VARCHAR) AS middle_initial"
+          else c.column)).mkString(", ")
+        // The reach CTE is recursive, so the leading WITH of the shared
+        // base chain becomes WITH RECURSIVE (DuckDB allows non-recursive
+        // CTEs under it).
+        Some(s"""${base.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+                |census2 AS (
+                |  SELECT pik, $cols FROM census
+                |  UNION ALL
+                |  SELECT pik + 10000000, $dupCols FROM census WHERE pik % 13 = 0),
+                |dcand AS (
+                |  SELECT a.pik AS pa, b.pik AS pb,
+                |         $selfGammas
+                |  FROM census2 a JOIN census2 b ON a.zip3 = b.zip3 AND a.pik < b.pik),
+                |dedges AS (
+                |  SELECT pa AS a, pb AS b FROM dcand
+                |  WHERE ${FellegiSunter.matchWeightSql(comparisons)} >= ${config.thresholdWeight}),
+                |sym AS (SELECT a, b FROM dedges UNION SELECT b, a FROM dedges),
+                |reach(src, dst) AS (
+                |  SELECT a, b FROM sym
+                |  UNION
+                |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
+                |minreach AS (SELECT src, MIN(dst) AS m FROM reach GROUP BY src),
+                |labels AS (
+                |  SELECT c.pik, least(c.pik, coalesce(m.m, c.pik)) AS cluster_id
+                |  FROM census2 c LEFT JOIN minreach m ON c.pik = m.src),
+                |sizes AS (SELECT cluster_id, COUNT(*) AS n_members FROM labels GROUP BY cluster_id)
+                |SELECT l.pik, l.cluster_id, s.n_members, l.pik = l.cluster_id AS is_survivor
+                |FROM labels l JOIN sizes s ON l.cluster_id = s.cluster_id
+                |WHERE s.n_members > 1""".stripMargin)
+      }
+    ),
+    QueryDef(
       // Splink count_comparisons pre-flight over every main pass: total
       // candidate pairs against the full input, block count, and the
       // largest single block (the straggler bound that decides salting

@@ -411,4 +411,27 @@ class LinkageSpec extends SparkTestBase {
     assert(!plan.contains("Cartesian"), s"unexpected cartesian:\n$plan")
     assert(!plan.contains("BroadcastNestedLoop"), s"unexpected BNLJ:\n$plan")
   }
+
+  test("q94 self-dedup: planted refilings cluster with their originals") {
+    GraftFunctions.register(spark)
+    val byName = LinkageQueries.defs.map(d => d.name -> d).toMap
+    val rows = byName("q94_person_dedupe").query(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val cluster = rows.map(r => r._1 -> r._2).toMap
+    val planted = rows.filter(_._1 >= 10000000L)
+    assert(planted.nonEmpty, "no planted refiling was recovered")
+    planted.foreach { case (pik, cid, _, _) =>
+      assert(cluster.get(pik - 10000000L).contains(cid),
+        s"refiling $pik did not cluster with its original")
+    }
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid, s"cluster $cid survivor is not min pik")
+      assert(members.count(_._4) == 1, s"cluster $cid has != 1 survivor")
+    }
+    // Null-heavy noise-class rows legitimately score below threshold, but
+    // the bulk of the planted refilings must be recovered.
+    val nPlantable = census.filter(pmod(col("pik"), lit(13)) === 0).count()
+    assert(planted.length * 2 >= nPlantable,
+      s"recovered ${planted.length} of $nPlantable planted refilings")
+  }
 }
