@@ -1503,28 +1503,35 @@ object LinkageQueries {
     ),
     QueryDef(
       // Splink's dedupe_only link type: the reference file deduped against
-      // ITSELF — same blocking, same FS scoring, but the pair space is the
-      // a < b self-join and above-threshold pairs become duplicate
-      // CLUSTERS (distributed min-label components), not links. Planted
-      // duplicate filings (every pik%13 re-filed under a shifted id with
-      // the middle initial missing) must cluster with their originals.
-      // Scale shape: one zip3-blocked self-join (salting-ready like every
-      // pass) + the q52 clustering loop; output keeps only multi-member
-      // clusters with the min-pik survivor.
+      // ITSELF — same FS scoring, but the pair space is the a < b
+      // self-join and above-threshold pairs become duplicate CLUSTERS
+      // (distributed min-label components), not links. Planted duplicate
+      // filings (every pik%13 re-filed under a shifted id with the middle
+      // initial missing) must cluster with their originals.
+      // Scale note: a SELF-join is quadratic in block size, so dedupe
+      // blocking must be far tighter than the linking demo's zip3 block
+      // (15k rows / ~10 zip3s ≈ 11M scored pairs — measured 38 s at
+      // sf0.1). Two tight union'd rules — exact geokey (the GQ-nulled
+      // variant, which also defuses the worst block skew) and full
+      // DOB+zip3 — keep blocks at household/birthday size, recover every
+      // planted refiling, and run in ~1 s at the same scale.
       "q94_person_dedupe",
       (s, d) => {
         reg(s)
-        val cols = Seq("pik", "zip3") ++ comparisons.map(_.column)
+        val cols = Seq("pik", "zip3", "geokey_blk") ++ comparisons.map(_.column)
         val cen = census(s, d).select(cols.map(col): _*)
         val dup = cen.filter(pmod(col("pik"), lit(13)) === 0)
           .withColumn("pik", col("pik") + lit(10000000L))
           .withColumn("middle_initial", lit(null).cast("string"))
           .select(cols.map(col): _*)
         val cen2 = cen.unionByName(dup)
-        val scored = LinkageCascade.score(
-          LinkageCascade.pairs(cen2, cen2, blockPass)
-            .filter(col("l_pik") < col("r_pik")),
-          config)
+        val pairsOf = (keys: Seq[String]) =>
+          LinkageCascade.pairs(cen2, cen2, BlockingPass("dedup", keys))
+            .filter(col("l_pik") < col("r_pik"))
+        val cand = pairsOf(Seq("geokey_blk"))
+          .unionByName(pairsOf(Seq("dob_year", "dob_month", "dob_day", "zip3")))
+          .dropDuplicates(Seq("l_pik", "r_pik"))
+        val scored = LinkageCascade.score(cand, config)
         val edges = scored
           .filter(col("match_weight") >= config.thresholdWeight)
           .select(col("l_pik").as("a"), col("r_pik").as("b"))
@@ -1539,8 +1546,8 @@ object LinkageQueries {
         val selfGammas = comparisons
           .map(c => s"${FellegiSunter.gammaSql(c, "a", "b")} AS ${c.gammaName}")
           .mkString(",\n         ")
-        val cols = "zip3, " + comparisons.map(_.column).mkString(", ")
-        val dupCols = ("zip3" +: comparisons.map(c =>
+        val cols = "zip3, geokey_blk, " + comparisons.map(_.column).mkString(", ")
+        val dupCols = (Seq("zip3", "geokey_blk") ++ comparisons.map(c =>
           if (c.column == "middle_initial") "CAST(NULL AS VARCHAR) AS middle_initial"
           else c.column)).mkString(", ")
         // The reach CTE is recursive, so the leading WITH of the shared
@@ -1554,7 +1561,14 @@ object LinkageQueries {
                 |dcand AS (
                 |  SELECT a.pik AS pa, b.pik AS pb,
                 |         $selfGammas
-                |  FROM census2 a JOIN census2 b ON a.zip3 = b.zip3 AND a.pik < b.pik),
+                |  FROM census2 a JOIN census2 b
+                |    ON a.geokey_blk = b.geokey_blk AND a.pik < b.pik
+                |  UNION
+                |  SELECT a.pik AS pa, b.pik AS pb,
+                |         $selfGammas
+                |  FROM census2 a JOIN census2 b
+                |    ON a.dob_year = b.dob_year AND a.dob_month = b.dob_month
+                |   AND a.dob_day = b.dob_day AND a.zip3 = b.zip3 AND a.pik < b.pik),
                 |dedges AS (
                 |  SELECT pa AS a, pb AS b FROM dcand
                 |  WHERE ${FellegiSunter.matchWeightSql(comparisons)} >= ${config.thresholdWeight}),
@@ -1572,6 +1586,48 @@ object LinkageQueries {
                 |FROM labels l JOIN sizes s ON l.cluster_id = s.cluster_id
                 |WHERE s.n_members > 1""".stripMargin)
       }
+    ),
+    QueryDef(
+      // Model calibration: is a predicted 70% match actually a match 70%
+      // of the time? The demo block's posterior probabilities bucket into
+      // deciles against the synthetic ground truth (pik == rec_id), the
+      // reliability-diagram surface for the FS model. Both engines bucket
+      // the 6dp-ROUNDED probability, so a decile can't flip on the last
+      // ulp of pow(). One hash-agg over the cached scored frame.
+      "q95_calibration",
+      (s, d) => {
+        reg(s)
+        val lam = LinkageCascade.estimateLambda(census(s, d), input(s, d))
+        val p = round(FellegiSunter.probabilityCol(col("match_weight"), lam), 6)
+        scoredBlock(s, d)
+          .select(col("pik"), col("rec_id"), p.as("prob"))
+          .withColumn("decile", least(lit(9L), floor(col("prob") * 10)).cast("long"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("pik") === col("rec_id"), 1L).otherwise(0L)).as("n_true"))
+          .select(col("decile"), col("n_pairs"), col("n_true"),
+            round(col("n_true").cast("double") / col("n_pairs").cast("double"), 6)
+              .as("true_rate"))
+      },
+      Some(s"""$base,
+              |lam AS (SELECT ${LinkageCascade.lambdaSql(countInputSql, countCensusSql)} AS v),
+              |cand AS (
+              |  SELECT c.pik, i.rec_id,
+              |         $gammaSelects
+              |  FROM census c JOIN input i ON c.zip3 = i.zip3),
+              |scored AS (
+              |  SELECT pik, rec_id, ${FellegiSunter.matchWeightSql(comparisons)} AS match_weight
+              |  FROM cand),
+              |probs AS (
+              |  SELECT pik, rec_id,
+              |         round(${FellegiSunter.probabilitySqlDyn("match_weight", "(SELECT v FROM lam)")}, 6) AS prob
+              |  FROM scored)
+              |SELECT CAST(least(9, CAST(FLOOR(prob * 10) AS BIGINT)) AS BIGINT) AS decile,
+              |       COUNT(*) AS n_pairs,
+              |       CAST(SUM(CASE WHEN pik = rec_id THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+              |       round(CAST(SUM(CASE WHEN pik = rec_id THEN 1 ELSE 0 END) AS DOUBLE) /
+              |             CAST(COUNT(*) AS DOUBLE), 6) AS true_rate
+              |FROM probs GROUP BY 1""".stripMargin)
     ),
     QueryDef(
       // Splink count_comparisons pre-flight over every main pass: total

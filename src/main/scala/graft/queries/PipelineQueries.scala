@@ -102,6 +102,25 @@ object PipelineQueries {
   private def sparkNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", VectorOps.norm(col("embedding")))
 
+  /** Normalized embeddings, cached per (session, dir): q44, q68 and both
+    * branches of q89 all start from this frame — one scan + one decimal
+    * norm pass instead of four. Latest-key-only eviction like the gram
+    * memo.
+    */
+  private val normFrames =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def embNorms(s: SparkSession, d: String): DataFrame =
+    normFrames.synchronized {
+      normFrames.getOrElse((s, d), {
+        normFrames.values.foreach(_.unpersist())
+        normFrames.clear()
+        val df = sparkNorm(Tables.embeddings(s, d).select("vec_id", "embedding")).cache()
+        normFrames.put((s, d), df)
+        df
+      })
+    }
+
   /** q44's exact brute-force top-5 (qid, vec_id, rnk, cos) — also the
     * truth set the ANN recall eval (q89) measures q68 against. Top-k via
     * the TypedImperativeAggregate: map-side partial top-5 buffers instead
@@ -109,7 +128,7 @@ object PipelineQueries {
     */
   private def bruteTop5(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val e = sparkNorm(Tables.embeddings(s, d).select("vec_id", "embedding"))
+    val e = embNorms(s, d)
     val q = e.filter(col("vec_id").isin(KnnQueryIds: _*))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
     e.crossJoin(broadcast(q))
@@ -150,7 +169,7 @@ object PipelineQueries {
     */
   private def ivfTop5(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val e = sparkNorm(Tables.embeddings(s, d).select("vec_id", "embedding"))
+    val e = embNorms(s, d)
     val cents = e.filter(col("vec_id").isin(IvfSeedIds: _*))
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
     val byVec = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
@@ -232,6 +251,7 @@ object PipelineQueries {
   def warm(s: SparkSession, d: String): Unit = {
     jaccardPairs(s, d)
     gramFrames.get((s, d)).foreach(_.count())
+    embNorms(s, d).count()
   }
 
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
