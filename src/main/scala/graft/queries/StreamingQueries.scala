@@ -216,6 +216,28 @@ object StreamingQueries {
              |       CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
              |FROM events
              |GROUP BY 1, 2""".stripMargin)
+    ),
+    QueryDef(
+      // Stream-static enrichment (batch twin of Sessionizer.enrich, the
+      // broadcast-dimension join StreamingSpec drives through a
+      // MemoryStream): every event picks up its user's market segment
+      // from the customer dim, then aggregates per (segment, type). In a
+      // stream the dim side must be bounded and broadcast — the stateless
+      // per-batch join shape that needs no watermark; at 100 TB/day of
+      // events the dim broadcast is what keeps enrichment shuffle-free.
+      "q96_stream_enrich",
+      (s, d) =>
+        Tables.events(s, d)
+          .join(broadcast(Tables.customer(s, d)
+            .select(col("c_custkey").as("user_id"), col("c_mktsegment"))),
+            Seq("user_id"))
+          .groupBy("c_mktsegment", "event_type")
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value")),
+      Some("""SELECT c.c_mktsegment, e.event_type,
+             |       COUNT(*) AS n_events,
+             |       CAST(SUM(CAST(e.value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+             |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             |GROUP BY 1, 2""".stripMargin)
     )
   )
 }
