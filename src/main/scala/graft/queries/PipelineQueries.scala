@@ -1177,6 +1177,33 @@ object PipelineQueries {
              |             ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk,
              |         COUNT(*) OVER (PARTITION BY source, lang) AS n
              |  FROM documents) t""".stripMargin)
+    ),
+    QueryDef(
+      // Corpus reporting cube: doc/token totals at every (source, lang)
+      // rollup level in ONE aggregation pass (grouping sets compute the
+      // partials map-side, no per-level re-scan). Rollup nulls coalesce
+      // to a sentinel and the grouping bits ride along explicitly, so
+      // both engines emit identical rows.
+      "q98_rollup_stats",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("source"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .rollup("source", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+            (grouping(col("source")) * 2 + grouping(col("lang"))).as("gid"))
+          .select(
+            coalesce(col("source"), lit("ALL")).as("source"),
+            coalesce(col("lang"), lit("ALL")).as("lang"),
+            col("gid").cast("long").as("gid"),
+            col("n_docs"), col("n_tokens")),
+      Some("""SELECT coalesce(source, 'ALL') AS source,
+             |       coalesce(lang, 'ALL') AS lang,
+             |       CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gid,
+             |       COUNT(*) AS n_docs,
+             |       CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens
+             |FROM documents
+             |GROUP BY ROLLUP (source, lang)""".stripMargin)
     )
   )
 }

@@ -238,6 +238,57 @@ object StreamingQueries {
              |       CAST(SUM(CAST(e.value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
              |FROM events e JOIN customer c ON e.user_id = c.c_custkey
              |GROUP BY 1, 2""".stripMargin)
+    ),
+    QueryDef(
+      // Ordered conversion funnel: the furthest view -> click -> purchase
+      // stage each user reaches, each step strictly AFTER the previous
+      // step's first completion (not mere presence of all three types).
+      // Three per-user min-aggregates chained by equi-join + range filter
+      // on user_id — no windows over the event table, no self-cross;
+      // shuffles scale with the user keyspace. Event timestamps carry no
+      // sub-microsecond parts and no per-user duplicates in the testdata,
+      // so strict > is engine-safe.
+      "q97_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val c = ev.filter(col("event_type") === "click").join(v, Seq("user_id"))
+          .filter(col("ts") > col("t1")).groupBy("user_id").agg(min("ts").as("t2"))
+        val p = ev.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+          .filter(col("ts") > col("t2")).groupBy("user_id").agg(min("ts").as("t3"))
+        ev.select("user_id").distinct()
+          .join(v, Seq("user_id"), "left")
+          .join(c, Seq("user_id"), "left")
+          .join(p, Seq("user_id"), "left")
+          .select(col("user_id"),
+            when(col("t3").isNotNull, 3)
+              .when(col("t2").isNotNull, 2)
+              .when(col("t1").isNotNull, 1)
+              .otherwise(0).as("funnel_stage"))
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+             |  FROM events WHERE event_type = 'view' GROUP BY 1),
+             |c AS (
+             |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+             |  FROM events e JOIN v ON e.user_id = v.user_id
+             |   AND CAST(e.ts AS TIMESTAMP) > v.t1
+             |  WHERE e.event_type = 'click' GROUP BY 1),
+             |p AS (
+             |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+             |  FROM events e JOIN c ON e.user_id = c.user_id
+             |   AND CAST(e.ts AS TIMESTAMP) > c.t2
+             |  WHERE e.event_type = 'purchase' GROUP BY 1)
+             |SELECT u.user_id,
+             |       CASE WHEN p.t3 IS NOT NULL THEN 3
+             |            WHEN c.t2 IS NOT NULL THEN 2
+             |            WHEN v.t1 IS NOT NULL THEN 1
+             |            ELSE 0 END AS funnel_stage
+             |FROM (SELECT DISTINCT user_id FROM events) u
+             |LEFT JOIN v ON u.user_id = v.user_id
+             |LEFT JOIN c ON u.user_id = c.user_id
+             |LEFT JOIN p ON u.user_id = p.user_id""".stripMargin)
     )
   )
 }
