@@ -105,4 +105,49 @@ object Sessionizer {
           }
       }
   }
+
+  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+
+  final case class FunnelStage(user_id: Long, funnel_stage: Int)
+
+  /** Event-time micros; Timestamp.getTime is ms-truncated, the batch twin
+    * compares at full µs precision.
+    */
+  private def us(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Streaming twin of q97: the view → click → purchase funnel as a keyed
+    * state machine (each step locks in the FIRST qualifying event-time
+    * strictly after the previous step), emitting the user's current stage
+    * in Update mode. State is three longs per user — bounded by the user
+    * keyspace; a production stream would age out idle users with an
+    * event-time timeout like [[sessionize]] does. Equals the batch q97
+    * result whenever micro-batches arrive in event-time order (replayed
+    * logs; StreamingSpec feeds sorted input), because the state machine
+    * is then folding the same ordered sequence the batch min-aggregates
+    * summarize.
+    */
+  def funnel(spark: SparkSession, events: DataFrame): Dataset[FunnelStage] = {
+    import spark.implicits._
+    events
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelStage](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(0L, 0L, 0L))
+          rows.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            val t = us(e.ts)
+            e.event_type match {
+              case "view" if s.t1 == 0L                            => s = s.copy(t1 = t)
+              case "click" if s.t1 != 0L && t > s.t1 && s.t2 == 0L => s = s.copy(t2 = t)
+              case "purchase" if s.t2 != 0L && t > s.t2 && s.t3 == 0L => s = s.copy(t3 = t)
+              case _ =>
+            }
+          }
+          state.update(s)
+          FunnelStage(userId,
+            if (s.t3 != 0L) 3 else if (s.t2 != 0L) 2 else if (s.t1 != 0L) 1 else 0)
+      }
+  }
 }

@@ -62,6 +62,38 @@ class StreamingSpec extends SparkTestBase {
         s"only-batch=${(batch -- streamed).take(3)}")
   }
 
+  test("streaming funnel state machine agrees with the batch q97") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.events(spark, sfDir)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(_.ts.getTime)
+
+    val stream = MemoryStream[Event]
+    val query = Sessionizer.funnel(spark, stream.toDF())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("update").start()
+    try {
+      val (first, second) = events.splitAt(events.length / 2)
+      stream.addData(first.toIndexedSeq)
+      query.processAllAvailable()
+      stream.addData(second.toIndexedSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    // Stage is monotone per user, so the max over update-mode emissions is
+    // the final stage.
+    val streamed = spark.table("funnel_out")
+      .groupBy("user_id").agg(max("funnel_stage").as("funnel_stage"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val batch = StreamingQueries.defs.find(_.name == "q97_funnel").get
+      .query(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(streamed == batch,
+      s"streaming vs batch funnel differ: only-streaming=${(streamed -- batch).take(5)} " +
+        s"only-batch=${(batch -- streamed).take(5)}")
+  }
+
   test("streaming dedup drops exact event replays") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
