@@ -254,6 +254,39 @@ object PipelineQueries {
     embNorms(s, d).count()
   }
 
+  /** q41's MinHash-LSH candidate pairs (doc_a, doc_b) — also the
+    * approximate side of the q99 recall eval. Explode shingles and murmur
+    * each ONCE; the k min-hashes are then cheap arithmetic inside a
+    * codegen'd hash-aggregate with map-side partial mins — one shuffle of
+    * (doc, k mins), no re-evaluation of the shingle expression per hash
+    * function.
+    */
+  private def lshCandidates(s: SparkSession, d: String): DataFrame = {
+    val bandsPerSig = 16
+    val rowsPerBand = 2
+    val hx = docsWithDups(s, d)
+      .select(col("doc_id"),
+        explode(TextOps.wordShingles(col("text"), 3)).as("shingle"))
+      .select(col("doc_id"), abs(hash(col("shingle"))).cast("long").as("x"))
+    val aggs = TextOps.minhashParams(bandsPerSig * rowsPerBand).zipWithIndex.map {
+      case ((a, b), i) =>
+        min(pmod(col("x") * a + b, lit(TextOps.MinhashP))).as(s"m$i")
+    }
+    val sig = hx.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val bands = sig.select(
+      col("doc_id"),
+      explode(array((0 until bandsPerSig).map(bi =>
+        struct(lit(bi).as("band"),
+          hash((0 until rowsPerBand).map(r => col(s"m${bi * rowsPerBand + r}")): _*)
+            .as("bh"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     // Cached: three consumers below (sizes, both token-join sides) would
     // otherwise each recompute the shingle construction from scratch —
@@ -342,35 +375,7 @@ object PipelineQueries {
       // Hash family is Spark murmur3 — no DuckDB equivalent → rows-only;
       // PipelineSpec asserts the planted near-dups are all recovered.
       "q41_minhash_lsh",
-      (s, d) => {
-        val bandsPerSig = 16
-        val rowsPerBand = 2
-        // Explode shingles and murmur each ONCE; the k min-hashes are then
-        // cheap arithmetic inside a codegen'd hash-aggregate with map-side
-        // partial mins — one shuffle of (doc, k mins), no re-evaluation of
-        // the shingle expression per hash function.
-        val hx = docsWithDups(s, d)
-          .select(col("doc_id"),
-            explode(TextOps.wordShingles(col("text"), 3)).as("shingle"))
-          .select(col("doc_id"), abs(hash(col("shingle"))).cast("long").as("x"))
-        val aggs = TextOps.minhashParams(bandsPerSig * rowsPerBand).zipWithIndex.map {
-          case ((a, b), i) =>
-            min(pmod(col("x") * a + b, lit(TextOps.MinhashP))).as(s"m$i")
-        }
-        val sig = hx.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-        val bands = sig.select(
-          col("doc_id"),
-          explode(array((0 until bandsPerSig).map(bi =>
-            struct(lit(bi).as("band"),
-              hash((0 until rowsPerBand).map(r => col(s"m${bi * rowsPerBand + r}")): _*)
-                .as("bh"))): _*)).as("bb"))
-          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-        bands.as("a").join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-      }
+      (s, d) => lshCandidates(s, d)
     ),
     QueryDef(
       // 64-bit SimHash; candidates via 16-bit chunk buckets, verified by
@@ -1204,6 +1209,29 @@ object PipelineQueries {
              |       CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens
              |FROM documents
              |GROUP BY ROLLUP (source, lang)""".stripMargin)
+    ),
+    QueryDef(
+      // MinHash-LSH candidate-generation recall vs the exact banded-
+      // Jaccard truth (q43), per similarity decile — the empirical
+      // S-curve every LSH deployment should measure before trusting its
+      // band/row parameters at scale (16 bands × 2 rows ⇒ P(catch) =
+      // 1-(1-j²)^16, ≈0.99 at j=0.5). Truth and candidates come from the
+      // shared q43/q41 builders, so the eval can't drift from the
+      // operators; rows-only (candidates depend on Spark murmur3), with
+      // the golden spec pinning the high-similarity deciles at 1.0.
+      // Completes the recall-eval triple: q85 (blocking), q89 (ANN),
+      // q99 (near-dup LSH).
+      "q99_lsh_recall",
+      (s, d) => {
+        val truth = jaccardPairs(s, d)
+        val cand = lshCandidates(s, d).withColumn("caught", lit(1))
+        truth.join(cand, Seq("doc_a", "doc_b"), "left")
+          .groupBy(floor(col("jaccard") * 10).cast("long").as("jaccard_decile"))
+          .agg(count(lit(1)).as("n_truth"), count(col("caught")).as("n_caught"))
+          .select(col("jaccard_decile"), col("n_truth"), col("n_caught"),
+            round(col("n_caught").cast("double") / col("n_truth").cast("double"), 6)
+              .as("recall"))
+      }
     )
   )
 }

@@ -281,6 +281,17 @@ class PipelineQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q99 LSH recall: high-similarity deciles fully recovered") {
+    val rows = byName("q99_lsh_recall").query(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty, "no truth pairs to evaluate")
+    rows.filter(_._1 >= 8).foreach { case (dec, t, c, rec) =>
+      assert(rec == 1.0, s"decile $dec: LSH missed ${t - c} of $t near-identical pairs")
+    }
+    val (t, c) = (rows.map(_._2).sum, rows.map(_._3).sum)
+    assert(c.toDouble / t >= 0.9, s"overall LSH recall ${c.toDouble / t} below 0.9")
+  }
+
   test("q91 stratified split: exact 80/10/10 cuts inside every stratum") {
     val rows = byName("q91_stratified_split").query(spark, sfDir).collect()
       .map(r => ((r.getString(1), r.getString(2)), r.getString(3)))
