@@ -483,31 +483,40 @@ object LinkageCascade {
     }
   }
 
-  /** One EM session: the comparison-vector frame is built ONCE over the
-    * session's comparisons and cached NARROW (gamma ints only — gammas are
-    * computed map-side before any exchange); each iteration is a single
-    * map-side aggregate with only per-level scalars collected.
+  /** One EM session. The comparison-vector frame is collapsed to a gamma-
+    * PATTERN histogram (one row per distinct gamma tuple with its pair
+    * count) in a single Spark job — Splink's E-step compression. The
+    * histogram is bounded by the product of the comparisons' level counts
+    * (a few hundred rows whether the blocked pairs number thousands or
+    * trillions), so the EM iterations run driver-side over it with no
+    * further Spark jobs (previously: one full aggregate pass per
+    * iteration).
     *
     * `cvOpt` supplies an already-materialized frame carrying (at least)
     * this session's gamma columns for the SAME blocking — a caller that
     * has the blocked+scored frame cached (e.g. for prediction) hands it
-    * over and the session skips the join and every gamma evaluation. A
-    * provided frame is the caller's to unpersist, not the session's.
+    * over and the session skips the join and every gamma evaluation.
     */
   private def emSession(census: DataFrame, input: DataFrame, pass: BlockingPass,
       comparisons: Seq[Comparison], cfg: LinkageConfig,
       iterations: Int, cvOpt: Option[DataFrame] = None): Map[(String, Int), Double] = {
-    val owned = cvOpt.isEmpty
-    val cv = cvOpt match {
-      case Some(f) => f.select(comparisons.map(c => col(c.gammaName)): _*)
-      case None =>
-        comparisons
-          .foldLeft(pairs(census, input, pass)) { (df, c) =>
-            df.withColumn(c.gammaName, FellegiSunter.gammaCol(c))
-          }
-          .select(comparisons.map(c => col(c.gammaName)): _*)
-          .cache()
-    }
+    val src = cvOpt.getOrElse(
+      comparisons.foldLeft(pairs(census, input, pass)) { (df, c) =>
+        df.withColumn(c.gammaName, FellegiSunter.gammaCol(c))
+      })
+    val nC = comparisons.size
+    val histRows = src
+      .groupBy(comparisons.map(c => col(c.gammaName)): _*)
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+    // Sorted for a deterministic summation order (float addition is not
+    // associative; the histogram's arrival order is run-dependent).
+    val hist: Array[(Array[Int], Long)] = histRows
+      .map { r =>
+        val gs = Array.tabulate(nC)(i => r.get(i).asInstanceOf[Number].intValue)
+        (gs, r.getLong(nC))
+      }
+      .sortBy(_._1.mkString(","))
 
     // init: strongest level 0.8, rest of the mass uniform over lower levels
     var m: Map[(String, Int), Double] = comparisons.flatMap { c =>
@@ -516,30 +525,41 @@ object LinkageCascade {
         (c.name, g) -> (if (g == c.numLevels) 0.8 else 0.2 / lower)
       }
     }.toMap
+    val uFixed: Map[(String, Int), Double] =
+      comparisons.flatMap(c => c.params.map { case (g, _, u) => (c.name, g) -> u }).toMap
+    val knownGamma: Map[String, Set[Int]] =
+      comparisons.map(c => c.name -> c.params.map(_._1).toSet).toMap
 
     // The null level (gamma -1: either side missing) contributes a Bayes
     // factor of 1 to both the m- and u-products, like Splink's null_level —
     // a missing field is no evidence either way.
-    def caseOver(c: Comparison, f: Int => Double): Column =
-      c.params.init.foldLeft(when(col(c.gammaName) === lit(-1), lit(1.0))) {
-        case (acc, (g, _, _)) => acc.when(col(c.gammaName) === lit(g), lit(f(g)))
-      }.otherwise(lit(f(0)))
+    def levelVal(c: Comparison, g: Int, f: Int => Double): Double =
+      if (g == -1) 1.0
+      else if (knownGamma(c.name).contains(g)) f(g)
+      else f(0)
 
+    val lam = cfg.lambda
     for (_ <- 1 to iterations) {
-      val mProd = comparisons.map(c => caseOver(c, g => m((c.name, g)))).reduce(_ * _)
-      val uProd = comparisons.map { c =>
-        val us = c.params.map { case (g, _, u) => g -> u }.toMap
-        caseOver(c, us)
-      }.reduce(_ * _)
-      val p = lit(cfg.lambda) * mProd /
-        (lit(cfg.lambda) * mProd + lit(1.0 - cfg.lambda) * uProd)
-
-      val aggs = comparisons.flatMap { c =>
-        c.params.map { case (g, _, _) =>
-          sum(when(col(c.gammaName) === g, p).otherwise(lit(0.0))).as(s"${c.name}__$g")
+      val sums = scala.collection.mutable.Map.empty[(String, Int), Double].withDefaultValue(0.0)
+      hist.foreach { case (gs, n) =>
+        var mProd = 1.0
+        var uProd = 1.0
+        var i = 0
+        while (i < nC) {
+          val c = comparisons(i)
+          mProd *= levelVal(c, gs(i), g => m((c.name, g)))
+          uProd *= levelVal(c, gs(i), g => uFixed((c.name, g)))
+          i += 1
+        }
+        val p = lam * mProd / (lam * mProd + (1.0 - lam) * uProd)
+        val w = n.toDouble * p
+        var j = 0
+        while (j < nC) {
+          val c = comparisons(j)
+          if (gs(j) != -1 && knownGamma(c.name).contains(gs(j))) sums((c.name, gs(j))) += w
+          j += 1
         }
       }
-      val row = cv.agg(aggs.head, aggs.tail: _*).collect()(0)
       // m is normalized PER COMPARISON over its non-null levels (null-level
       // rows carry no information about this field's m), so comparisons
       // with missing data still get a proper distribution. A zero total
@@ -547,18 +567,13 @@ object LinkageCascade {
       // keeps the previous iteration's m instead of minting NaN that would
       // silently poison the session average.
       m = comparisons.flatMap { c =>
-        val total = c.params.map { case (g, _, _) =>
-          row.getAs[Double](s"${c.name}__$g")
-        }.sum
+        val total = c.params.map { case (g, _, _) => sums((c.name, g)) }.sum
         c.params.map { case (g, _, _) =>
-          val v =
-            if (total < 1e-12) m((c.name, g))
-            else row.getAs[Double](s"${c.name}__$g") / total
+          val v = if (total < 1e-12) m((c.name, g)) else sums((c.name, g)) / total
           (c.name, g) -> v
         }
       }.toMap
     }
-    if (owned) cv.unpersist()
     m
   }
 }
