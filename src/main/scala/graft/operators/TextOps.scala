@@ -59,6 +59,36 @@ object TextOps {
     array(sigs: _*)
   }
 
+  /** Cross-engine string hashing: 12 hex chars of md5 (48 bits) parsed as
+    * a BIGINT. Spark's murmur `hash()` has no DuckDB counterpart, so the
+    * oracle-checked dedup queries hash through md5, which both engines
+    * compute identically (lowercase hex). 48 bits keeps downstream
+    * (a * x + b) arithmetic inside a BIGINT for a < 2^31 coefficients
+    * (after the mod), and stays positive so `%`, `>>` and `&` agree
+    * across engines.
+    */
+  def md5Fold48(mhHex: Column, startPos: Int): Column =
+    conv(substring(mhHex, startPos, 12), 16, 10).cast("long")
+
+  /** [[md5Fold48]] of the value's md5, reduced mod [[MinhashP]]. */
+  def md5Mod(c: Column): Column =
+    pmod(md5Fold48(md5(c), 1), lit(MinhashP))
+
+  /** DuckDB rendering of [[md5Fold48]] over a hex-string expression
+    * `mhExpr` (hoist `md5(...)` into its own column first — the fold reads
+    * it 12 times). DuckDB 1.0 has no conv(), so the hex chars fold
+    * arithmetically: digit · 16^(12-i) is exact in a DOUBLE up to
+    * 16^11 ≪ 2^53.
+    */
+  def md5Fold48Sql(mhExpr: String, startPos: Int): String =
+    s"""list_aggregate([(strpos('0123456789abcdef', substr($mhExpr, ${startPos - 1} + i, 1)) - 1)
+       |     * CAST(power(16, 12 - i) AS BIGINT) FOR i IN range(1, 13)],
+       |   'sum')""".stripMargin
+
+  /** DuckDB rendering of [[md5Mod]]. */
+  def md5ModSql(mhExpr: String): String =
+    s"${md5Fold48Sql(mhExpr, 1)} % $MinhashP"
+
   /** Per-language stopword lists for the language-ID heuristic. */
   val stopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and"),

@@ -68,6 +68,7 @@ object VectorOps {
 
   /** Sign-bit bucket id over `planes` random hyperplanes (random-hyperplane
     * LSH: cos-similar vectors share sign patterns with high probability).
+    * Plain-double fold — fast, but not cross-engine reproducible.
     */
   def lshBucket(emb: Column, planes: Int): Column =
     (0 until planes).map { j =>
@@ -77,4 +78,46 @@ object VectorOps {
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** Integer hyperplane weights: sign(Σ vᵢ·hᵢ) == sign(Σ vᵢ·wᵢ) for
+    * wᵢ = 2·cᵢ − 1000003 (the [[hyperplane]] rationals scaled by the
+    * positive constant 2·1000003). float32 · 2^21-integer products are
+    * exact in a double, so the decimal-accumulated sum — and therefore the
+    * sign — is bit-identical across engines.
+    */
+  def lshPlaneW(j: Int): Seq[Long] =
+    (0 until Dim).map(i =>
+      2L * ((j.toLong * Dim + i) * 2654435761L % 1000003L) - 1000003L)
+
+  /** [[lshBucket]] with exact cross-engine semantics: per-plane sign of the
+    * decimal-accumulated integer-weight dot. The oracle rendering is
+    * [[lshBucketSql]]; both derive the weights from the same arithmetic.
+    */
+  def lshBucketExact(emb: Column, planes: Int): Column =
+    (0 until planes).map { j =>
+      val w = array(lshPlaneW(j).map(v => lit(v.toDouble)): _*)
+      val s = aggregate(
+        zip_with(emb, w, (x, h) => x.cast("double") * h),
+        lit(java.math.BigDecimal.ZERO).cast(decT),
+        (acc, x) => (acc + x.cast(decT)).cast(decT))
+      when(s >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** DuckDB CTE `buckets(vec_id, bucket)` ≡ [[lshBucketExact]] over a
+    * relation `rel(vec_id, embedding)`; the weight arithmetic is inlined
+    * so the oracle can never drift from [[lshPlaneW]].
+    */
+  def lshBucketSqlCte(rel: String, planes: Int): String =
+    s"""buckets AS (
+       |  SELECT vec_id,
+       |         CAST(SUM(CASE WHEN s >= 0 THEN CAST(power(2, j) AS BIGINT)
+       |                       ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM (
+       |    SELECT vec_id, j,
+       |           SUM(CAST(CAST(embedding[i] AS DOUBLE) *
+       |               (2 * ((j * $Dim + i - 1) * 2654435761 % 1000003) - 1000003)
+       |               AS DECIMAL(30,18))) AS s
+       |    FROM $rel, range(0, $planes) p(j), range(1, ${Dim + 1}) t(i)
+       |    GROUP BY vec_id, j)
+       |  GROUP BY vec_id)""".stripMargin
 }

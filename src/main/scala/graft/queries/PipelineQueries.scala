@@ -255,34 +255,75 @@ object PipelineQueries {
   }
 
   /** q41's MinHash-LSH candidate pairs (doc_a, doc_b) — also the
-    * approximate side of the q99 recall eval. Explode shingles and murmur
-    * each ONCE; the k min-hashes are then cheap arithmetic inside a
-    * codegen'd hash-aggregate with map-side partial mins — one shuffle of
-    * (doc, k mins), no re-evaluation of the shingle expression per hash
-    * function.
+    * approximate side of the q99 recall eval and the signature store the
+    * incremental variant (q100) probes. Explode shingles and hash each
+    * ONCE (md5-based, so DuckDB computes the identical value); the k
+    * min-hashes are then cheap arithmetic inside a codegen'd
+    * hash-aggregate with map-side partial mins — one shuffle of (doc, k
+    * mins), no re-evaluation of the shingle expression per hash function.
+    * Band keys are the raw (min, min) value pairs, not a re-hash: exact
+    * values join identically in both engines and can't collide falsely.
     */
-  private def lshCandidates(s: SparkSession, d: String): DataFrame = {
-    val bandsPerSig = 16
-    val rowsPerBand = 2
+  private[queries] val LshBands = 16
+  private[queries] val LshRowsPerBand = 2
+
+  /** (doc_id, band, v1, v2) band-bucket rows for every document. */
+  private def lshBandRows(s: SparkSession, d: String): DataFrame = {
     val hx = docsWithDups(s, d)
       .select(col("doc_id"),
         explode(TextOps.wordShingles(col("text"), 3)).as("shingle"))
-      .select(col("doc_id"), abs(hash(col("shingle"))).cast("long").as("x"))
-    val aggs = TextOps.minhashParams(bandsPerSig * rowsPerBand).zipWithIndex.map {
+      .select(col("doc_id"), TextOps.md5Mod(col("shingle")).as("x"))
+    val aggs = TextOps.minhashParams(LshBands * LshRowsPerBand).zipWithIndex.map {
       case ((a, b), i) =>
         min(pmod(col("x") * a + b, lit(TextOps.MinhashP))).as(s"m$i")
     }
     val sig = hx.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-    val bands = sig.select(
+    sig.select(
       col("doc_id"),
-      explode(array((0 until bandsPerSig).map(bi =>
-        struct(lit(bi).as("band"),
-          hash((0 until rowsPerBand).map(r => col(s"m${bi * rowsPerBand + r}")): _*)
-            .as("bh"))): _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      explode(array((0 until LshBands).map(bi =>
+        struct(lit(bi.toLong).as("band"),
+          col(s"m${bi * LshRowsPerBand}").as("v1"),
+          col(s"m${bi * LshRowsPerBand + 1}").as("v2"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.v1").as("v1"), col("bb.v2").as("v2"))
+  }
+
+  /** CTE chain ending in `bands(doc_id, band, v1, v2)` ≡ [[lshBandRows]]
+    * (expects docs2 in scope). Generated from the SAME minhashParams, so
+    * the oracle can never drift from the Spark hash family.
+    */
+  private def lshBandCtes: String = {
+    val minCols = TextOps.minhashParams(LshBands * LshRowsPerBand).zipWithIndex
+      .map { case ((a, b), i) =>
+        s"MIN(($a * x + $b) % ${TextOps.MinhashP}) AS m$i"
+      }
+      .mkString(",\n         ")
+    val bandSelects = (0 until LshBands)
+      .map(bi =>
+        s"SELECT doc_id, CAST($bi AS BIGINT) AS band, " +
+          s"m${bi * LshRowsPerBand} AS v1, m${bi * LshRowsPerBand + 1} AS v2 FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""lgrams AS (
+       |  SELECT doc_id,
+       |         list_distinct([array_to_string(w[i:i+2], ' ')
+       |                        FOR i IN range(1, greatest(len(w) - 2, 0) + 1)]) AS grams
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM docs2)),
+       |hx AS (
+       |  SELECT doc_id, ${TextOps.md5ModSql("mh")} AS x
+       |  FROM (SELECT doc_id, md5(shingle) AS mh
+       |        FROM (SELECT doc_id, unnest(grams) AS shingle FROM lgrams))),
+       |sig AS (
+       |  SELECT doc_id, $minCols
+       |  FROM hx GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects)""".stripMargin
+  }
+
+  private def lshCandidates(s: SparkSession, d: String): DataFrame = {
+    val bands = lshBandRows(s, d)
     bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
+        col("a.band") === col("b.band") && col("a.v1") === col("b.v1") &&
+          col("a.v2") === col("b.v2") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
@@ -372,47 +413,91 @@ object PipelineQueries {
     ),
     QueryDef(
       // MinHash signatures + LSH banding; bucket join => candidate pairs.
-      // Hash family is Spark murmur3 — no DuckDB equivalent → rows-only;
-      // PipelineSpec asserts the planted near-dups are all recovered.
+      // The hash family is md5-based (TextOps.md5Mod) so the DuckDB oracle
+      // reproduces the exact candidate set; PipelineSpec additionally
+      // asserts the planted near-dups are all recovered.
       "q41_minhash_lsh",
-      (s, d) => lshCandidates(s, d)
+      (s, d) => lshCandidates(s, d),
+      Some(s"""WITH $docs2Cte,
+              |$lshBandCtes
+              |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |FROM bands a JOIN bands b
+              |  ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
+              | AND a.doc_id < b.doc_id""".stripMargin)
     ),
     QueryDef(
-      // 64-bit SimHash; candidates via 16-bit chunk buckets, verified by
-      // Hamming distance (bit_count of xor). Rows-only (murmur3 basis).
+      // 60-bit SimHash; candidates via 15-bit chunk buckets, verified by
+      // Hamming distance (bit_count of xor). md5 hash basis (h1 = hex
+      // chars 1-12, h2 = 13-24 of the word's md5) so the DuckDB oracle
+      // reproduces the exact fingerprints; 60 bits (not 64) keeps the
+      // packed signature positive, where `%`, `>>` and `&` agree across
+      // engines.
       "q42_simhash",
       (s, d) => {
-        // Same explode + hash-agg shape as q41: each word is murmured once
-        // (two seeds → 64 bits); the 64 ±1 bit sums are map-side partial
-        // aggregates, then the fingerprint packs from the per-bit sums.
+        // Same explode + hash-agg shape as q41: each word is md5'd once;
+        // the 60 ±1 bit sums are map-side partial aggregates, then the
+        // fingerprint packs from the per-bit sums.
         val h = docsWithDups(s, d)
           .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
+          .select(col("doc_id"), md5(col("word")).as("mh"))
           .select(col("doc_id"),
-            abs(hash(col("word"))).cast("long").as("h1"),
-            abs(hash(col("word"), lit(77))).cast("long").as("h2"))
-        val bitAggs = (0 until 64).map { j =>
-          val (src, sh) = if (j < 32) (col("h1"), j) else (col("h2"), j - 32)
+            TextOps.md5Fold48(col("mh"), 1).as("h1"),
+            TextOps.md5Fold48(col("mh"), 13).as("h2"))
+        val bitAggs = (0 until 60).map { j =>
+          val (src, sh) = if (j < 48) (col("h1"), j) else (col("h2"), j - 48)
           sum(when(pmod(shiftrightunsigned(src, sh), lit(2L)) === 1L, 1L).otherwise(-1L))
             .as(s"b$j")
         }
         val sig = h.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
           .select(col("doc_id"),
-            (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+            (0 until 60).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
               .reduce(_ bitwiseOR _).as("sig"))
         val chunks = sig.select(
           col("doc_id"), col("sig"),
           explode(array((0 until 4).map(c =>
-            struct(lit(c).as("chunk"),
-              pmod(shiftrightunsigned(col("sig"), c * 16), lit(65536L)).as("ch"))): _*))
+            struct(lit(c.toLong).as("chunk"),
+              pmod(shiftrightunsigned(col("sig"), c * 15), lit(32768L)).as("ch"))): _*))
             .as("cc"))
           .select(col("doc_id"), col("sig"), col("cc.chunk").as("chunk"), col("cc.ch").as("ch"))
         chunks.as("a").join(chunks.as("b"),
             col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch") &&
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+            bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int").as("hamming"))
           .distinct()
           .filter(col("hamming") <= 3)
+      },
+      Some {
+        val bitSums = (0 until 60).map { j =>
+          val (src, sh) = if (j < 48) ("h1", j) else ("h2", j - 48)
+          s"SUM(CASE WHEN ($src >> $sh) & 1 = 1 THEN 1 ELSE -1 END) AS b$j"
+        }.mkString(",\n         ")
+        val pack = (0 until 60)
+          .map(j => s"CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
+          .mkString(" + ")
+        val chunkSelects = (0 until 4)
+          .map(c => s"SELECT doc_id, sig, CAST($c AS BIGINT) AS chunk, " +
+            s"(sig >> ${c * 15}) & 32767 AS ch FROM sig")
+          .mkString("\n  UNION ALL ")
+        s"""WITH $docs2Cte,
+           |h AS (
+           |  SELECT doc_id, ${TextOps.md5Fold48Sql("mh", 1)} AS h1,
+           |         ${TextOps.md5Fold48Sql("mh", 13)} AS h2
+           |  FROM (SELECT doc_id, md5(word) AS mh
+           |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           |              FROM docs2))),
+           |bits AS (
+           |  SELECT doc_id,
+           |         $bitSums
+           |  FROM h GROUP BY doc_id),
+           |sig AS (SELECT doc_id, $pack AS sig FROM bits),
+           |chunks AS (
+           |  $chunkSelects)
+           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+           |FROM chunks a JOIN chunks b
+           |  ON a.chunk = b.chunk AND a.ch = b.ch AND a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin
       }
     ),
     QueryDef(
@@ -470,19 +555,40 @@ object PipelineQueries {
       "q45_ann_lsh",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
-        // Rows-only query → no oracle to reproduce → plain-double fast path.
+        // Exact-decimal bucket signs + two-phase cosine (double prefilter
+        // with margin, decimal dot only on survivors — q51's pattern), so
+        // the DuckDB oracle reproduces the result bit-for-bit.
         val e = embWithDups(s, d)
-          .withColumn("nrm", VectorOps.normFast(col("embedding")))
-          .withColumn("bucket", VectorOps.lshBucket(col("embedding"), 8))
+          .withColumn("nrm", VectorOps.norm(col("embedding")))
+          .withColumn("bucket", VectorOps.lshBucketExact(col("embedding"), 8))
+        val fastOk =
+          VectorOps.dotFast(col("a.embedding"), col("b.embedding")) /
+            (col("a.nrm") * col("b.nrm")) >= 0.79
+        val exactCos =
+          VectorOps.dotDecimal(col("a.embedding"), col("b.embedding")) /
+            (col("a.nrm") * col("b.nrm"))
         e.as("a").join(e.as("b"),
-            col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-          .withColumn("cos",
-            VectorOps.dotFast(col("a.embedding"), col("b.embedding")) /
-              (col("a.nrm") * col("b.nrm")))
-          .filter(col("cos") >= 0.8)
+            col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id") &&
+              when(fastOk, exactCos >= 0.8).otherwise(lit(false)))
           .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-            col("a.bucket").as("bucket"), round(col("cos"), 6).as("cos"))
-      }
+            col("a.bucket").as("bucket"), round(exactCos, 6).as("cos"))
+      },
+      Some(s"""WITH $emb2Cte,
+              |${normsCte("nrms", "emb2")},
+              |${VectorOps.lshBucketSqlCte("emb2", 8)},
+              |nb AS (
+              |  SELECT n.vec_id, n.embedding, n.nrm, b.bucket
+              |  FROM nrms n JOIN buckets b USING (vec_id)),
+              |pairs AS (
+              |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              |         MAX(a.bucket) AS bucket, MAX(a.nrm) AS na, MAX(b.nrm) AS nb,
+              |         ${VectorOps.dotDecimalSql("a.embedding", "b.embedding")} AS dot
+              |  FROM nb a JOIN nb b
+              |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id,
+              |       range(1, ${VectorOps.Dim + 1}) t(i)
+              |  GROUP BY a.vec_id, b.vec_id)
+              |SELECT vec_a, vec_b, bucket, round(dot / (na * nb), 6) AS cos
+              |FROM pairs WHERE dot / (na * nb) >= 0.8""".stripMargin)
     ),
     QueryDef(
       "q46_langid",
@@ -1231,7 +1337,51 @@ object PipelineQueries {
           .select(col("jaccard_decile"), col("n_truth"), col("n_caught"),
             round(col("n_caught").cast("double") / col("n_truth").cast("double"), 6)
               .as("recall"))
-      }
+      },
+      Some(s"""WITH $jaccardPairsCtes,
+              |$lshBandCtes,
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM bands a JOIN bands b
+              |    ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
+              |   AND a.doc_id < b.doc_id),
+              |j AS (
+              |  SELECT t.jaccard,
+              |         CASE WHEN c.doc_a IS NOT NULL THEN 1 END AS caught
+              |  FROM jpairs t LEFT JOIN cand c
+              |    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+              |SELECT CAST(floor(jaccard * 10) AS BIGINT) AS jaccard_decile,
+              |       COUNT(*) AS n_truth, COUNT(caught) AS n_caught,
+              |       round(CAST(COUNT(caught) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+              |         AS recall
+              |FROM j GROUP BY 1""".stripMargin)
+    ),
+    QueryDef(
+      // Incremental near-dup detection: signature ONLY the arriving batch
+      // (the doc_id >= 100000 augmented rows play the delta) and probe the
+      // indexed corpus's stored band rows — the shape that makes LSH dedup
+      // sustainable at 100 TB: the corpus band store is written once
+      // (Sources.writeBucketed on (band, v1, v2) joins with no shuffle)
+      // and each new batch costs O(|delta|) hashing + one equi-join probe,
+      // never a corpus re-scan. Emits corpus⋈delta matches only (delta-
+      // internal dups are the NEXT batch's corpus problem).
+      "q100_incremental_lsh",
+      (s, d) => {
+        val bands = lshBandRows(s, d)
+        val corpus = bands.filter(col("doc_id") < 100000)
+        val delta = bands.filter(col("doc_id") >= 100000)
+        corpus.as("a").join(delta.as("b"),
+            col("a.band") === col("b.band") && col("a.v1") === col("b.v1") &&
+              col("a.v2") === col("b.v2"))
+          .select(col("a.doc_id").as("corpus_id"), col("b.doc_id").as("new_id"))
+          .distinct()
+      },
+      Some(s"""WITH $docs2Cte,
+              |$lshBandCtes
+              |SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS new_id
+              |FROM bands a JOIN bands b
+              |  ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
+              | AND a.doc_id < 100000 AND b.doc_id >= 100000""".stripMargin)
     )
   )
 }

@@ -55,6 +55,19 @@ class PipelineQueriesSpec extends SparkTestBase {
     planted.foreach(p => assert(pairs.contains(p), s"missed planted near-dup $p"))
   }
 
+  test("q100 incremental LSH: exact-copy arrivals all match their corpus original") {
+    val pairs = byName("q100_incremental_lsh").query(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docIds = Tables.documents(spark, sfDir).select("doc_id")
+      .collect().map(_.getLong(0))
+    // Identical text ⇒ identical signature ⇒ every band collides; an exact
+    // copy can only be missed if the pipeline recomputed/mismatched sides.
+    val exact = docIds.filter(_ % 7 == 0).map(id => (id, id + 200000L))
+    exact.foreach(p => assert(pairs.contains(p), s"missed exact-copy arrival $p"))
+    // Delta-internal pairs must NOT appear: both ids >= 100000 is a bug.
+    assert(pairs.forall { case (c, n) => c < 100000L && n >= 100000L })
+  }
+
   test("q42 simhash: planted dup pairs all at hamming <= 3") {
     val pairs = byName("q42_simhash").query(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -24,12 +24,15 @@ object WarmProbe {
       r
     }
 
+    graft.functions.GraftFunctions.register(spark)
     time("persons count")(graft.queries.People.persons(spark, dir).count())
     time("census count")(graft.queries.LinkageQueries.census(spark, dir).count())
     time("census count 2")(graft.queries.LinkageQueries.census(spark, dir).count())
     time("input count")(graft.queries.LinkageQueries.input(spark, dir).count())
     time("input count 2")(graft.queries.LinkageQueries.input(spark, dir).count())
+    time("linkage warm (incl scoredBlock)")(graft.queries.LinkageQueries.warm(spark, dir))
     time("pipeline warm")(graft.queries.PipelineQueries.warm(spark, dir))
+    time("pipeline warm 2")(graft.queries.PipelineQueries.warm(spark, dir))
     spark.stop()
   }
 }
