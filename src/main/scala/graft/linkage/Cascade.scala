@@ -483,6 +483,20 @@ object LinkageCascade {
     }
   }
 
+  /** One session's estimates alone (only the comparisons the session's
+    * blocking allows it to train) — the single-session view of
+    * [[emTrainMMulti]], for callers that verify or inspect a session
+    * rather than combine all of them. With `iterations = 1` this is the
+    * closed-form single E+M step the q101 oracle reproduces in SQL.
+    */
+  def emTrainSession(census: DataFrame, input: DataFrame, pass: BlockingPass,
+      cfg: LinkageConfig, iterations: Int = 5,
+      cvOpt: Option[DataFrame] = None): Seq[(String, Int, Double)] = {
+    val cmps = pass.comparisonsFor(cfg)
+    val m = emSession(census, input, pass, cmps, cfg, iterations, cvOpt)
+    cmps.flatMap(c => c.params.map { case (g, _, _) => (c.name, g, m((c.name, g))) })
+  }
+
   /** One EM session. The comparison-vector frame is collapsed to a gamma-
     * PATTERN histogram (one row per distinct gamma tuple with its pair
     * count) in a single Spark job — Splink's E-step compression. The

@@ -810,6 +810,62 @@ object LinkageQueries {
   private def gammaSelects: String =
     comparisons.map(c => s"${FellegiSunter.gammaSql(c, "c", "i")} AS ${c.gammaName}").mkString(",\n         ")
 
+  /** One-step-EM oracle for the em_zip3 session (q101): gamma-pattern
+    * histogram → per-pattern posterior p under the documented init (top
+    * level m=0.8, uniform lower mass; u and λ from config) → decimal-
+    * summed level masses → per-comparison normalization. Every literal
+    * renders from the SAME config the driver-side loop reads, and the
+    * arithmetic mirrors its evaluation order (factor products left-to-
+    * right in comparison order), so the SQL can't drift from
+    * [[LinkageCascade.emTrainSession]].
+    */
+  private def emStepSql: String = {
+    val sess = emPasses.head
+    val cmps = sess.comparisonsFor(config)
+    val lam = config.lambda
+    val gsel = cmps
+      .map(c => s"${FellegiSunter.gammaSql(c, "c", "i")} AS ${c.gammaName}")
+      .mkString(",\n         ")
+    val gnames = cmps.map(_.gammaName).mkString(", ")
+    val mFactors = cmps.map(c =>
+      s"(CASE WHEN ${c.gammaName} = -1 THEN 1.0 WHEN ${c.gammaName} = ${c.numLevels} " +
+        s"THEN 0.8 ELSE ${0.2 / c.numLevels} END)").mkString(" * ")
+    val uFactors = cmps.map { c =>
+      val whens = c.params.init
+        .map { case (g, _, u) => s"WHEN ${c.gammaName} = $g THEN $u" }
+        .mkString(" ")
+      s"(CASE WHEN ${c.gammaName} = -1 THEN 1.0 $whens ELSE ${c.params.last._3} END)"
+    }.mkString(" * ")
+    val stackedSel = cmps.map(c =>
+      s"SELECT '${c.name}' AS comparison, ${c.gammaName} AS gamma, " +
+        s"CAST(n * p AS DECIMAL(38,18)) AS w FROM pw WHERE ${c.gammaName} <> -1")
+      .mkString("\n  UNION ALL\n  ")
+    val levelRows = cmps.flatMap(c => c.params.map { case (g, _, _) =>
+      s"('${c.name}', $g, ${if (g == c.numLevels) 0.8 else 0.2 / c.numLevels})"
+    }).mkString(", ")
+    s"""$base,
+       |prs AS (
+       |  SELECT $gsel
+       |  FROM census c JOIN input i ON ${keysOn(sess.blockKeys)}),
+       |hist AS (
+       |  SELECT $gnames, CAST(COUNT(*) AS DOUBLE) AS n
+       |  FROM prs GROUP BY $gnames),
+       |pw AS (
+       |  SELECT *, $lam * ($mFactors) / ($lam * ($mFactors) + (1.0 - $lam) * ($uFactors)) AS p
+       |  FROM hist),
+       |stacked AS (
+       |  $stackedSel),
+       |grouped AS (SELECT comparison, gamma, SUM(w) AS s FROM stacked GROUP BY comparison, gamma),
+       |tot AS (SELECT comparison, SUM(s) AS t FROM grouped GROUP BY comparison),
+       |levels AS (SELECT * FROM (VALUES $levelRows) AS t(comparison, gamma, m0))
+       |SELECT l.comparison, l.gamma,
+       |       round(CASE WHEN CAST(coalesce(t.t, 0) AS DOUBLE) < 1e-12 THEN l.m0
+       |                  ELSE CAST(coalesce(g.s, 0) AS DOUBLE) / CAST(t.t AS DOUBLE) END, 6) AS m_step
+       |FROM levels l
+       |LEFT JOIN grouped g ON g.comparison = l.comparison AND g.gamma = l.gamma
+       |LEFT JOIN tot t ON t.comparison = l.comparison""".stripMargin
+  }
+
   /** cand/scored/best CTE chain for one pass of `censusRel` × `inputRel`.
     * Gamma/weight fragments render from the PASS's comparison subset
     * (mirror of [[LinkageCascade.predict]]'s comparisonsFor).
@@ -1187,7 +1243,8 @@ object LinkageQueries {
     ),
     QueryDef(
       // EM is iterative driver-orchestrated training → rows-only oracle;
-      // LinkageSpec asserts convergence properties instead. Two training
+      // LinkageSpec asserts convergence properties, and q101 pins the
+      // single E+M step the loop iterates against DuckDB. Two training
       // blockings, like the reference (first_name+zipcode, geokey); each
       // session excludes the comparisons its blocking conditions on
       // (emExclusions), so no session estimates a comparison over a
@@ -1208,6 +1265,25 @@ object LinkageQueries {
         s.createDataFrame(result.map { case (c, g, m) => (c, g, BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) })
           .toDF("comparison", "gamma", "m_hat")
       }
+    ),
+    QueryDef(
+      // The EM update rule itself, oracle-checked: ONE E+M step of the
+      // em_zip3 session from the documented init (top level 0.8, uniform
+      // lower mass), run through the production emTrainSession path and
+      // reproduced closed-form by the generated SQL (emStepSql). q31's
+      // full training stays rows-only — it's iterative — but the update
+      // it iterates is pinned against DuckDB here.
+      "q101_em_step",
+      (s, d) => {
+        reg(s)
+        val result = LinkageCascade.emTrainSession(
+          census(s, d), input(s, d), emPasses.head, config, iterations = 1,
+          cvOpt = Some(scoredBlock(s, d)))
+        s.createDataFrame(result.map { case (c, g, m) =>
+          (c, g, BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }).toDF("comparison", "gamma", "m_step")
+      },
+      Some(emStepSql)
     ),
     QueryDef(
       "q32_cascade_best_link",
