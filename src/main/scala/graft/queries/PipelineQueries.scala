@@ -267,9 +267,13 @@ object PipelineQueries {
   private[queries] val LshBands = 16
   private[queries] val LshRowsPerBand = 2
 
-  /** (doc_id, band, v1, v2) band-bucket rows for every document. */
-  private def lshBandRows(s: SparkSession, d: String): DataFrame = {
-    val hx = docsWithDups(s, d)
+  /** (doc_id, band, v1, v2) band-bucket rows for an arbitrary
+    * (doc_id, text) frame — the unit the corpus band index stores and the
+    * streaming dedup (graft.streaming.StreamingDedup) computes per
+    * arriving micro-batch.
+    */
+  def bandRowsFor(docs: DataFrame): DataFrame = {
+    val hx = docs
       .select(col("doc_id"),
         explode(TextOps.wordShingles(col("text"), 3)).as("shingle"))
       .select(col("doc_id"), TextOps.md5Mod(col("shingle")).as("x"))
@@ -287,6 +291,9 @@ object PipelineQueries {
       .select(col("doc_id"), col("bb.band").as("band"),
         col("bb.v1").as("v1"), col("bb.v2").as("v2"))
   }
+
+  private def lshBandRows(s: SparkSession, d: String): DataFrame =
+    bandRowsFor(docsWithDups(s, d).select("doc_id", "text"))
 
   /** CTE chain ending in `bands(doc_id, band, v1, v2)` ≡ [[lshBandRows]]
     * (expects docs2 in scope). Generated from the SAME minhashParams, so

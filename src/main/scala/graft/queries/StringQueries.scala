@@ -72,7 +72,10 @@ object StringQueries {
               |FROM people""".stripMargin)
     ),
     QueryDef(
-      // DuckDB has no NYSIIS -> rows-only check + golden ScalaTest.
+      // DuckDB has no NYSIIS -> rows-only check + golden ScalaTest. (The
+      // Phonetics.nysKeySql regexp chain is NOT an oracle candidate: it's
+      // the simplified blocking key, while this expression implements the
+      // full iterative NYSIIS — e.g. CHARLIE → CARL vs the chain's CHARL.)
       "q24_nysiis",
       (s, d) => {
         GraftFunctions.register(s)

@@ -1,0 +1,41 @@
+package graft.streaming
+
+import graft.queries.PipelineQueries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming incremental near-dup detection: arriving documents are
+  * MinHash-signatured per micro-batch and probed against the persisted
+  * corpus band index — the streaming deployment of q100's incremental
+  * shape (the batch pipeline indexes the corpus once; the stream pays
+  * O(|batch|) hashing plus one equi-join probe per micro-batch).
+  *
+  * Reuses the batch signature machinery verbatim
+  * ([[PipelineQueries.bandRowsFor]] — same md5 hash family, same band
+  * layout), so streaming and batch candidates cannot drift
+  * (StreamingSpec asserts equality against the batch q100 probe).
+  *
+  * State shape: NONE. A document arrives whole in one micro-batch, so
+  * signatures are computed statelessly per batch inside foreachBatch —
+  * no streaming aggregation, no watermark, no state store. At scale the
+  * corpus band index is a bucketed table on (band, v1, v2) and each
+  * probe is a broadcast or bucket-local join; newly accepted documents
+  * append their band rows to the index between batches (the next
+  * batch's corpus problem, exactly like the batch variant).
+  */
+object StreamingDedup {
+
+  /** Candidate matches of one arriving micro-batch (doc_id, text) against
+    * the corpus band index: (corpus_id, new_id), distinct. Call from a
+    * foreachBatch sink; per-batch distinct is globally correct because
+    * each new_id arrives on exactly one micro-batch.
+    */
+  def matchesBatch(corpusBands: DataFrame, arrivals: DataFrame): DataFrame = {
+    val delta = PipelineQueries.bandRowsFor(arrivals.select("doc_id", "text"))
+    corpusBands.as("a").join(delta.as("b"),
+        col("a.band") === col("b.band") && col("a.v1") === col("b.v1") &&
+          col("a.v2") === col("b.v2"))
+      .select(col("a.doc_id").as("corpus_id"), col("b.doc_id").as("new_id"))
+      .distinct()
+  }
+}

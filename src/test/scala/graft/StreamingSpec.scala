@@ -267,6 +267,50 @@ class StreamingSpec extends SparkTestBase {
         s"only-batch=${(batch -- out.toSet).take(5)}")
   }
 
+  test("streaming incremental LSH dedup agrees with the batch q100 probe") {
+    import graft.queries.PipelineQueries
+    import graft.streaming.StreamingDedup
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = PipelineQueries.docsWithDups(spark, sfDir).select("doc_id", "text")
+    // The corpus band index is built once (at scale: a bucketed table on
+    // (band, v1, v2)); only arrivals are signatured per micro-batch.
+    val corpusBands = PipelineQueries
+      .bandRowsFor(docs.filter($"doc_id" < 100000L)).cache()
+
+    val stream = MemoryStream[(Long, String)]
+    val arrivals = stream.toDF().toDF("doc_id", "text")
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val query = arrivals.writeStream.outputMode("append")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        out ++= StreamingDedup.matchesBatch(corpusBands, df)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        ()
+      }.start()
+    try {
+      val newDocs = docs.filter($"doc_id" >= 100000L)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val (first, second) = newDocs.splitAt(newDocs.length / 2)
+      stream.addData(first.toIndexedSeq)
+      query.processAllAvailable()
+      stream.addData(second.toIndexedSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val batch = PipelineQueries.defs.find(_.name == "q100_incremental_lsh").get
+      .query(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.toSet == batch,
+      s"streaming vs batch incremental LSH differ: " +
+        s"only-streaming=${(out.toSet -- batch).take(5)} " +
+        s"only-batch=${(batch -- out.toSet).take(5)}")
+    corpusBands.unpersist()
+    ()
+  }
+
   test("q69 sketches bound the exact answers") {
     import graft.queries.StreamingQueries
     val approx = StreamingQueries.defs.find(_.name == "q69_sketch_stats").get
