@@ -95,12 +95,11 @@ object VectorOps {
     */
   def lshBucketExact(emb: Column, planes: Int): Column =
     (0 until planes).map { j =>
-      val w = array(lshPlaneW(j).map(v => lit(v.toDouble)): _*)
-      val s = aggregate(
-        zip_with(emb, w, (x, h) => x.cast("double") * h),
-        lit(java.math.BigDecimal.ZERO).cast(decT),
-        (acc, x) => (acc + x.cast(decT)).cast(decT))
-      when(s >= 0, lit(1L << j)).otherwise(lit(0L))
+      // The weights are < 2^21 integers — exact as float32 — so the plane
+      // sum can ride the native codegen'd decimal dot (float-array
+      // literals) instead of an interpreted per-element decimal fold.
+      val w = array(lshPlaneW(j).map(v => lit(v.toFloat)): _*)
+      when(dotDecimal(emb, w) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** DuckDB CTE `buckets(vec_id, bucket)` ≡ [[lshBucketExact]] over a
