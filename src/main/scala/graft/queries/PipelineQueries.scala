@@ -1382,6 +1382,59 @@ object PipelineQueries {
               |FROM j GROUP BY 1""".stripMargin)
     ),
     QueryDef(
+      // Line-level dedup (the CCNet/RefinedWeb shape): docs split into
+      // fixed 10-word "lines"; a line occurring in >= 2 DISTINCT docs is
+      // boilerplate and removed from every doc, which is then reassembled
+      // in original order. Complements the whole-doc family (q40-q43):
+      // this is intra-document surgery at corpus scale. 100 TB shape: the
+      // only shuffles are the line-frequency hash-agg (over a line HASH,
+      // not the text, in a real deployment) and the doc reassembly agg;
+      // everything else is map-side.
+      "q102_line_dedup",
+      (s, d) => {
+        val w = split(col("text"), " ")
+        val chunks = docsWithDups(s, d)
+          .select(col("doc_id"),
+            explode(transform(
+              sequence(lit(0), (ceil(size(w) / lit(10.0))).cast("int") - 1),
+              i => struct(i.as("pos"),
+                concat_ws(" ", slice(w, i * 10 + 1, lit(10))).as("chunk"))))
+              .as("c"))
+          .select(col("doc_id"), col("c.pos").as("pos"), col("c.chunk").as("chunk"))
+        val counts = chunks.groupBy("chunk")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+        chunks.join(counts, Seq("chunk"))
+          .withColumn("boiler", col("nd") >= 2)
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler"),
+            array_join(
+              transform(
+                array_sort(collect_list(
+                  when(!col("boiler"), struct(col("pos"), col("chunk"))))),
+                x => x.getField("chunk")),
+              " ").as("kept_text"))
+      },
+      Some(s"""WITH $docs2Cte,
+              |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs2),
+              |chunks AS (
+              |  SELECT doc_id, u.pos AS pos, u.chunk AS chunk
+              |  FROM (
+              |    SELECT doc_id,
+              |           unnest([{'pos': i - 1,
+              |                    'chunk': array_to_string(w[((i-1)*10+1):((i-1)*10+10)], ' ')}
+              |                   FOR i IN range(1, CAST(ceil(len(w) / 10.0) AS BIGINT) + 1)]) AS u
+              |    FROM words)),
+              |counts AS (SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY chunk)
+              |SELECT c.doc_id, COUNT(*) AS n_chunks,
+              |       CAST(SUM(CASE WHEN n.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+              |       coalesce(string_agg(CASE WHEN n.nd < 2 THEN c.chunk END, ' ' ORDER BY c.pos), '')
+              |         AS kept_text
+              |FROM chunks c JOIN counts n ON c.chunk = n.chunk
+              |GROUP BY c.doc_id""".stripMargin)
+    ),
+    QueryDef(
       // Incremental near-dup detection: signature ONLY the arriving batch
       // (the doc_id >= 100000 augmented rows play the delta) and probe the
       // indexed corpus's stored band rows — the shape that makes LSH dedup

@@ -68,6 +68,36 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(pairs.forall { case (c, n) => c < 100000L && n >= 100000L })
   }
 
+  test("q102 line dedup: exact-copy docs lose every chunk, uniques keep all") {
+    val rows = byName("q102_line_dedup").query(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    val docIds = Tables.documents(spark, sfDir).select("doc_id")
+      .collect().map(_.getLong(0))
+    // Every chunk of an exact-copy pair occurs in 2 docs ⇒ all boilerplate.
+    docIds.filter(_ % 7 == 0).foreach { id =>
+      val (n, b, kept) = rows(id + 200000L)
+      assert(n == b && kept.isEmpty, s"copy ${id + 200000} kept chunks: $kept")
+    }
+    // Docs in no dup group mostly keep everything; the small-vocabulary
+    // corpus makes occasional chance chunk collisions legitimate, so the
+    // assertion is on the population, not each doc.
+    val uniques = docIds.filter(id => id % 7 != 0 && id % 10 != 0)
+    assert(uniques.nonEmpty)
+    val clean = uniques.count(id => rows(id)._2 == 0)
+    assert(clean * 10 >= uniques.length * 6,
+      s"only $clean of ${uniques.length} unique docs kept all chunks")
+    // Near-dup variants drop their FIRST word, shifting every chunk
+    // boundary — line-dedup intentionally does not catch shifted text
+    // (that's the shingle family's job). Population-level again: short
+    // docs in the tiny-vocabulary corpus can lose their few chunks to
+    // chance collisions, but most shifted variants must survive.
+    val nears = docIds.filter(_ % 10 == 0).map(id => rows(id + 100000L))
+    assert(nears.nonEmpty)
+    assert(nears.count { case (n, b, _) => b < n } * 2 > nears.length,
+      s"most shifted near-dups were fully removed: $nears")
+  }
+
   test("q42 simhash: planted dup pairs all at hamming <= 3") {
     val pairs = byName("q42_simhash").query(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
