@@ -32,4 +32,75 @@ class BucketedJoinSpec extends SparkTestBase {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("persisted band index: the incremental-LSH probe plans shuffle-free") {
+    // q100/StreamingDedup's 100 TB claim made concrete: the corpus band
+    // index is written ONCE bucketed on the band key; signaturing a small
+    // arriving batch and probing costs no corpus shuffle — the corpus side
+    // reads bucket-local, only the delta (tiny) shuffles to align.
+    import graft.queries.PipelineQueries
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = PipelineQueries.docsWithDups(spark, sfDir).select("doc_id", "text")
+      val withKey = (df: org.apache.spark.sql.DataFrame) =>
+        df.withColumn("bkey", hash(col("band"), col("v1"), col("v2")))
+      Sources.writeBucketed(
+        withKey(PipelineQueries.bandRowsFor(docs.filter(col("doc_id") < 100000L))),
+        "bands_bkt", Seq("bkey"), buckets = 8)
+      val delta = withKey(
+        PipelineQueries.bandRowsFor(docs.filter(col("doc_id") >= 100000L)))
+        .repartition(8, col("bkey"))
+      val corpus = spark.table("bands_bkt")
+      // The store joins on the packed band key ALONE — bucketed joins
+      // avoid the shuffle only when the join keys equal the bucket
+      // columns, and a band-key hash collision merely adds a rare false
+      // candidate that the downstream verify stage (q43's Jaccard) drops
+      // anyway. The test filters collisions driver-side to compare
+      // against the exact q100 set.
+      val joined = corpus.as("a").join(delta.as("b"), col("a.bkey") === col("b.bkey"))
+        .select(col("a.doc_id").as("corpus_id"), col("b.doc_id").as("new_id"),
+          col("a.band"), col("a.v1"), col("a.v2"),
+          col("b.band").as("band_b"), col("b.v1").as("v1_b"), col("b.v2").as("v2_b"))
+      // The delta side legitimately shuffles (its own signature aggregate
+      // + the alignment repartition); the claim under test is that the
+      // CORPUS side of the join reads bucket-local — no exchange between
+      // the bands_bkt scan and the join.
+      joined.collect()
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      // AQE wraps finished stages in leaf QueryStageExec nodes, so plain
+      // collect() stops at stage boundaries — expand through them.
+      def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => a +: expand(a.executedPlan)
+        case q: QueryStageExec        => q +: expand(q.plan)
+        case other                    => other +: other.children.flatMap(expand)
+      }
+      val all = expand(joined.queryExecution.executedPlan)
+      val joinNode = all.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec    => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }.getOrElse(fail(s"no shuffle join found in:\n${all.head}"))
+      val corpusSide = joinNode.children
+        .find(c => expand(c).exists(_.toString.contains("bands_bkt")))
+        .getOrElse(fail(s"no join side scans bands_bkt:\n${all.head}"))
+      val shuffles = expand(corpusSide).filter(n =>
+        n.isInstanceOf[ShuffleExchangeLike] ||
+          n.getClass.getSimpleName.contains("ShuffleQueryStage"))
+      assert(shuffles.isEmpty,
+        s"corpus band index still shuffles:\n$corpusSide")
+      val got = joined.collect()
+        .filter(r => r.getLong(2) == r.getLong(5) && r.getLong(3) == r.getLong(6) &&
+          r.getLong(4) == r.getLong(7))
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // And the probe result equals the unbucketed batch reference (q100).
+      val batch = PipelineQueries.defs.find(_.name == "q100_incremental_lsh").get
+        .query(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == batch, s"bucketed probe differs: ${(got -- batch).take(3)} / ${(batch -- got).take(3)}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bands_bkt")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
