@@ -4,12 +4,16 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: opaque binary payloads + typed metadata,
-  * processed per-partition in batches. The Spark-side shape (schema,
-  * partitioning, batch iteration, typed Encoders) is real and tested; the
-  * actual media decode is a clearly-marked deterministic STUB because no
-  * image/audio codecs ship in this environment — swap `decodeStub` for a
-  * real decoder (JNI/FFI or vectorized batch call) without touching the
-  * pipeline around it.
+  * processed per-partition in batches.
+  *
+  * The payloads are REAL images: binary PPM (P6), an uncompressed format
+  * with a pure-JVM codec below — header parse, pixel decode and
+  * nearest-neighbor resize are actual image operations, not stand-ins.
+  * Compressed formats (JPEG/WAV/...) have no codecs in this environment,
+  * so records whose `fmt` isn't "ppm" fall back to the clearly-marked
+  * deterministic byte-sum STUB path (`decodeStub`/`resizeStub`); a real
+  * deployment swaps that branch for a JNI/FFI or vectorized batch codec
+  * without touching the pipeline around it.
   */
 object Multimodal {
 
@@ -17,13 +21,85 @@ object Multimodal {
   final case class MediaRecord(
       doc_id: Long, content: Array[Byte], width: Int, height: Int, fmt: String)
 
-  /** Extracted features (what a real decoder would emit per record). */
+  /** Extracted features (per decoded record): payload size in PIXEL bytes,
+    * the dimensions parsed FROM the payload (not trusted metadata), and a
+    * bounded checksum feature over the decoded pixels.
+    */
   final case class MediaFeatures(
       doc_id: Long, n_bytes: Long, width: Int, height: Int, feat_sum: Long)
 
-  /** STUB decoder: deterministic byte-sum "feature". A real implementation
-    * would decode `content` (JPEG/WAV/...) and emit embeddings or frames;
-    * the signature and batch shape are what matter here.
+  // ---- PPM (P6) codec: pure JVM, no external libraries -------------------
+
+  /** A decoded image: dimensions + packed RGB pixels (3 bytes/pixel). */
+  final case class PpmImage(width: Int, height: Int, pixels: Array[Byte])
+
+  /** Encode an RGB grid as binary PPM. `seed` bytes cycle through the
+    * pixel buffer (deterministic synthetic imagery for the testdata docs).
+    */
+  def encodePpm(w: Int, h: Int, seed: Array[Byte]): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val n = 3 * w * h
+    val out = new Array[Byte](header.length + n)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < n) {
+      out(header.length + i) = if (seed.isEmpty) i.toByte else seed(i % seed.length)
+      i += 1
+    }
+    out
+  }
+
+  /** Parse binary PPM: magic, ASCII dimensions and maxval tokens
+    * (whitespace-delimited, '#' comments skipped), a single whitespace,
+    * then 3·w·h raw pixel bytes.
+    */
+  def decodePpm(b: Array[Byte]): PpmImage = {
+    var p = 0
+    def isWs(c: Byte): Boolean = c == '\n' || c == ' ' || c == '\t' || c == '\r'
+    def token(): String = {
+      while (p < b.length && (isWs(b(p)) || b(p) == '#')) {
+        if (b(p) == '#') { while (p < b.length && b(p) != '\n') p += 1 }
+        else p += 1
+      }
+      val s = p
+      while (p < b.length && !isWs(b(p))) p += 1
+      new String(b, s, p - s, "US-ASCII")
+    }
+    require(token() == "P6", "not a binary PPM payload")
+    val w = token().toInt
+    val h = token().toInt
+    require(token().toInt == 255, "unsupported maxval")
+    p += 1 // the single whitespace separating the header from pixel data
+    val n = 3 * w * h
+    require(b.length - p >= n, s"truncated PPM: need $n pixel bytes, have ${b.length - p}")
+    PpmImage(w, h, java.util.Arrays.copyOfRange(b, p, p + n))
+  }
+
+  /** Nearest-neighbor resample to (tw, th) — a real pixel-space resize. */
+  def resizePpm(img: PpmImage, tw: Int, th: Int): PpmImage = {
+    val out = new Array[Byte](3 * tw * th)
+    var y = 0
+    while (y < th) {
+      val sy = (y.toLong * img.height / th).toInt
+      var x = 0
+      while (x < tw) {
+        val sx = (x.toLong * img.width / tw).toInt
+        var c = 0
+        while (c < 3) {
+          out((y * tw + x) * 3 + c) = img.pixels((sy * img.width + sx) * 3 + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    PpmImage(tw, th, out)
+  }
+
+  // ---- record-level ops (PPM-real, stub fallback for other formats) ------
+
+  /** STUB decoder for formats with no codec here: deterministic byte-sum
+    * "feature" over the raw payload, metadata passed through.
     */
   def decodeStub(r: MediaRecord): MediaFeatures = {
     var s = 0L
@@ -32,49 +108,23 @@ object Multimodal {
     MediaFeatures(r.doc_id, r.content.length.toLong, r.width, r.height, s % 1000003L)
   }
 
-  /** documents → media records: text bytes stand in for media payloads;
-    * metadata derives deterministically from doc properties.
+  /** Decode one record: PPM payloads are actually parsed (dimensions come
+    * from the HEADER; feat_sum is a checksum of the decoded pixels), other
+    * formats take the stub path.
     */
-  def mediaRecords(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
-    import spark.implicits._
-    docs.select(
-      col("doc_id"),
-      col("text").cast("binary").as("content"),
-      (pmod(col("n_chars"), lit(640)) + 1).cast("int").as("width"),
-      (pmod(col("n_chars") * 3, lit(480)) + 1).cast("int").as("height"),
-      element_at(array(lit("jpeg"), lit("png"), lit("wav")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("fmt"))
-      .as[MediaRecord]
-  }
+  def decode(r: MediaRecord): MediaFeatures =
+    if (r.fmt == "ppm") {
+      val img = decodePpm(r.content)
+      var s = 0L
+      var i = 0
+      while (i < img.pixels.length) { s += (img.pixels(i) & 0xff); i += 1 }
+      MediaFeatures(r.doc_id, img.pixels.length.toLong, img.width, img.height,
+        s % 1000003L)
+    } else decodeStub(r)
 
-  /** Batch decode: the Arrow/pandas-UDF shape — a BATCH of records in, a
-    * batch of features out. A real decoder amortizes codec/model init and
-    * vectorizes over the batch; the stub applies [[decodeStub]] per
-    * element but the call boundary is the batch, so swapping in a
-    * vectorized decoder touches only this function.
-    */
-  def decodeBatchStub(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
-    batch.map(decodeStub)
-
-  /** The batch-decode pipeline: co-locate by doc_id, then decode each
-    * partition as a stream of fixed-size batches
-    * (`Iterator[Batch] → Iterator[Features]`) — the mapPartitions shape a
-    * Pandas-UDF/Arrow batch decoder uses, with bounded memory per batch.
-    */
-  def extractFeatures(spark: SparkSession, docs: DataFrame, partitions: Int = 8,
-      batchSize: Int = 64): DataFrame = {
-    import spark.implicits._
-    mediaRecords(spark, docs)
-      .repartition(partitions, col("doc_id"))
-      .mapPartitions(_.grouped(batchSize).flatMap(decodeBatchStub))
-      .toDF()
-  }
-
-  /** STUB resize: stride-downsample the payload to the byte budget the
-    * target dimensions imply (dstArea/srcArea of the source bytes, ≥ 1),
-    * metadata rewritten to the target. Stands in for a pixel resample —
-    * a real implementation swaps the body, keeps the signature. Upscaling
-    * keeps all bytes (no interpolation to invent).
+  /** STUB resize for codec-less formats: stride-downsample the payload to
+    * the byte budget the target dimensions imply (≥ 1), metadata rewritten
+    * to the target. Upscaling keeps all bytes (no interpolation to invent).
     */
   def resizeStub(r: MediaRecord, targetW: Int, targetH: Int): MediaRecord = {
     val n = r.content.length
@@ -89,6 +139,54 @@ object Multimodal {
     MediaRecord(r.doc_id, out, targetW, targetH, r.fmt)
   }
 
+  /** Resize one record: PPM payloads get a true nearest-neighbor resample
+    * (decode → resample → re-encode), other formats the stub.
+    */
+  def resize(r: MediaRecord, targetW: Int, targetH: Int): MediaRecord =
+    if (r.fmt == "ppm") {
+      val img = resizePpm(decodePpm(r.content), targetW, targetH)
+      MediaRecord(r.doc_id, encodePpm(img.width, img.height, img.pixels),
+        targetW, targetH, r.fmt)
+    } else resizeStub(r, targetW, targetH)
+
+  /** documents → media records: each doc becomes a small real PPM image
+    * whose pixels cycle the doc's text bytes; dimensions derive
+    * deterministically from doc properties (bounded so the synthetic
+    * corpus stays MB-scale at every SF).
+    */
+  def mediaRecords(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .map { case (id, text, n) =>
+        val w = (n % 16 + 1).toInt
+        val h = (n * 3 % 12 + 1).toInt
+        MediaRecord(id, encodePpm(w, h, text.getBytes("UTF-8")), w, h, "ppm")
+      }
+  }
+
+  /** Batch decode: the Arrow/pandas-UDF shape — a BATCH of records in, a
+    * batch of features out. A real compressed-format decoder amortizes
+    * codec/model init over the batch; the call boundary is the batch, so
+    * swapping in a vectorized decoder touches only this function.
+    */
+  def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+    batch.map(decode)
+
+  /** The batch-decode pipeline: co-locate by doc_id, then decode each
+    * partition as a stream of fixed-size batches
+    * (`Iterator[Batch] → Iterator[Features]`) — the mapPartitions shape a
+    * Pandas-UDF/Arrow batch decoder uses, with bounded memory per batch.
+    */
+  def extractFeatures(spark: SparkSession, docs: DataFrame, partitions: Int = 8,
+      batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    mediaRecords(spark, docs)
+      .repartition(partitions, col("doc_id"))
+      .mapPartitions(_.grouped(batchSize).flatMap(decodeBatch))
+      .toDF()
+  }
+
   /** One sampled frame: fixed-size byte window + rolling checksum (what a
     * real frame grab would hand to a downstream encoder).
     */
@@ -96,7 +194,7 @@ object Multimodal {
 
   val FrameBytes: Int = 64
 
-  /** STUB frame sampling: treat the payload as consecutive [[FrameBytes]]
+  /** Frame sampling: treat the payload as consecutive [[FrameBytes]]
     * windows and keep every `everyN`-th — the video-keyframe-sampling
     * shape (one record in, k frame records out).
     */
@@ -108,12 +206,12 @@ object Multimodal {
         FrameRecord(r.doc_id, idx, f.length.toLong, s)
     }.toSeq
 
-  /** Full multimodal pipeline: decode-batch → resize → frame-sample →
-    * per-doc summary, all inside ONE mapPartitions pass (one batch
-    * boundary, no per-record calls across it) + one aggregation shuffle.
-    * This is the end-to-end shape a real media pipeline runs at scale:
-    * the expensive stages stay co-partitioned and batched; only the
-    * O(docs) summary shuffles.
+  /** Full multimodal pipeline: decode-batch → resize (real, for PPM) →
+    * frame-sample → per-doc summary, all inside ONE mapPartitions pass
+    * (one batch boundary, no per-record calls across it) + one
+    * aggregation shuffle. This is the end-to-end shape a real media
+    * pipeline runs at scale: the expensive stages stay co-partitioned and
+    * batched; only the O(docs) summary shuffles.
     */
   def framePipeline(spark: SparkSession, docs: DataFrame, targetW: Int = 64,
       targetH: Int = 64, everyN: Int = 2, partitions: Int = 8,
@@ -122,7 +220,7 @@ object Multimodal {
     mediaRecords(spark, docs)
       .repartition(partitions, col("doc_id"))
       .mapPartitions(_.grouped(batchSize).flatMap(batch =>
-        batch.flatMap(r => sampleFramesStub(resizeStub(r, targetW, targetH), everyN))))
+        batch.flatMap(r => sampleFramesStub(resize(r, targetW, targetH), everyN))))
       .toDF()
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_frames"),

@@ -802,9 +802,11 @@ object PipelineQueries {
              |WHERE tf.tf >= 3""".stripMargin)
     ),
     QueryDef(
-      // Binary media column + typed metadata + batch decode plumbing; the
-      // decode itself is a documented deterministic stub (no codecs here).
-      "q50_multimodal_stub",
+      // Binary media column + typed metadata + batch decode: payloads are
+      // real binary PPM images decoded by the pure-JVM codec (header
+      // parse, pixel checksum); compressed formats would take the
+      // documented stub branch. Rows-only: DuckDB can't parse PPM.
+      "q50_multimodal_decode",
       (s, d) => Multimodal.extractFeatures(s, Tables.documents(s, d))
     ),
     QueryDef(

@@ -149,19 +149,30 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(preds.subsetOf(Set("en", "und")), s"unexpected langs: $preds")
   }
 
-  test("q50 multimodal features are deterministic byte sums") {
-    val feats = byName("q50_multimodal_stub").query(spark, sfDir)
-    val joined = feats.join(Tables.documents(spark, sfDir), "doc_id")
-      .select(col("doc_id"), col("n_bytes"), length(col("text")).cast("long").as("len"))
-      .collect()
-    joined.foreach(r => assert(r.getLong(1) == r.getLong(2), s"byte count mismatch: $r"))
+  test("q50 decodes real PPM payloads: parsed dims + pixel checksum match") {
+    import graft.operators.Multimodal
+    val feats = byName("q50_multimodal_decode").query(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4))))
+      .toMap
+    val recs = Multimodal.mediaRecords(spark, Tables.documents(spark, sfDir)).collect()
+    assert(recs.nonEmpty)
+    recs.foreach { r =>
+      val img = Multimodal.decodePpm(r.content)
+      assert(img.width == r.width && img.height == r.height,
+        s"doc ${r.doc_id}: header dims ${img.width}x${img.height} vs metadata ${r.width}x${r.height}")
+      val (nBytes, w, h, featSum) = feats(r.doc_id)
+      assert(nBytes == 3L * r.width * r.height, s"doc ${r.doc_id}: pixel byte count $nBytes")
+      assert(w == img.width && h == img.height)
+      val expSum = img.pixels.foldLeft(0L)((a, b) => a + (b & 0xff)) % 1000003L
+      assert(featSum == expSum, s"doc ${r.doc_id}: checksum $featSum != $expSum")
+    }
   }
 
   test("multimodal batch decode equals per-record decode across batch sizes") {
     import graft.operators.Multimodal
     val docs = Tables.documents(spark, sfDir).limit(100)
     val perRecord = Multimodal.mediaRecords(spark, docs).collect()
-      .map(Multimodal.decodeStub).map(f => (f.doc_id, f.feat_sum)).toMap
+      .map(Multimodal.decode).map(f => (f.doc_id, f.feat_sum)).toMap
     // Batch sizes that exercise: partial final batch, batch of 1, batch
     // larger than any partition.
     Seq(1, 7, 1000).foreach { bs =>
@@ -237,22 +248,27 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(n0 == text.split(" ").length, s"doc $id0 token count mismatch")
   }
 
-  test("multimodal resize: identity at source dims, budget + determinism below") {
+  test("multimodal resize: identity at source dims, real NN resample + determinism") {
     import graft.operators.Multimodal
     val recs = Multimodal.mediaRecords(spark, Tables.documents(spark, sfDir).limit(50))
       .collect()
     recs.foreach { r =>
-      val same = Multimodal.resizeStub(r, r.width, r.height)
+      val same = Multimodal.resize(r, r.width, r.height)
       assert(same.content.sameElements(r.content), s"doc ${r.doc_id}: identity resize changed bytes")
-      val small = Multimodal.resizeStub(r, 64, 64)
-      val expect =
-        if (64L * 64 >= r.width.toLong * r.height) r.content.length
-        else math.max(1L, r.content.length * 64L * 64 / (r.width.toLong * r.height)).toInt
-      assert(small.content.length == expect, s"doc ${r.doc_id}: resize kept ${small.content.length}, expected $expect")
-      assert(small.width == 64 && small.height == 64)
-      val again = Multimodal.resizeStub(r, 64, 64)
-      assert(small.content.sameElements(again.content), "resize not deterministic")
+      val up = Multimodal.resize(r, 64, 64)
+      val img = Multimodal.decodePpm(up.content)
+      assert(img.width == 64 && img.height == 64 && img.pixels.length == 3 * 64 * 64,
+        s"doc ${r.doc_id}: resized payload is not a 64x64 PPM")
+      val again = Multimodal.resize(r, 64, 64)
+      assert(up.content.sameElements(again.content), "resize not deterministic")
     }
+    // Pixel-level correctness on a handmade image: a 2x1 RGB pair upscaled
+    // to 4x1 must replicate each source pixel (nearest neighbor).
+    val px = Array[Byte](10, 20, 30, 40, 50, 60)
+    val rec = Multimodal.MediaRecord(1L, Multimodal.encodePpm(2, 1, px), 2, 1, "ppm")
+    val wide = Multimodal.decodePpm(Multimodal.resize(rec, 4, 1).content)
+    assert(wide.pixels.toSeq == Seq[Byte](10, 20, 30, 10, 20, 30, 40, 50, 60, 40, 50, 60),
+      s"nearest-neighbor upscale wrong: ${wide.pixels.toSeq}")
   }
 
   test("multimodal frame sampling: every frame at stride 1, strided subset above") {
@@ -303,7 +319,7 @@ class PipelineQueriesSpec extends SparkTestBase {
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     val recs = Multimodal.mediaRecords(spark, Tables.documents(spark, sfDir)).collect()
     recs.foreach { r =>
-      val frames = Multimodal.sampleFramesStub(Multimodal.resizeStub(r, 64, 64), 2)
+      val frames = Multimodal.sampleFramesStub(Multimodal.resize(r, 64, 64), 2)
       if (frames.nonEmpty) {
         val (n, bytes, csum) = out(r.doc_id)
         assert(n == frames.size && bytes == frames.map(_.n_bytes).sum &&
