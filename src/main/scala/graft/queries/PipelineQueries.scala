@@ -805,9 +805,22 @@ object PipelineQueries {
       // Binary media column + typed metadata + batch decode: payloads are
       // real binary PPM images decoded by the pure-JVM codec (header
       // parse, pixel checksum); compressed formats would take the
-      // documented stub branch. Rows-only: DuckDB can't parse PPM.
+      // documented stub branch. The payload synthesis is deterministic
+      // (pixels = the doc's own bytes cycled), so the oracle reproduces
+      // the decoded features from the source text directly.
       "q50_multimodal_decode",
-      (s, d) => Multimodal.extractFeatures(s, Tables.documents(s, d))
+      (s, d) => Multimodal.extractFeatures(s, Tables.documents(s, d)),
+      Some("""SELECT doc_id,
+             |       CAST(3 * w * h AS BIGINT) AS n_bytes,
+             |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+             |       CAST(list_aggregate(
+             |              [ascii(substr(text, CAST(i % l AS INT) + 1, 1))
+             |               FOR i IN range(0, 3 * w * h)], 'sum') % 1000003 AS BIGINT)
+             |         AS feat_sum
+             |FROM (SELECT doc_id, text, len(text) AS l,
+             |             CAST(n_chars % 16 + 1 AS BIGINT) AS w,
+             |             CAST(n_chars * 3 % 12 + 1 AS BIGINT) AS h
+             |      FROM documents)""".stripMargin)
     ),
     QueryDef(
       // Embedding near-dup pairs, label-blocked, with TWO-PHASE scoring:
@@ -1121,15 +1134,47 @@ object PipelineQueries {
              |FROM terms GROUP BY doc_id""".stripMargin)
     ),
     QueryDef(
-      // End-to-end multimodal pipeline: batch decode → resize →
-      // frame-sample → per-doc summary, one mapPartitions pass + one
-      // aggregation shuffle (operators/Multimodal.framePipeline). The
-      // media stages are documented deterministic stubs (no codecs in
-      // this environment) so, like q50, this declares no SQL oracle —
-      // its golden spec recomputes the expected frames directly.
+      // End-to-end multimodal pipeline: batch decode → real PPM
+      // nearest-neighbor resize to 64×64 → 64-byte frame sampling →
+      // per-doc summary, one mapPartitions pass + one aggregation shuffle
+      // (operators/Multimodal.framePipeline). Because the payloads are
+      // deterministic PPMs synthesized from the doc's own bytes, the WHOLE
+      // pipeline is byte arithmetic the DuckDB oracle reproduces: resized
+      // pixel j maps back to text byte ((sy·w + sx)·3 + c) mod len, the
+      // re-encoded "P6\n64 64\n255\n" header prepends 13 known bytes, and
+      // each kept frame folds the rolling checksum the Scala code folds.
       "q67_multimodal_pipeline",
-      (s, d) => Multimodal.framePipeline(s, Tables.documents(s, d)),
-      None
+      (s, d) => Multimodal.framePipeline(s, Tables.documents(s, d)), {
+        // header bytes of encodePpm(64, 64, _): "P6\n64 64\n255\n"
+        val hdr = "P6\n64 64\n255\n".getBytes("US-ASCII").map(_.toInt)
+        Some(s"""WITH src AS (
+                |  SELECT doc_id, text, len(text) AS l,
+                |         CAST(n_chars % 16 + 1 AS BIGINT) AS w,
+                |         CAST(n_chars * 3 % 12 + 1 AS BIGINT) AS h
+                |  FROM documents),
+                |bytes AS (
+                |  SELECT doc_id,
+                |         list_concat(
+                |           ${hdr.mkString("[", ", ", "]")},
+                |           [ascii(substr(text,
+                |              CAST((((j // 192) * h // 64 * w + ((j % 192) // 3) * w // 64) * 3
+                |                    + j % 3) % l AS INT) + 1, 1))
+                |            FOR j IN range(0, 12288)]) AS b
+                |  FROM src),
+                |frames AS (
+                |  SELECT doc_id,
+                |         [list_reduce(
+                |            list_prepend(CAST(0 AS BIGINT), b[(f*64+1):(f*64+64)]),
+                |            (a, x) -> (a * 131 + x) % 1000000007)
+                |          FOR f IN range(0, 193, 2)] AS cs,
+                |         [len(b[(f*64+1):(f*64+64)]) FOR f IN range(0, 193, 2)] AS ls
+                |  FROM bytes)
+                |SELECT doc_id,
+                |       CAST(len(cs) AS BIGINT) AS n_frames,
+                |       CAST(list_aggregate(ls, 'sum') AS BIGINT) AS bytes_kept,
+                |       CAST(list_aggregate(cs, 'sum') AS BIGINT) AS checksum_sum
+                |FROM frames""".stripMargin)
+      }
     ),
     QueryDef(
       // IVF-style ANN: assign every vector to its nearest of 16 fixed
