@@ -240,6 +240,37 @@ object StreamingQueries {
              |GROUP BY 1, 2""".stripMargin)
     ),
     QueryDef(
+      // Click→view attribution pairs: every view by the same user in the
+      // hour before each click (batch twin of Sessionizer.attributeClicks,
+      // the watermarked stream-stream interval join StreamingSpec drives
+      // through a MemoryStream self-join). Batch shape: one shuffle on
+      // user_id + a range filter — per-user event rates are bounded, so
+      // the equi-join never fans out quadratically in the table size; the
+      // streaming twin bounds its join STATE by the same interval.
+      "q103_click_attribution",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+        clicks.join(views, Seq("user_id"))
+          .filter(col("view_ts") <= col("click_ts") &&
+            col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"))
+          .select(col("click_id"), col("user_id"),
+            unix_micros(col("click_ts")).as("click_us"),
+            col("view_id"), unix_micros(col("view_ts")).as("view_us"))
+      },
+      Some("""WITH c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS cts
+             |           FROM events WHERE event_type = 'click'),
+             |     v AS (SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS vts
+             |           FROM events WHERE event_type = 'view')
+             |SELECT c.click_id, c.user_id, epoch_us(c.cts) AS click_us,
+             |       v.view_id, epoch_us(v.vts) AS view_us
+             |FROM c JOIN v ON c.user_id = v.user_id
+             | AND v.vts <= c.cts AND v.vts >= c.cts - INTERVAL 1 HOUR""".stripMargin)
+    ),
+    QueryDef(
       // Ordered conversion funnel: the furthest view -> click -> purchase
       // stage each user reaches, each step strictly AFTER the previous
       // step's first completion (not mere presence of all three types).

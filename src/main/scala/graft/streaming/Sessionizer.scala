@@ -106,6 +106,33 @@ object Sessionizer {
       }
   }
 
+  /** Stream-stream attribution join (the streaming twin of q103): each
+    * click pairs with every view by the same user in the preceding hour.
+    * Both sides are watermarked and the join condition is a bounded
+    * event-time interval, so Spark can size the state store exactly: a
+    * buffered view is droppable once the watermark passes view_ts + 1 h
+    * (no click can still arrive that reaches back to it), and a buffered
+    * click once the watermark passes click_ts. Without the interval bound
+    * a stream-stream join would buffer both streams forever — THE
+    * failure mode at 100 TB/day; with it, state is (per-user rate × 1 h).
+    * Inner-join rows emit as soon as both sides arrive (no watermark
+    * wait), so results are incremental.
+    */
+  def attributeClicks(clicks: DataFrame, views: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "2 hours")
+    c.join(v,
+        expr("user_id = view_user AND view_ts <= click_ts " +
+          "AND view_ts >= click_ts - INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("view_id"), col("view_ts"))
+  }
+
   final case class FunnelState(t1: Long, t2: Long, t3: Long)
 
   final case class FunnelStage(user_id: Long, funnel_stage: Int)

@@ -311,6 +311,43 @@ class StreamingSpec extends SparkTestBase {
     ()
   }
 
+  test("stream-stream attribution join agrees with the batch q103") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.events(spark, sfDir)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+
+    val stream = MemoryStream[Event]
+    val src = stream.toDF()
+    // Self-join of one stream split by type — the two watermarked sides of
+    // the interval join share a single source, which Spark supports.
+    val joined = Sessionizer.attributeClicks(
+      src.filter(col("event_type") === "click"),
+      src.filter(col("event_type") === "view"))
+    val query = joined.writeStream.format("memory").queryName("attrib_out")
+      .outputMode("append").start()
+    try {
+      val (first, second) = events.splitAt(events.length / 2)
+      stream.addData(first.toIndexedSeq)
+      query.processAllAvailable()
+      stream.addData(second.toIndexedSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val streamed = spark.table("attrib_out")
+      .select("click_id", "view_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = StreamingQueries.defs.find(_.name == "q103_click_attribution").get
+      .query(spark, sfDir)
+      .select("click_id", "view_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"stream-stream vs batch attribution differ: " +
+        s"only-streaming=${(streamed -- batch).take(5)} " +
+        s"only-batch=${(batch -- streamed).take(5)}")
+  }
+
   test("q69 sketches bound the exact answers") {
     import graft.queries.StreamingQueries
     val approx = StreamingQueries.defs.find(_.name == "q69_sketch_stats").get
