@@ -33,6 +33,10 @@ object GraftFunctions {
       }
       TopKByScore(es(0), es(1), k).toAggregateExpression()
     }),
+    "bloom_build" -> (es =>
+      BloomBuildAgg(es(0), litNum(es(1), "bloom_build numBits").intValue(),
+        litNum(es(2), "bloom_build numHashes").intValue()).toAggregateExpression()),
+    "bloom_might_contain" -> (es => BloomMightContain(es(0), es(1))),
     "typo_noise" -> (es =>
       TypoNoiseExpr(es(0), es(1), litNum(es(2), "typo_noise token ppm").longValue(),
         litNum(es(3), "typo_noise seed").intValue())),
@@ -90,6 +94,18 @@ object GraftFunctions {
   /** Top-k (score desc, id asc) aggregate → array<struct<score,id>>. */
   def topKByScore(score: Column, id: Column, k: Int): Column =
     call_function("topk_by_score", score, id, lit(k))
+
+  /** Distributed Bloom build over a 64-bit key-hash column → one binary
+    * row holding the serialized filter (see functions.BloomImpl).
+    */
+  def bloomBuild(keyHash: Column, numBits: Int, numHashes: Int): Column =
+    call_function("bloom_build", keyHash, lit(numBits), lit(numHashes))
+
+  /** Codegen'd Bloom membership probe; `filter` is usually a binary
+    * literal of the collected [[bloomBuild]] row.
+    */
+  def bloomMightContain(filter: Column, keyHash: Column): Column =
+    call_function("bloom_might_contain", filter, keyHash)
 
   /** pseudopeople make_typos: hash-gated QWERTY-adjacent char noise. */
   def typoNoise(s: Column, key: Column, tokenPpm: Long, seed: Int): Column =

@@ -924,6 +924,66 @@ object PipelineQueries {
              |WHERE s.doc_id % 97 <> 0""".stripMargin)
     ),
     QueryDef(
+      // Bloom-accelerated decontamination: same planted-passage semantics
+      // as q56, but membership of the benchmark shingle set travels as a
+      // 64 KB Bloom filter instead of the raw shingle strings. The filter
+      // builds DISTRIBUTED (bloom_build: map-side partial bitsets, OR
+      // merge, one binary row to the driver — the only collect, O(filter
+      // bytes) regardless of benchmark size), then probes as a codegen'd
+      // scan-side filter, so at 100 TB virtually every clean shingle dies
+      // before the join. The broadcast join after is the exact verify that
+      // kills Bloom false positives — end-to-end results are EXACT (Bloom
+      // has no false negatives), which is why a plain SQL oracle applies.
+      "q104_bloom_prefilter",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        import graft.functions.GraftFunctions.{bloomBuild, bloomMightContain}
+        val passage = " shared benchmark passage alpha beta gamma delta epsilon zeta"
+        val isBench = pmod(col("doc_id"), lit(97)) === 0
+        val planted = concat(col("text"),
+          when(isBench || pmod(col("doc_id"), lit(13)) === 0, lit(passage))
+            .otherwise(lit("")))
+        val sh = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.wordShingles(planted, 5).as("grams"))
+        val bench = sh.filter(isBench)
+          .select(explode(col("grams")).as("shingle")).distinct()
+        val filt = bench
+          .select(bloomBuild(xxhash64(col("shingle")), 1 << 19, 6).as("f"))
+          .head.getAs[Array[Byte]](0)
+        val hits = sh.filter(!isBench)
+          .select(col("doc_id"), explode(col("grams")).as("shingle"))
+          .filter(bloomMightContain(lit(filt), xxhash64(col("shingle"))))
+          .join(broadcast(bench), Seq("shingle"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        sh.filter(!isBench).select("doc_id")
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("n_hits"), lit(0L)) >= 1).as("contaminated"))
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |         text || CASE WHEN doc_id % 97 = 0 OR doc_id % 13 = 0
+             |                      THEN ' shared benchmark passage alpha beta gamma delta epsilon zeta'
+             |                      ELSE '' END AS text2
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |         list_distinct([array_to_string(w[i:i+4], ' ')
+             |                        FOR i IN range(1, greatest(len(w) - 4, 0) + 1)]) AS grams
+             |  FROM (SELECT doc_id, string_split(text2, ' ') AS w FROM planted)),
+             |bench AS (
+             |  SELECT DISTINCT g AS shingle
+             |  FROM (SELECT unnest(grams) AS g FROM sh WHERE doc_id % 97 = 0)),
+             |hits AS (
+             |  SELECT doc_id, COUNT(*) AS n_hits
+             |  FROM (SELECT doc_id, unnest(grams) AS shingle FROM sh WHERE doc_id % 97 <> 0) t
+             |  JOIN bench USING (shingle) GROUP BY doc_id)
+             |SELECT s.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+             |       coalesce(h.n_hits, 0) >= 1 AS contaminated
+             |FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
+             |WHERE s.doc_id % 97 <> 0""".stripMargin)
+    ),
+    QueryDef(
       // Corpus vocabulary + per-doc OOV rate: global word counts (map-side
       // partial agg), top-500 vocabulary under a TOTAL order (count desc,
       // word asc — the tiebreak makes the cut deterministic in both
