@@ -514,31 +514,52 @@ object LinkageCascade {
   private def emSession(census: DataFrame, input: DataFrame, pass: BlockingPass,
       comparisons: Seq[Comparison], cfg: LinkageConfig,
       iterations: Int, cvOpt: Option[DataFrame] = None): Map[(String, Int), Double] = {
+    val hist = gammaHistogram(census, input, pass, comparisons, cvOpt)
+    var m = emInit(comparisons)
+    for (_ <- 1 to iterations) m = emStep(hist, comparisons, m, cfg.lambda)
+    m
+  }
+
+  /** Gamma-pattern histogram of one session's blocked pairs (the E-step
+    * compression; see [[emSession]]), sorted for a deterministic summation
+    * order (float addition is not associative; the histogram's arrival
+    * order is run-dependent).
+    */
+  private def gammaHistogram(census: DataFrame, input: DataFrame, pass: BlockingPass,
+      comparisons: Seq[Comparison], cvOpt: Option[DataFrame]): Array[(Array[Int], Long)] = {
     val src = cvOpt.getOrElse(
       comparisons.foldLeft(pairs(census, input, pass)) { (df, c) =>
         df.withColumn(c.gammaName, FellegiSunter.gammaCol(c))
       })
     val nC = comparisons.size
-    val histRows = src
+    src
       .groupBy(comparisons.map(c => col(c.gammaName)): _*)
       .agg(count(lit(1)).as("__n"))
       .collect()
-    // Sorted for a deterministic summation order (float addition is not
-    // associative; the histogram's arrival order is run-dependent).
-    val hist: Array[(Array[Int], Long)] = histRows
       .map { r =>
         val gs = Array.tabulate(nC)(i => r.get(i).asInstanceOf[Number].intValue)
         (gs, r.getLong(nC))
       }
       .sortBy(_._1.mkString(","))
+  }
 
-    // init: strongest level 0.8, rest of the mass uniform over lower levels
-    var m: Map[(String, Int), Double] = comparisons.flatMap { c =>
+  /** Splink-style init: strongest level 0.8, rest of the mass uniform. */
+  private def emInit(comparisons: Seq[Comparison]): Map[(String, Int), Double] =
+    comparisons.flatMap { c =>
       val lower = c.numLevels // levels 0..n-1 share 0.2
       c.params.map { case (g, _, _) =>
         (c.name, g) -> (if (g == c.numLevels) 0.8 else 0.2 / lower)
       }
     }.toMap
+
+  /** One E+M step over the pattern histogram (the update rule q101 pins
+    * against DuckDB): per-pattern posterior p under current m, fixed u and
+    * λ, level masses accumulated in histogram order, normalized per
+    * comparison over its non-null levels.
+    */
+  private def emStep(hist: Array[(Array[Int], Long)], comparisons: Seq[Comparison],
+      m: Map[(String, Int), Double], lam: Double): Map[(String, Int), Double] = {
+    val nC = comparisons.size
     val uFixed: Map[(String, Int), Double] =
       comparisons.flatMap(c => c.params.map { case (g, _, u) => (c.name, g) -> u }).toMap
     val knownGamma: Map[String, Set[Int]] =
@@ -552,42 +573,67 @@ object LinkageCascade {
       else if (knownGamma(c.name).contains(g)) f(g)
       else f(0)
 
-    val lam = cfg.lambda
-    for (_ <- 1 to iterations) {
-      val sums = scala.collection.mutable.Map.empty[(String, Int), Double].withDefaultValue(0.0)
-      hist.foreach { case (gs, n) =>
-        var mProd = 1.0
-        var uProd = 1.0
-        var i = 0
-        while (i < nC) {
-          val c = comparisons(i)
-          mProd *= levelVal(c, gs(i), g => m((c.name, g)))
-          uProd *= levelVal(c, gs(i), g => uFixed((c.name, g)))
-          i += 1
-        }
-        val p = lam * mProd / (lam * mProd + (1.0 - lam) * uProd)
-        val w = n.toDouble * p
-        var j = 0
-        while (j < nC) {
-          val c = comparisons(j)
-          if (gs(j) != -1 && knownGamma(c.name).contains(gs(j))) sums((c.name, gs(j))) += w
-          j += 1
-        }
+    val sums = scala.collection.mutable.Map.empty[(String, Int), Double].withDefaultValue(0.0)
+    hist.foreach { case (gs, n) =>
+      var mProd = 1.0
+      var uProd = 1.0
+      var i = 0
+      while (i < nC) {
+        val c = comparisons(i)
+        mProd *= levelVal(c, gs(i), g => m((c.name, g)))
+        uProd *= levelVal(c, gs(i), g => uFixed((c.name, g)))
+        i += 1
       }
-      // m is normalized PER COMPARISON over its non-null levels (null-level
-      // rows carry no information about this field's m), so comparisons
-      // with missing data still get a proper distribution. A zero total
-      // (empty training block, or a column null on one side for every pair)
-      // keeps the previous iteration's m instead of minting NaN that would
-      // silently poison the session average.
-      m = comparisons.flatMap { c =>
-        val total = c.params.map { case (g, _, _) => sums((c.name, g)) }.sum
-        c.params.map { case (g, _, _) =>
-          val v = if (total < 1e-12) m((c.name, g)) else sums((c.name, g)) / total
-          (c.name, g) -> v
-        }
-      }.toMap
+      val p = lam * mProd / (lam * mProd + (1.0 - lam) * uProd)
+      val w = n.toDouble * p
+      var j = 0
+      while (j < nC) {
+        val c = comparisons(j)
+        if (gs(j) != -1 && knownGamma(c.name).contains(gs(j))) sums((c.name, gs(j))) += w
+        j += 1
+      }
     }
-    m
+    // m is normalized PER COMPARISON over its non-null levels (null-level
+    // rows carry no information about this field's m), so comparisons
+    // with missing data still get a proper distribution. A zero total
+    // (empty training block, or a column null on one side for every pair)
+    // keeps the previous iteration's m instead of minting NaN that would
+    // silently poison the session average.
+    comparisons.flatMap { c =>
+      val total = c.params.map { case (g, _, _) => sums((c.name, g)) }.sum
+      c.params.map { case (g, _, _) =>
+        val v = if (total < 1e-12) m((c.name, g)) else sums((c.name, g)) / total
+        (c.name, g) -> v
+      }
+    }.toMap
+  }
+
+  /** Per-iteration EM trajectory for one session — the data behind Splink's
+    * m_u_values_interactive_history_chart (the reference saves it per
+    * training session; 03_link_datasets.ipynb splink_reports cells). m is
+    * QUANTIZED to 6 dp between iterations, which makes the whole trajectory
+    * engine-reproducible: every iteration starts from bit-identical inputs
+    * in Spark and the unrolled DuckDB oracle, so cross-engine ulp noise
+    * cannot compound across iterations. The production estimator
+    * ([[emTrainM]]) stays unquantized; at 6 dp the trajectories agree to
+    * the displayed precision. Iteration 0 is the documented init.
+    */
+  def emHistory(census: DataFrame, input: DataFrame, pass: BlockingPass,
+      cfg: LinkageConfig, iterations: Int = 3,
+      cvOpt: Option[DataFrame] = None): Seq[(Int, String, Int, Double)] = {
+    val comparisons = pass.comparisonsFor(cfg)
+    val hist = gammaHistogram(census, input, pass, comparisons, cvOpt)
+    def q6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def rows(it: Int, m: Map[(String, Int), Double]): Seq[(Int, String, Int, Double)] =
+      comparisons.flatMap(c => c.params.map { case (g, _, _) => (it, c.name, g, m((c.name, g))) })
+    var m = emInit(comparisons).map { case (k, v) => k -> q6(v) }
+    val out = Seq.newBuilder[(Int, String, Int, Double)]
+    out ++= rows(0, m)
+    for (it <- 1 to iterations) {
+      m = emStep(hist, comparisons, m, cfg.lambda).map { case (k, v) => k -> q6(v) }
+      out ++= rows(it, m)
+    }
+    out.result()
   }
 }

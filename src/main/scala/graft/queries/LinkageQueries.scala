@@ -866,6 +866,78 @@ object LinkageQueries {
        |LEFT JOIN tot t ON t.comparison = l.comparison""".stripMargin
   }
 
+  /** Unrolled-EM oracle for q105: the em_zip3 session's full m TRAJECTORY
+    * at a fixed iteration count, one CTE block per iteration, each reading
+    * the previous iteration's m TABLE (scalar subqueries per comparison,
+    * multiplied in comparison order like the driver loop). m is quantized
+    * to 6 dp between iterations in BOTH engines (see
+    * [[graft.linkage.LinkageCascade.emHistory]]), so the iterations can't
+    * compound cross-engine ulp noise — each starts from bit-identical
+    * inputs. This makes the ITERATIVE EM hash-checkable, not just its
+    * one-step update rule (q101).
+    */
+  private def emHistorySql(iters: Int): String = {
+    val sess = emPasses.head
+    val cmps = sess.comparisonsFor(config)
+    val lam = config.lambda
+    val gsel = cmps
+      .map(c => s"${FellegiSunter.gammaSql(c, "c", "i")} AS ${c.gammaName}")
+      .mkString(",\n         ")
+    val gnames = cmps.map(_.gammaName).mkString(", ")
+    def q6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val m0Rows = cmps.flatMap(c => c.params.map { case (g, _, _) =>
+      s"('${c.name}', $g, ${q6(if (g == c.numLevels) 0.8 else 0.2 / c.numLevels)})"
+    }).mkString(", ")
+    val uFactors = cmps.map { c =>
+      val whens = c.params.init
+        .map { case (g, _, u) => s"WHEN ${c.gammaName} = $g THEN $u" }
+        .mkString(" ")
+      s"(CASE WHEN ${c.gammaName} = -1 THEN 1.0 $whens ELSE ${c.params.last._3} END)"
+    }.mkString(" * ")
+    def mFactors(mrel: String) = cmps.map { c =>
+      val known = c.params.map(_._1).mkString(", ")
+      s"(CASE WHEN ${c.gammaName} = -1 THEN 1.0 ELSE (" +
+        s"SELECT mm.m FROM $mrel mm WHERE mm.comparison = '${c.name}' AND mm.gamma = " +
+        s"(CASE WHEN ${c.gammaName} IN ($known) THEN ${c.gammaName} ELSE 0 END)) END)"
+    }.mkString(" * ")
+    val iterCtes = (1 to iters).map { it =>
+      val prev = s"m${it - 1}"
+      val stackedSel = cmps.map(c =>
+        s"SELECT '${c.name}' AS comparison, ${c.gammaName} AS gamma, " +
+          s"CAST(n * p AS DECIMAL(38,18)) AS w FROM pw_$it WHERE ${c.gammaName} <> -1")
+        .mkString("\n  UNION ALL\n  ")
+      s"""pw_$it AS MATERIALIZED (
+         |  SELECT *, $lam * (${mFactors(prev)}) / ($lam * (${mFactors(prev)}) + (1.0 - $lam) * ($uFactors)) AS p
+         |  FROM hist),
+         |stacked_$it AS (
+         |  $stackedSel),
+         |grouped_$it AS (SELECT comparison, gamma, SUM(w) AS s FROM stacked_$it GROUP BY comparison, gamma),
+         |tot_$it AS (SELECT comparison, SUM(s) AS t FROM grouped_$it GROUP BY comparison),
+         |m$it AS MATERIALIZED (
+         |  SELECT p.comparison, p.gamma,
+         |         round(CASE WHEN CAST(coalesce(t.t, 0) AS DOUBLE) < 1e-12 THEN p.m
+         |                    ELSE CAST(coalesce(g.s, 0) AS DOUBLE) / CAST(t.t AS DOUBLE) END, 6) AS m
+         |  FROM m${it - 1} p
+         |  LEFT JOIN grouped_$it g ON g.comparison = p.comparison AND g.gamma = p.gamma
+         |  LEFT JOIN tot_$it t ON t.comparison = p.comparison)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 to iters)
+      .map(it => s"SELECT $it AS iter, comparison, gamma, m FROM m$it")
+      .mkString("\n  UNION ALL\n  ")
+    s"""$base,
+       |prs AS (
+       |  SELECT $gsel
+       |  FROM census c JOIN input i ON ${keysOn(sess.blockKeys)}),
+       |hist AS MATERIALIZED (
+       |  SELECT $gnames, CAST(COUNT(*) AS DOUBLE) AS n
+       |  FROM prs GROUP BY $gnames),
+       |m0 AS MATERIALIZED (SELECT comparison, gamma, CAST(m AS DOUBLE) AS m
+       |       FROM (VALUES $m0Rows) AS t(comparison, gamma, m)),
+       |$iterCtes
+       |$unions""".stripMargin
+  }
+
   /** cand/scored/best CTE chain for one pass of `censusRel` × `inputRel`.
     * Gamma/weight fragments render from the PASS's comparison subset
     * (mirror of [[LinkageCascade.predict]]'s comparisonsFor).
@@ -1284,6 +1356,72 @@ object LinkageQueries {
         }).toDF("comparison", "gamma", "m_step")
       },
       Some(emStepSql)
+    ),
+    QueryDef(
+      // Splink's m_u_values_interactive_history_chart data: the em_zip3
+      // session's per-iteration m trajectory (iteration 0 = documented
+      // init), 6-dp-quantized between iterations so the whole ITERATIVE
+      // run is hash-exact against the unrolled DuckDB oracle — see
+      // emHistorySql. Reuses the cached scored block; the per-iteration
+      // work is driver-side over the O(patterns) histogram.
+      "q105_em_history",
+      (s, d) => {
+        reg(s)
+        val hist = LinkageCascade.emHistory(
+          census(s, d), input(s, d), emPasses.head, config, iterations = 3,
+          cvOpt = Some(scoredBlock(s, d)))
+        s.createDataFrame(hist).toDF("iter", "comparison", "gamma", "m")
+      },
+      Some(emHistorySql(3))
+    ),
+    QueryDef(
+      // Splink's missingness/completeness chart: per model column and per
+      // side, how many records carry NULL (the reference calls
+      // missingness_chart on its inputs before training; a column that is
+      // mostly null can't carry match evidence and its comparisons land on
+      // the null level). ONE aggregate pass per side — column counters are
+      // parallel SUMs in a single map-side agg, exploded to rows after.
+      "q106_missingness",
+      (s, d) => {
+        reg(s)
+        val cols = comparisons.map(_.column)
+        def side(df: DataFrame, name: String): DataFrame = {
+          val agg = df.agg(count(lit(1)).as("n_total"),
+            cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c")): _*)
+          agg.select(explode(array(cols.map(c =>
+              struct(lit(c).as("column_name"), col("n_total"), col(s"nn_$c").as("n_null"))): _*))
+              .as("e"))
+            .select(lit(name).as("dataset"), col("e.column_name"), col("e.n_total"),
+              col("e.n_null"),
+              round(col("e.n_null").cast("double") / col("e.n_total").cast("double"), 6)
+                .as("null_rate"))
+        }
+        side(input(s, d), "input").unionByName(side(census(s, d), "census"))
+      },
+      Some {
+        val cols = comparisons.map(_.column)
+        def sideSql(rel: String) = {
+          val sums = cols.map(c =>
+            s"CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_$c")
+            .mkString(",\n            ")
+          val rows = cols.map(c =>
+            s"SELECT '$rel' AS dataset, '$c' AS column_name, n_total, nn_$c AS n_null, " +
+              s"round(CAST(nn_$c AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS null_rate " +
+              s"FROM miss_$rel").mkString("\n  UNION ALL\n  ")
+          (s"""miss_$rel AS (
+              |  SELECT COUNT(*) AS n_total,
+              |            $sums
+              |  FROM $rel)""".stripMargin, rows)
+        }
+        val (ci, ri) = sideSql("input")
+        val (cc, rc) = sideSql("census")
+        s"""$base,
+           |$ci,
+           |$cc
+           |  $ri
+           |  UNION ALL
+           |  $rc""".stripMargin
+      }
     ),
     QueryDef(
       "q32_cascade_best_link",

@@ -253,8 +253,42 @@ object PipelineQueries {
     gramFrames.get((s, d)).foreach(_.count())
     embNorms(s, d).count()
     lshBandRows(s, d).count()
+    plantedShingles(s, d).count()
     ()
   }
+
+  /** The decontamination family's shared input: the planted-passage corpus
+    * exploded to (doc_id, is_bench, n_shingles, shingle) — shingle NULL for
+    * docs shorter than the 5-gram window (explode_outer keeps them). The
+    * 5-word shingle build (split + windowed concat + distinct) is the
+    * dominant scalar in q56/q104, so it is memoized like the gram and band
+    * frames and both consumers read the cached frame.
+    */
+  private val plantedFrames =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  val PlantedPassage = " shared benchmark passage alpha beta gamma delta epsilon zeta"
+
+  def plantedShingles(s: SparkSession, d: String): DataFrame =
+    plantedFrames.synchronized {
+      plantedFrames.getOrElse((s, d), {
+        plantedFrames.values.foreach(_.unpersist())
+        plantedFrames.clear()
+        val isBench = pmod(col("doc_id"), lit(97)) === 0
+        val planted = concat(col("text"),
+          when(isBench || pmod(col("doc_id"), lit(13)) === 0, lit(PlantedPassage))
+            .otherwise(lit("")))
+        val df = Tables.documents(s, d)
+          .select(col("doc_id"), isBench.as("is_bench"),
+            TextOps.wordShingles(planted, 5).as("grams"))
+          .select(col("doc_id"), col("is_bench"),
+            size(col("grams")).cast("long").as("n_shingles"),
+            explode_outer(col("grams")).as("shingle"))
+          .cache()
+        plantedFrames.put((s, d), df)
+        df
+      })
+    }
 
   /** q41's MinHash-LSH candidate pairs (doc_a, doc_b) — also the
     * approximate side of the q99 recall eval and the signature store the
@@ -875,23 +909,15 @@ object PipelineQueries {
       // passage is planted on doc_id%13 so the operator has positives.
       "q56_decontaminate",
       (s, d) => {
-        val passage = " shared benchmark passage alpha beta gamma delta epsilon zeta"
-        val isBench = pmod(col("doc_id"), lit(97)) === 0
-        val planted = concat(col("text"),
-          when(isBench || pmod(col("doc_id"), lit(13)) === 0, lit(passage))
-            .otherwise(lit("")))
-        val sh = Tables.documents(s, d)
-          .select(col("doc_id"), TextOps.wordShingles(planted, 5).as("grams"))
-        val bench = sh.filter(isBench)
-          .select(explode(col("grams")).as("shingle")).distinct()
-        // ONE shingle pass over the corpus: explode_outer keeps docs whose
-        // gram array is empty (short texts), the broadcast left join marks
-        // benchmark shingles, and a single doc_id aggregate yields both
-        // counters — the naive shape recomputes the shingle projection
-        // per consumer (3 full-corpus passes instead of 1).
-        sh.filter(!isBench)
-          .select(col("doc_id"), size(col("grams")).cast("long").as("n_shingles"),
-            explode_outer(col("grams")).as("shingle"))
+        // ONE pass over the memoized exploded frame (explode_outer kept
+        // docs whose gram array is empty): the broadcast left join marks
+        // benchmark shingles and a single doc_id aggregate yields both
+        // counters.
+        val sh = plantedShingles(s, d)
+        val bench = sh.filter(col("is_bench") && col("shingle").isNotNull)
+          .select("shingle").distinct()
+        sh.filter(!col("is_bench"))
+          .select("doc_id", "n_shingles", "shingle")
           .join(broadcast(bench.withColumn("hit", lit(1L))), Seq("shingle"), "left")
           .groupBy("doc_id")
           .agg(max("n_shingles").as("n_shingles"),
@@ -938,24 +964,18 @@ object PipelineQueries {
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         import graft.functions.GraftFunctions.{bloomBuild, bloomMightContain}
-        val passage = " shared benchmark passage alpha beta gamma delta epsilon zeta"
-        val isBench = pmod(col("doc_id"), lit(97)) === 0
-        val planted = concat(col("text"),
-          when(isBench || pmod(col("doc_id"), lit(13)) === 0, lit(passage))
-            .otherwise(lit("")))
-        val sh = Tables.documents(s, d)
-          .select(col("doc_id"), TextOps.wordShingles(planted, 5).as("grams"))
-        val bench = sh.filter(isBench)
-          .select(explode(col("grams")).as("shingle")).distinct()
+        val sh = plantedShingles(s, d)
+        val bench = sh.filter(col("is_bench") && col("shingle").isNotNull)
+          .select("shingle").distinct()
         val filt = bench
           .select(bloomBuild(xxhash64(col("shingle")), 1 << 19, 6).as("f"))
           .head.getAs[Array[Byte]](0)
-        val hits = sh.filter(!isBench)
-          .select(col("doc_id"), explode(col("grams")).as("shingle"))
+        val hits = sh.filter(!col("is_bench") && col("shingle").isNotNull)
+          .select("doc_id", "shingle")
           .filter(bloomMightContain(lit(filt), xxhash64(col("shingle"))))
           .join(broadcast(bench), Seq("shingle"))
           .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-        sh.filter(!isBench).select("doc_id")
+        sh.filter(!col("is_bench")).select("doc_id").distinct()
           .join(hits, Seq("doc_id"), "left")
           .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
             (coalesce(col("n_hits"), lit(0L)) >= 1).as("contaminated"))
