@@ -1528,9 +1528,14 @@ object PipelineQueries {
                 concat_ws(" ", slice(w, i * 10 + 1, lit(10))).as("chunk"))))
               .as("c"))
           .select(col("doc_id"), col("c.pos").as("pos"), col("c.chunk").as("chunk"))
-        val counts = chunks.groupBy("chunk")
-          .agg(countDistinct(col("doc_id")).as("nd"))
-        chunks.join(counts, Seq("chunk"))
+        // nd as a window over the chunk partition instead of a groupBy +
+        // self-join: the chunk construction (split + windowed concat over
+        // every doc) is the dominant cost and a join shape evaluates it
+        // TWICE (Spark shares no work across join branches); the window
+        // computes it once and shuffles on the same key the join would.
+        chunks
+          .withColumn("nd",
+            size(collect_set(col("doc_id")).over(Window.partitionBy("chunk"))))
           .withColumn("boiler", col("nd") >= 2)
           .groupBy("doc_id")
           .agg(
