@@ -33,7 +33,13 @@ object Components {
     val e = edges.select(col("a"), col("b")).localCheckpoint()
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
-    var labels = nodes.select(col("node"), col("node").as("cluster_id"))
+    // The loop runs ONLY over edge-incident nodes: isolated nodes can never
+    // change label, and they usually dominate the node set (most documents
+    // have no duplicate), so keeping them out shrinks every per-round frame
+    // to the duplicate neighborhood. They rejoin as their own cluster at
+    // the end.
+    var labels = sym.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("cluster_id"))
       .localCheckpoint()
     var iter = 0
     var converged = false
@@ -42,18 +48,22 @@ object Components {
         .join(labels, sym("a") === labels("node"))
         .groupBy(col("b").as("node2"))
         .agg(min("cluster_id").as("neighbor_min"))
+      // The change flag rides in the checkpointed frame, so the convergence
+      // probe is a filter over materialized partitions — not a second join
+      // against the previous labels.
       val next = labels
         .join(neighborMin, labels("node") === neighborMin("node2"), "left")
         .select(col("node"),
           least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          (coalesce(col("neighbor_min"), col("cluster_id")) < col("cluster_id")).as("chg"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "node")
-        .filter(col("cluster_id") < col("old")).limit(1).count()
-      labels = next
+      val changed = next.filter(col("chg")).limit(1).count()
+      labels = next.select("node", "cluster_id")
       converged = changed == 0
       iter += 1
     }
-    labels
+    nodes.select("node").join(labels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("cluster_id"), col("node")).as("cluster_id"))
   }
 }
