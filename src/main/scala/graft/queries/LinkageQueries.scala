@@ -5,6 +5,7 @@ import graft.functions.{GraftFunctions, Phonetics}
 import graft.linkage._
 import graft.operators.Preprocess
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.D — the Fellegi-Sunter linkage engine (flagship). Two deterministic
@@ -876,8 +877,19 @@ object LinkageQueries {
     * inputs. This makes the ITERATIVE EM hash-checkable, not just its
     * one-step update rule (q101).
     */
-  private def emHistorySql(iters: Int): String = {
-    val sess = emPasses.head
+  private def emHistorySql(iters: Int): String =
+    s"""$base,
+       |${emSessionCtes(emPasses.head, iters, "z")}
+       |${(0 to iters)
+        .map(it => s"SELECT $it AS iter, comparison, gamma, m FROM m_z_$it")
+        .mkString("\n  UNION ALL\n  ")}""".stripMargin
+
+  /** The CTE chain of one session's unrolled quantized EM (see
+    * [[emHistorySql]]) with every relation name suffixed `_pfx`, so two
+    * sessions can coexist in one oracle query (q107). Ends with
+    * `m_pfx_<iters>` = the session's final 6-dp m table.
+    */
+  private def emSessionCtes(sess: BlockingPass, iters: Int, pfx: String): String = {
     val cmps = sess.comparisonsFor(config)
     val lam = config.lambda
     val gsel = cmps
@@ -902,40 +914,35 @@ object LinkageQueries {
         s"(CASE WHEN ${c.gammaName} IN ($known) THEN ${c.gammaName} ELSE 0 END)) END)"
     }.mkString(" * ")
     val iterCtes = (1 to iters).map { it =>
-      val prev = s"m${it - 1}"
+      val prev = s"m_${pfx}_${it - 1}"
       val stackedSel = cmps.map(c =>
         s"SELECT '${c.name}' AS comparison, ${c.gammaName} AS gamma, " +
-          s"CAST(n * p AS DECIMAL(38,18)) AS w FROM pw_$it WHERE ${c.gammaName} <> -1")
+          s"CAST(n * p AS DECIMAL(38,18)) AS w FROM pw_${pfx}_$it WHERE ${c.gammaName} <> -1")
         .mkString("\n  UNION ALL\n  ")
-      s"""pw_$it AS MATERIALIZED (
+      s"""pw_${pfx}_$it AS MATERIALIZED (
          |  SELECT *, $lam * (${mFactors(prev)}) / ($lam * (${mFactors(prev)}) + (1.0 - $lam) * ($uFactors)) AS p
-         |  FROM hist),
-         |stacked_$it AS (
+         |  FROM hist_$pfx),
+         |stacked_${pfx}_$it AS (
          |  $stackedSel),
-         |grouped_$it AS (SELECT comparison, gamma, SUM(w) AS s FROM stacked_$it GROUP BY comparison, gamma),
-         |tot_$it AS (SELECT comparison, SUM(s) AS t FROM grouped_$it GROUP BY comparison),
-         |m$it AS MATERIALIZED (
+         |grouped_${pfx}_$it AS (SELECT comparison, gamma, SUM(w) AS s FROM stacked_${pfx}_$it GROUP BY comparison, gamma),
+         |tot_${pfx}_$it AS (SELECT comparison, SUM(s) AS t FROM grouped_${pfx}_$it GROUP BY comparison),
+         |m_${pfx}_$it AS MATERIALIZED (
          |  SELECT p.comparison, p.gamma,
          |         round(CASE WHEN CAST(coalesce(t.t, 0) AS DOUBLE) < 1e-12 THEN p.m
          |                    ELSE CAST(coalesce(g.s, 0) AS DOUBLE) / CAST(t.t AS DOUBLE) END, 6) AS m
-         |  FROM m${it - 1} p
-         |  LEFT JOIN grouped_$it g ON g.comparison = p.comparison AND g.gamma = p.gamma
-         |  LEFT JOIN tot_$it t ON t.comparison = p.comparison)""".stripMargin
+         |  FROM m_${pfx}_${it - 1} p
+         |  LEFT JOIN grouped_${pfx}_$it g ON g.comparison = p.comparison AND g.gamma = p.gamma
+         |  LEFT JOIN tot_${pfx}_$it t ON t.comparison = p.comparison)""".stripMargin
     }.mkString(",\n")
-    val unions = (0 to iters)
-      .map(it => s"SELECT $it AS iter, comparison, gamma, m FROM m$it")
-      .mkString("\n  UNION ALL\n  ")
-    s"""$base,
-       |prs AS (
+    s"""prs_$pfx AS (
        |  SELECT $gsel
        |  FROM census c JOIN input i ON ${keysOn(sess.blockKeys)}),
-       |hist AS MATERIALIZED (
+       |hist_$pfx AS MATERIALIZED (
        |  SELECT $gnames, CAST(COUNT(*) AS DOUBLE) AS n
-       |  FROM prs GROUP BY $gnames),
-       |m0 AS MATERIALIZED (SELECT comparison, gamma, CAST(m AS DOUBLE) AS m
+       |  FROM prs_$pfx GROUP BY $gnames),
+       |m_${pfx}_0 AS MATERIALIZED (SELECT comparison, gamma, CAST(m AS DOUBLE) AS m
        |       FROM (VALUES $m0Rows) AS t(comparison, gamma, m)),
-       |$iterCtes
-       |$unions""".stripMargin
+       |$iterCtes""".stripMargin
   }
 
   /** cand/scored/best CTE chain for one pass of `censusRel` × `inputRel`.
@@ -1421,6 +1428,113 @@ object LinkageQueries {
            |  $ri
            |  UNION ALL
            |  $rc""".stripMargin
+      }
+    ),
+    QueryDef(
+      // Splink's parameter_estimate_comparisons_chart: the m each training
+      // session produced for every comparison level, side by side, plus
+      // the combined estimate (the average emTrainMMulti ships) — NULL
+      // where a session's blocking forbids it from estimating that
+      // comparison (em_zip3 can't train geo; em_name_yob can't train
+      // first/byear). Endpoints come from the 6-dp-quantized 3-iteration
+      // trajectories, so both sessions are hash-exact against the same
+      // unrolled-EM oracle machinery as q105.
+      "q107_param_compare",
+      (s, d) => {
+        reg(s)
+        def fin(h: Seq[(Int, String, Int, Double)]): Map[(String, Int), Double] =
+          h.filter(_._1 == 3).map { case (_, c, g, m) => (c, g) -> m }.toMap
+        val m1 = fin(LinkageCascade.emHistory(
+          census(s, d), input(s, d), emPasses(0), config, 3, Some(scoredBlock(s, d))))
+        val m2 = fin(LinkageCascade.emHistory(
+          census(s, d), input(s, d), emPasses(1), config, 3, None))
+        def q6(x: Double): Double =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val rows = comparisons.flatMap(c => c.params.map { case (g, _, _) =>
+          val a = m1.get((c.name, g))
+          val b = m2.get((c.name, g))
+          val comb = (a, b) match {
+            case (Some(x), Some(y)) => q6((x + y) / 2)
+            case (Some(x), None)    => x
+            case (None, Some(y))    => y
+            case _ => throw new IllegalStateException(s"no session estimates ${c.name}")
+          }
+          (c.name, g, a.map(Double.box).orNull, b.map(Double.box).orNull, comb)
+        })
+        s.createDataFrame(rows)
+          .toDF("comparison", "gamma", "m_zip3", "m_name_yob", "m_combined")
+      },
+      Some {
+        val levelRows = comparisons
+          .flatMap(c => c.params.map { case (g, _, _) => s"('${c.name}', $g)" })
+          .mkString(", ")
+        s"""$base,
+           |${emSessionCtes(emPasses(0), 3, "z")},
+           |${emSessionCtes(emPasses(1), 3, "y")},
+           |levels AS (SELECT * FROM (VALUES $levelRows) AS t(comparison, gamma))
+           |SELECT l.comparison, l.gamma, z.m AS m_zip3, y.m AS m_name_yob,
+           |       CASE WHEN z.m IS NULL THEN y.m WHEN y.m IS NULL THEN z.m
+           |            ELSE round((z.m + y.m) / 2, 6) END AS m_combined
+           |FROM levels l
+           |LEFT JOIN m_z_3 z ON z.comparison = l.comparison AND z.gamma = l.gamma
+           |LEFT JOIN m_y_3 y ON y.comparison = l.comparison AND y.gamma = l.gamma""".stripMargin
+      }
+    ),
+    QueryDef(
+      // Splink's cumulative_comparisons chart: blocking rules stacked in
+      // cascade order — each pass's own pair count, the pairs it is FIRST
+      // to generate, and the cumulative distinct total. The dedup is a
+      // min-ordinal aggregate on the pair key (one shuffle of ids only —
+      // pair payloads never travel), which is how the count stays honest
+      // at 100 TB: no pass-by-pass anti-join chain, no pair
+      // materialization beyond (pik, rec_id, ordinal).
+      "q108_cumulative_comparisons",
+      (s, d) => {
+        reg(s)
+        val cen = census(s, d)
+        val inp = input(s, d)
+        val perPass = passes.zipWithIndex.map { case (p, i) =>
+          LinkageCascade.pairs(cen, inp, p)
+            .select(col("l_pik").as("pik"), col("r_rec_id").as("rec_id"),
+              lit(i + 1).as("ordinal"))
+        }.reduce(_.unionByName(_))
+        val own = perPass.groupBy("ordinal").agg(count(lit(1)).as("n_pairs"))
+        val news = perPass.groupBy("pik", "rec_id").agg(min("ordinal").as("ordinal"))
+          .groupBy("ordinal").agg(count(lit(1)).as("n_new"))
+        val names = s.createDataFrame(passes.zipWithIndex.map { case (p, i) => (p.name, i + 1) })
+          .toDF("pass", "ordinal")
+        val w = Window.orderBy("ordinal")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        names.join(own, Seq("ordinal"), "left").join(news, Seq("ordinal"), "left")
+          .select(col("pass"), col("ordinal"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            coalesce(col("n_new"), lit(0L)).as("n_new"))
+          .withColumn("n_cumulative", sum("n_new").over(w))
+      },
+      Some {
+        val parts = passes.zipWithIndex.map { case (p, i) =>
+          val rel = remappedRel("input", p.rightRemap)
+          s"""SELECT c.pik AS pik, i.rec_id AS rec_id, ${i + 1} AS ordinal
+             |  FROM census c JOIN $rel i ON ${keysOn(p.blockKeys)}""".stripMargin
+        }.mkString("\n  UNION ALL\n  ")
+        val nameRows = passes.zipWithIndex
+          .map { case (p, i) => s"('${p.name}', ${i + 1})" }.mkString(", ")
+        s"""$base,
+           |pairs_all AS (
+           |  $parts),
+           |own AS (SELECT ordinal, COUNT(*) AS n_pairs FROM pairs_all GROUP BY 1),
+           |firsts AS (SELECT pik, rec_id, MIN(ordinal) AS ordinal
+           |           FROM pairs_all GROUP BY 1, 2),
+           |news AS (SELECT ordinal, COUNT(*) AS n_new FROM firsts GROUP BY 1),
+           |names AS (SELECT * FROM (VALUES $nameRows) AS t(pass, ordinal))
+           |SELECT n.pass, n.ordinal,
+           |       CAST(coalesce(o.n_pairs, 0) AS BIGINT) AS n_pairs,
+           |       CAST(coalesce(w.n_new, 0) AS BIGINT) AS n_new,
+           |       CAST(SUM(coalesce(w.n_new, 0)) OVER (ORDER BY n.ordinal
+           |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cumulative
+           |FROM names n
+           |LEFT JOIN own o ON n.ordinal = o.ordinal
+           |LEFT JOIN news w ON n.ordinal = w.ordinal""".stripMargin
       }
     ),
     QueryDef(
