@@ -1493,21 +1493,42 @@ object LinkageQueries {
         reg(s)
         val cen = census(s, d)
         val inp = input(s, d)
-        val perPass = passes.zipWithIndex.map { case (p, i) =>
-          LinkageCascade.pairs(cen, inp, p)
-            .select(col("l_pik").as("pik"), col("r_rec_id").as("rec_id"),
-              lit(i + 1).as("ordinal"))
-        }.reduce(_.unionByName(_))
-        val own = perPass.groupBy("ordinal").agg(count(lit(1)).as("n_pairs"))
+        // Per-pass totals come from the q78 count-product formula (group
+        // sizes multiplied per block key — no pair rows exist), so the
+        // union of materialized pairs below has exactly ONE consumer: the
+        // min-ordinal distinct accounting, which is the only part that
+        // genuinely needs to touch every pair. (The first cut aggregated
+        // the union twice and re-ran all 13 block joins per consumer:
+        // 13 s -> ~6 s at sf0.1.)
+        val own = LinkageCascade.blockCostSummaryAll(cen, inp, passes)
+          .select(col("pass"), col("ordinal"), col("n_pairs"))
+        // All 13 rules in ONE equi-join: each side explodes to its
+        // per-pass (ordinal, concatenated block key) entries — the same
+        // encoding blockCostSummaryAll prices blocks with — so pair
+        // generation is a single shuffle on (ordinal, bkey) instead of 13
+        // separate joins (13 broadcast builds + 13 codegen'd stages of
+        // pure overhead at bench scale; 13 shuffles at cluster scale).
+        val sep = "\u0001"
+        def entries(df: DataFrame, applyRemap: Boolean, idCol: String): DataFrame =
+          df.select(col(idCol), explode(array(passes.zipWithIndex.map { case (p, i) =>
+              val srcCols = p.blockKeys.map { k =>
+                if (applyRemap) col(p.rightRemap.getOrElse(k, k)) else col(k)
+              }
+              val anyNull = srcCols.map(_.isNull).reduce(_ || _)
+              when(anyNull, lit(null)).otherwise(struct(
+                lit(i + 1).as("ordinal"),
+                concat_ws(sep, srcCols.map(_.cast("string")): _*).as("bkey")))
+            }: _*)).as("e"))
+            .filter(col("e").isNotNull)
+            .select(col(idCol), col("e.ordinal").as("ordinal"), col("e.bkey").as("bkey"))
+        val perPass = entries(cen, applyRemap = false, "pik")
+          .join(entries(inp, applyRemap = true, "rec_id"), Seq("ordinal", "bkey"))
         val news = perPass.groupBy("pik", "rec_id").agg(min("ordinal").as("ordinal"))
           .groupBy("ordinal").agg(count(lit(1)).as("n_new"))
-        val names = s.createDataFrame(passes.zipWithIndex.map { case (p, i) => (p.name, i + 1) })
-          .toDF("pass", "ordinal")
         val w = Window.orderBy("ordinal")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        names.join(own, Seq("ordinal"), "left").join(news, Seq("ordinal"), "left")
-          .select(col("pass"), col("ordinal"),
-            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        own.join(news, Seq("ordinal"), "left")
+          .select(col("pass"), col("ordinal"), col("n_pairs"),
             coalesce(col("n_new"), lit(0L)).as("n_new"))
           .withColumn("n_cumulative", sum("n_new").over(w))
       },

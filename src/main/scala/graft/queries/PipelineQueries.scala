@@ -1004,6 +1004,48 @@ object PipelineQueries {
              |WHERE s.doc_id % 97 <> 0""".stripMargin)
     ),
     QueryDef(
+      // Markup cleanup — the universal pre-tokenization step (HTML tag
+      // strip, entity decode, whitespace collapse) every crawl-derived
+      // corpus runs before any scoring. Pure map-side codegen'd string
+      // work: no shuffle at all, scales with scan bandwidth. Markup is
+      // planted deterministically (doc_id%5) so the operator has real
+      // work in the synthetic corpus; the regexes are in the common
+      // Java-regex/RE2 subset so both engines rewrite identically.
+      "q109_text_clean",
+      (s, d) => {
+        val planted = when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit("<p id=\"x\"> "), col("text"),
+            lit(" </p> <br/> &amp; &lt;script&gt; &quot;end&quot;")))
+          .otherwise(col("text"))
+        val noTags = regexp_replace(planted, "<[^>]*>", " ")
+        val decoded = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          noTags, "&amp;", "&"), "&lt;", "<"), "&gt;", ">"), "&quot;", "\"")
+        val collapsed = trim(regexp_replace(decoded, "\\s+", " "))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            regexp_count(planted, lit("<[^>]*>")).cast("long").as("n_tags"),
+            length(collapsed).cast("long").as("clean_len"),
+            collapsed.as("clean_text"))
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |         CASE WHEN doc_id % 5 = 0
+             |              THEN '<p id="x"> ' || text || ' </p> <br/> &amp; &lt;script&gt; &quot;end&quot;'
+             |              ELSE text END AS t
+             |  FROM documents),
+             |cleaned AS (
+             |  SELECT doc_id,
+             |         CAST(len(regexp_extract_all(t, '<[^>]*>')) AS BIGINT) AS n_tags,
+             |         trim(regexp_replace(
+             |           replace(replace(replace(replace(
+             |             regexp_replace(t, '<[^>]*>', ' ', 'g'),
+             |             '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             |           '\s+', ' ', 'g')) AS clean_text
+             |  FROM planted)
+             |SELECT doc_id, n_tags, CAST(len(clean_text) AS BIGINT) AS clean_len, clean_text
+             |FROM cleaned""".stripMargin)
+    ),
+    QueryDef(
       // Corpus vocabulary + per-doc OOV rate: global word counts (map-side
       // partial agg), top-500 vocabulary under a TOTAL order (count desc,
       // word asc — the tiebreak makes the cut deterministic in both
