@@ -167,16 +167,25 @@ object PipelineQueries {
     * side of the q89 recall eval. Assignment is a broadcast-16 scoring
     * pass; search is a bucket equi-join.
     */
-  private def ivfTop5(s: SparkSession, d: String): DataFrame = {
+  /** The IVF assignment frame (vec_id, embedding, nrm, cid, arnk): every
+    * vector scored against the 16 broadcast centroids, ranked by cosine.
+    * arnk = 1 is the hard assignment (q68's buckets, q110's clusters);
+    * arnk <= p gives probe lists.
+    */
+  private def ivfAssign(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = embNorms(s, d)
     val cents = e.filter(col("vec_id").isin(IvfSeedIds: _*))
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
     val byVec = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
-    val assign = e.crossJoin(broadcast(cents))
+    e.crossJoin(broadcast(cents))
       .withColumn("csim",
         VectorOps.dotDecimal(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
       .withColumn("arnk", row_number().over(byVec))
+  }
+
+  private def ivfTop5(s: SparkSession, d: String): DataFrame = {
+    val assign = ivfAssign(s, d)
     val data = assign.filter(col("arnk") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
     val qprobe = assign
@@ -1313,6 +1322,52 @@ object PipelineQueries {
       Some(s"""WITH ${normsCte("nrms", "embeddings")},
               |$ivfTailCtes
               |SELECT qid, vec_id, rnk, cos FROM approx""".stripMargin)
+    ),
+    QueryDef(
+      // One Lloyd update over the IVF assignment — the k-means step that
+      // turns q68's seed centroids into trained ones, and the clustering
+      // half of SemDeDup-style semantic dedup (cluster embeddings, then
+      // near-dup within clusters — q51/q45 are the within-cluster half).
+      // Shape: assignment is the broadcast-16 scoring pass; the update is
+      // ONE hash-aggregate over (cluster, component) with map-side
+      // partials — at 100 TB the only shuffle carries k×Dim partial sums,
+      // not vectors. Component sums go through DECIMAL so the means are
+      // order-independent and engine-exact.
+      "q110_kmeans_step",
+      (s, d) => {
+        ivfAssign(s, d).filter(col("arnk") === 1)
+          .select(col("cid"), posexplode(col("embedding")))
+          .select(col("cid"), (col("pos") + 1).cast("long").as("j"),
+            col("col").cast("double").cast("decimal(38,18)").as("x"))
+          .groupBy("cid", "j")
+          .agg(count(lit(1)).as("n_members"), sum("x").as("sx"))
+          .select(col("cid"), col("j"), col("n_members"),
+            round(col("sx").cast("double") / col("n_members").cast("double"), 6)
+              .as("c_new"))
+      },
+      Some(s"""WITH ${normsCte("nrms", "embeddings")},
+              |cents AS (
+              |  SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM nrms
+              |  WHERE vec_id IN (${IvfSeedIds.mkString(", ")})),
+              |csims AS (
+              |  SELECT n.vec_id, c.cid, MAX(n.nrm) AS nrm, MAX(c.cn) AS cn,
+              |         ${VectorOps.dotDecimalSql("n.embedding", "c.ce")} AS cdot
+              |  FROM nrms n CROSS JOIN cents c, range(1, ${VectorOps.Dim + 1}) t(i)
+              |  GROUP BY n.vec_id, c.cid),
+              |assign AS (
+              |  SELECT vec_id, cid,
+              |         ROW_NUMBER() OVER (PARTITION BY vec_id
+              |             ORDER BY cdot / (nrm * cn) DESC, cid ASC) AS arnk
+              |  FROM csims),
+              |comps AS (
+              |  SELECT m.cid, t.i AS j,
+              |         CAST(CAST(n.embedding[t.i] AS DOUBLE) AS DECIMAL(38,18)) AS x
+              |  FROM assign m JOIN nrms n ON n.vec_id = m.vec_id,
+              |       range(1, ${VectorOps.Dim + 1}) t(i)
+              |  WHERE m.arnk = 1)
+              |SELECT cid, j, COUNT(*) AS n_members,
+              |       round(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS c_new
+              |FROM comps GROUP BY cid, j""".stripMargin)
     ),
     QueryDef(
       // Greedy document packing into fixed token-budget training
