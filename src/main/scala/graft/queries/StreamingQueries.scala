@@ -271,6 +271,38 @@ object StreamingQueries {
              | AND v.vts <= c.cts AND v.vts >= c.cts - INTERVAL 1 HOUR""".stripMargin)
     ),
     QueryDef(
+      // Left-outer attribution (batch twin of attributeClicks with
+      // joinType = leftOuter): q103 plus one NULL-view row per unattributed
+      // click. In the stream the outer rows emit only once the watermark
+      // closes each click's window — the delayed-emission semantics the
+      // StreamingSpec sentinel test pins; in batch it's a plain left join.
+      "q111_attribution_outer",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+            col("ts").as("view_ts"))
+        clicks.join(views,
+            col("user_id") === col("v_user") &&
+              col("view_ts") <= col("click_ts") &&
+              col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"),
+            "left")
+          .select(col("click_id"), col("user_id"),
+            unix_micros(col("click_ts")).as("click_us"),
+            col("view_id"), unix_micros(col("view_ts")).as("view_us"))
+      },
+      Some("""WITH c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS cts
+             |           FROM events WHERE event_type = 'click'),
+             |     v AS (SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS vts
+             |           FROM events WHERE event_type = 'view')
+             |SELECT c.click_id, c.user_id, epoch_us(c.cts) AS click_us,
+             |       v.view_id, epoch_us(v.vts) AS view_us
+             |FROM c LEFT JOIN v ON c.user_id = v.user_id
+             | AND v.vts <= c.cts AND v.vts >= c.cts - INTERVAL 1 HOUR""".stripMargin)
+    ),
+    QueryDef(
       // Ordered conversion funnel: the furthest view -> click -> purchase
       // stage each user reaches, each step strictly AFTER the previous
       // step's first completion (not mere presence of all three types).

@@ -118,7 +118,8 @@ object Sessionizer {
     * Inner-join rows emit as soon as both sides arrive (no watermark
     * wait), so results are incremental.
     */
-  def attributeClicks(clicks: DataFrame, views: DataFrame): DataFrame = {
+  def attributeClicks(clicks: DataFrame, views: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val c = clicks
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
       .withWatermark("click_ts", "1 hour")
@@ -126,9 +127,15 @@ object Sessionizer {
       .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
         col("ts").as("view_ts"))
       .withWatermark("view_ts", "2 hours")
+    // "leftOuter" adds the unmatched-click rows (view columns NULL), which
+    // CANNOT emit eagerly: a click stays pending until the watermark
+    // proves no in-window view can still arrive, so outer results trail
+    // the inner ones by the watermark delay — the semantics StreamingSpec
+    // pins with a sentinel flush.
     c.join(v,
         expr("user_id = view_user AND view_ts <= click_ts " +
-          "AND view_ts >= click_ts - INTERVAL 1 HOUR"))
+          "AND view_ts >= click_ts - INTERVAL 1 HOUR"),
+        joinType)
       .select(col("click_id"), col("user_id"), col("click_ts"),
         col("view_id"), col("view_ts"))
   }

@@ -348,6 +348,51 @@ class StreamingSpec extends SparkTestBase {
         s"only-batch=${(batch -- streamed).take(5)}")
   }
 
+  test("left-outer stream-stream attribution agrees with the batch q111") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.events(spark, sfDir)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val maxTs = events.map(_.ts.getTime).max
+    // Outer rows emit only when the watermark proves the click's window
+    // closed; the sentinels push the watermark far past every real click.
+    val s1 = Event(-1L, new Timestamp(maxTs + 10 * 3600 * 1000L), -1L, "view", 0.0)
+    val s2 = Event(-2L, new Timestamp(maxTs + 40 * 3600 * 1000L), -2L, "click", 0.0)
+
+    val stream = MemoryStream[Event]
+    val src = stream.toDF()
+    val joined = Sessionizer.attributeClicks(
+      src.filter(col("event_type") === "click"),
+      src.filter(col("event_type") === "view"),
+      joinType = "leftOuter")
+    val query = joined.writeStream.format("memory").queryName("attrib_outer_out")
+      .outputMode("append").start()
+    try {
+      val (first, second) = events.splitAt(events.length / 2)
+      stream.addData(first.toIndexedSeq)
+      query.processAllAvailable()
+      stream.addData(second.toIndexedSeq :+ s1)
+      query.processAllAvailable()
+      stream.addData(Seq(s2))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val streamed = spark.table("attrib_outer_out")
+      .filter(col("user_id") >= 0)
+      .select(col("click_id"),
+        coalesce(col("view_id"), lit(-1L)).as("view_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = StreamingQueries.defs.find(_.name == "q111_attribution_outer").get
+      .query(spark, sfDir)
+      .select(col("click_id"), coalesce(col("view_id"), lit(-1L)).as("view_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"outer stream-stream vs batch differ: " +
+        s"only-streaming=${(streamed -- batch).take(5)} " +
+        s"only-batch=${(batch -- streamed).take(5)}")
+  }
+
   test("q69 sketches bound the exact answers") {
     import graft.queries.StreamingQueries
     val approx = StreamingQueries.defs.find(_.name == "q69_sketch_stats").get
