@@ -1058,6 +1058,38 @@ object LinkageQueries {
        |FROM per CROSS JOIN tot""".stripMargin
   }
 
+  /** PVS module of each cascade pass (reference modules geosearch /
+    * namesearch / dobsearch / hhcompsearch; 03_link_datasets.ipynb cells
+    * 83/101/114/138 — notebook 04 cells 55-58 aggregate accuracy by it).
+    */
+  val passModules: Seq[(String, String)] =
+    passes.map(_.name).map { n =>
+      val m =
+        if (Seq("p1_", "p2_", "p3_", "p3b", "p4_").exists(n.startsWith)) "geosearch"
+        else if (Seq("p5_", "p6_", "p6b", "p7_").exists(n.startsWith)) "namesearch"
+        else "dobsearch"
+      n -> m
+    } ++ hhPasses.map(_.name -> "hhcompsearch")
+
+  /** Notebook 04 cells 55/57: link accuracy by PVS module. */
+  private def accuracyByModuleSql: String = {
+    val links = allPasses.zipWithIndex
+      .map { case (p, idx) => s"SELECT pik, rec_id, '${p.name}' AS pass FROM best_p${idx + 1}" }
+      .mkString("\n  UNION ALL\n  ")
+    val moduleRows = passModules
+      .map { case (p, m) => s"('$p', '$m')" }.mkString(", ")
+    s"""$cascadeCtes,
+       |links AS (
+       |  $links),
+       |mods AS (SELECT * FROM (VALUES $moduleRows) AS t(pass, module_name))
+       |SELECT m.module_name, COUNT(*) AS n_links,
+       |       CAST(SUM(CASE WHEN l.pik = l.rec_id THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |       round(CAST(SUM(CASE WHEN l.pik = l.rec_id THEN 1 ELSE 0 END) AS DOUBLE) /
+       |             CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+       |FROM links l JOIN mods m ON l.pass = m.pass
+       |GROUP BY m.module_name""".stripMargin
+  }
+
   /** Notebook 04 cell 10: distribution of links per PIK. */
   private def pikSizesSql: String = {
     val links = allPasses.zipWithIndex
@@ -1566,6 +1598,26 @@ object LinkageQueries {
           .select(col("pik"), col("rec_id"), round(col("match_weight"), 6).as("mw"), col("pass"))
       },
       Some(s"""$cascadeSql""".stripMargin)
+    ),
+    QueryDef(
+      // Notebook 04 cells 55/57: accuracy by PVS module — Layne et al.'s
+      // per-module comparison surface (the reference notes its sample
+      // data INVERTS the real-life geosearch-is-most-accurate pattern).
+      // One broadcast dim join over the memoized cascade links.
+      "q112_accuracy_by_module",
+      (s, d) => {
+        reg(s)
+        val dim = broadcast(
+          s.createDataFrame(passModules).toDF("pass", "module_name"))
+        cascadeLinks(s, d).join(dim, Seq("pass"))
+          .groupBy("module_name")
+          .agg(count(lit(1)).as("n_links"),
+            sum(when(col("pik") === col("rec_id"), 1L).otherwise(0L)).as("n_correct"))
+          .select(col("module_name"), col("n_links"), col("n_correct"),
+            round(col("n_correct").cast("double") / col("n_links").cast("double"), 6)
+              .as("accuracy"))
+      },
+      Some(accuracyByModuleSql)
     ),
     QueryDef(
       "q33_accuracy_eval",
