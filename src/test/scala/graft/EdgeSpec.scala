@@ -59,6 +59,42 @@ class EdgeSpec extends SparkTestBase {
     }
   }
 
+  test("bloom built over an empty set rejects every probe; null keys skipped") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val none = spark.createDataFrame(Seq.empty[Tuple1[java.lang.Long]]).toDF("k")
+    val filt = none
+      .select(GraftFunctions.bloomBuild(org.apache.spark.sql.functions.col("k"), 1 << 10, 4).as("f"))
+      .head.getAs[Array[Byte]](0)
+    assert(filt.length == 4 + (1 << 10) / 8)
+    val hits = (1L to 100L).toDF("k")
+      .filter(GraftFunctions.bloomMightContain(
+        org.apache.spark.sql.functions.lit(filt),
+        org.apache.spark.sql.functions.col("k")))
+      .count()
+    assert(hits == 0L, "an all-zero filter must reject everything")
+    // Null keys contribute nothing rather than throwing.
+    val withNulls = spark.createDataFrame(
+      Seq(Tuple1(java.lang.Long.valueOf(7L)), Tuple1(null.asInstanceOf[java.lang.Long]))).toDF("k")
+    val f2 = withNulls
+      .select(GraftFunctions.bloomBuild(org.apache.spark.sql.functions.col("k"), 1 << 10, 4).as("f"))
+      .head.getAs[Array[Byte]](0)
+    assert(graft.functions.BloomImpl.mightContain(f2, 7L))
+  }
+
+  test("stream-stream attribution batch twin on an empty side is empty/left-only") {
+    import spark.implicits._
+    val clicks = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00"), 5L))
+      .toDF("event_id", "ts", "user_id")
+    val views = clicks.filter(org.apache.spark.sql.functions.lit(false))
+    val inner = graft.streaming.Sessionizer.attributeClicks(clicks, views)
+    // Batch execution of the streaming plan shape: no watermark state in
+    // batch mode, but the projection + condition must still evaluate.
+    assert(inner.count() == 0L)
+    val outer = graft.streaming.Sessionizer.attributeClicks(clicks, views, "leftOuter")
+    assert(outer.count() == 1L && outer.filter(outer("view_id").isNull).count() == 1L)
+  }
+
   test("char noise on empty and null strings is identity") {
     GraftFunctions.register(spark)
     val df = spark.createDataFrame(Seq(
