@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Vector math over `array<float>` embedding columns, composed from
@@ -101,6 +102,76 @@ object VectorOps {
       val w = array(lshPlaneW(j).map(v => lit(v.toFloat)): _*)
       when(dotDecimal(emb, w) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Hard cosine assignment of every (vec_id, embedding) row to its
+    * argmax-cosine centroid from `cents(cid, ce)` (ties break on cid) —
+    * the scoring pass of [[kmeans]] and q110's one-step twin. The centroid
+    * side is always broadcast: assignment is linear, map-side work.
+    */
+  def assignToCentroids(data: DataFrame, cents: DataFrame): DataFrame = {
+    val byVec = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
+    data.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim",
+        dotDecimal(col("embedding"), col("ce")) /
+          (norm(col("embedding")) * norm(col("ce"))))
+      .withColumn("arnk", row_number().over(byVec))
+      .filter(col("arnk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"), col("csim"))
+  }
+
+  /** Spherical k-means (Lloyd's loop): assign by cosine, update centroids
+    * to component means — cosine is scale-invariant, so the unnormalized
+    * mean assigns identically to the normalized spherical centroid, and
+    * the objective Σ cos(x, c_assigned) is non-decreasing per iteration
+    * (VectorOpsSpec pins this). The driver holds only k×Dim means per
+    * round (the same bounded-state shape as the EM loop): each iteration
+    * is ONE broadcast-scoring pass + ONE hash-aggregate whose shuffle
+    * carries k×Dim decimal partial sums, never vectors. Empty clusters
+    * keep their previous centroid. Deterministic: decimal-summed means,
+    * id-tiebroken assignment, seed centroids sorted by id.
+    *
+    * Returns (per-iteration objective, final centroids (cid → mean
+    * components), final assignment frame).
+    */
+  def kmeans(data: DataFrame, seedIds: Seq[Long], iterations: Int)
+      : (Seq[Double], Seq[(Long, Array[Double])], DataFrame) = {
+    val spark = data.sparkSession
+    var cents: Seq[(Long, Array[Float])] = data
+      .filter(col("vec_id").isin(seedIds: _*))
+      .select("vec_id", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val objectives = Seq.newBuilder[Double]
+    var assigned: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val cdf = spark.createDataFrame(cents).toDF("cid", "ce")
+      assigned = assignToCentroids(data, cdf)
+      val stats = assigned
+        .select(col("cid"), col("csim"), posexplode(col("embedding")))
+        .select(col("cid"), col("csim"), col("pos"),
+          col("col").cast("double").cast("decimal(38,18)").as("x"))
+        .groupBy("cid", "pos")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(col("csim").cast("decimal(38,18)")).as("so"))
+        .collect()
+      // Each vector's csim is summed once per component; divide back out.
+      objectives += stats
+        .foldLeft(java.math.BigDecimal.ZERO)((acc, r) => acc.add(r.getDecimal(4)))
+        .doubleValue() / Dim
+      val meanOf: Map[(Long, Int), Double] = stats.map { r =>
+        (r.getLong(0), r.getInt(1)) ->
+          r.getDecimal(3).doubleValue() / r.getLong(2).toDouble
+      }.toMap
+      cents = cents.map { case (cid, old) =>
+        val fresh = (0 until Dim).map(j => meanOf.get((cid, j)))
+        if (fresh.forall(_.isDefined)) (cid, fresh.map(_.get.toFloat).toArray)
+        else (cid, old) // empty cluster: keep the previous centroid
+      }
+    }
+    (objectives.result(), cents.map { case (c, a) => (c, a.map(_.toDouble)) }, assigned)
+  }
 
   /** DuckDB CTE `buckets(vec_id, bucket)` ≡ [[lshBucketExact]] over a
     * relation `rel(vec_id, embedding)`; the weight arithmetic is inlined

@@ -38,4 +38,34 @@ class VectorOpsSpec extends SparkTestBase {
     assert(hp.size == VectorOps.Dim)
     assert(math.abs(hp.sum / hp.size) < 0.2)
   }
+
+  test("kmeans: objective is monotone, iteration 1 matches the q110 step") {
+    GraftFunctions.register(spark)
+    val data = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val seeds = graft.queries.PipelineQueries.IvfSeedIds
+    val (obj, cents, assigned) = VectorOps.kmeans(data, seeds, iterations = 3)
+    assert(obj.size == 3)
+    // Spherical k-means: Σ cos(x, c_assigned) never decreases (tiny slack
+    // for the decimal→double edge of the objective itself).
+    obj.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 1e-9, s"objective decreased: $obj")
+    }
+    assert(assigned.select("vec_id").distinct().count() == data.count())
+    // Iteration-1 centroids == the oracle-pinned q110 one-step means.
+    val step = graft.queries.PipelineQueries.defs
+      .find(_.name == "q110_kmeans_step").get.query(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val (_, cents1, _) = VectorOps.kmeans(data, seeds, iterations = 1)
+    cents1.foreach { case (cid, comps) =>
+      comps.zipWithIndex.foreach { case (v, j) =>
+        step.get((cid, j + 1L)).foreach { want =>
+          assert(math.abs(v - want) < 1e-5,
+            s"centroid $cid component ${j + 1}: $v vs q110 $want")
+        }
+      }
+    }
+    // Determinism across runs.
+    val (obj2, cents2, _) = VectorOps.kmeans(data, seeds, iterations = 3)
+    assert(obj == obj2 && cents.map(_._2.toSeq) == cents2.map(_._2.toSeq))
+  }
 }
