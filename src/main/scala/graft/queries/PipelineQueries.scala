@@ -1370,6 +1370,64 @@ object PipelineQueries {
               |FROM comps GROUP BY cid, j""".stripMargin)
     ),
     QueryDef(
+      // Deequ-style data-quality gate: one row per declared constraint
+      // (key uniqueness, not-null, referential integrity, value range)
+      // with measured violations and a pass flag — what a pipeline runs
+      // before promoting a snapshot. Each check is one aggregate (the FK
+      // check a broadcast left join + aggregate); the report is O(checks).
+      "q113_dq_checks",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val ord = Tables.orders(s, d)
+        val cust = Tables.customer(s, d)
+        def row(name: String, violations: org.apache.spark.sql.Column,
+            n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          struct(lit(name).as("check"), n.cast("long").as("n_rows"),
+            violations.cast("long").as("violations"))
+        val docChecks = docs.agg(
+          row("documents.doc_id unique",
+            count(lit(1)) - countDistinct(col("doc_id")), count(lit(1))).as("c1"),
+          row("documents.text not-null",
+            sum(when(col("text").isNull, 1L).otherwise(0L)), count(lit(1))).as("c2"),
+          row("documents.n_chars = length(text)",
+            sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L)),
+            count(lit(1))).as("c3"))
+        val ordChecks = ord
+          .join(broadcast(cust.select(col("c_custkey"))),
+            ord("o_custkey") === col("c_custkey"), "left")
+          .agg(
+            row("orders.o_custkey in customer",
+              sum(when(col("c_custkey").isNull, 1L).otherwise(0L)), count(lit(1))).as("c1"),
+            row("orders.o_totalprice positive",
+              sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)), count(lit(1))).as("c2"))
+        docChecks.select(explode(array(col("c1"), col("c2"), col("c3"))).as("e"))
+          .unionByName(ordChecks.select(explode(array(col("c1"), col("c2"))).as("e")))
+          .select(col("e.check").as("check"), col("e.n_rows").as("n_rows"),
+            col("e.violations").as("violations"),
+            (col("e.violations") === 0L).as("passed"))
+      },
+      Some("""WITH d1 AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |         CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) AS uq,
+             |         CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+             |         CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS lc
+             |  FROM documents),
+             |o1 AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |         CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fk,
+             |         CAST(SUM(CASE WHEN o.o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS rng
+             |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
+             |SELECT 'documents.doc_id unique' AS check, n AS n_rows, uq AS violations, uq = 0 AS passed FROM d1
+             |UNION ALL
+             |SELECT 'documents.text not-null', n, nn, nn = 0 FROM d1
+             |UNION ALL
+             |SELECT 'documents.n_chars = length(text)', n, lc, lc = 0 FROM d1
+             |UNION ALL
+             |SELECT 'orders.o_custkey in customer', n, fk, fk = 0 FROM o1
+             |UNION ALL
+             |SELECT 'orders.o_totalprice positive', n, rng, rng = 0 FROM o1""".stripMargin)
+    ),
+    QueryDef(
       // Greedy document packing into fixed token-budget training
       // sequences: per (source, shard) docs fill 4096-token packs in
       // doc_id order — the running token sum's floor-division assigns
