@@ -1513,6 +1513,73 @@ object LinkageQueries {
       }
     ),
     QueryDef(
+      // Splink's accuracy-from-labels / ROC surface: precision and recall
+      // at EVERY integer match-weight threshold over the labeled scored
+      // pairs (truth = pik == rec_id). No threshold×pairs join: pairs
+      // collapse to per-integer-weight buckets (one aggregate), thresholds
+      // union in as empty buckets, and a descending cumulative window
+      // yields n_predicted/true-positives per threshold — O(pairs) work,
+      // O(thresholds) output, at any scale.
+      "q114_threshold_sweep",
+      (s, d) => {
+        reg(s)
+        val buckets = scoredBlock(s, d)
+          .select(floor(col("match_weight")).cast("long").as("wb"),
+            when(col("pik") === col("rec_id"), 1L).otherwise(0L).as("correct"))
+          .groupBy("wb")
+          .agg(count(lit(1)).as("n"), sum("correct").as("tp"))
+        val thr = s.range(-10, 31).select(col("id").as("wb"),
+          lit(0L).as("n"), lit(0L).as("tp"))
+        val allb = buckets.unionByName(thr)
+          .groupBy("wb").agg(sum("n").as("n"), sum("tp").as("tp"))
+        val desc = Window.orderBy(col("wb").desc)
+        val cum = desc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val full = desc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        allb
+          .withColumn("n_pred", sum("n").over(cum))
+          .withColumn("n_tp", sum("tp").over(cum))
+          .withColumn("n_true", sum("tp").over(full))
+          .filter(col("wb").between(-10, 30))
+          .select(col("wb").as("threshold"), col("n_pred"), col("n_tp"), col("n_true"),
+            when(col("n_pred") === 0L, lit(null).cast("double"))
+              .otherwise(round(col("n_tp").cast("double") / col("n_pred").cast("double"), 6))
+              .as("precision_"),
+            round(col("n_tp").cast("double") / col("n_true").cast("double"), 6)
+              .as("recall_"))
+      },
+      Some(s"""$base,
+              |cand AS (
+              |  SELECT c.pik, i.rec_id,
+              |         $gammaSelects
+              |  FROM census c JOIN input i ON c.zip3 = i.zip3),
+              |swp AS (
+              |  SELECT pik, rec_id, ${FellegiSunter.matchWeightSql(comparisons)} AS mw
+              |  FROM cand),
+              |buckets AS (
+              |  SELECT CAST(floor(mw) AS BIGINT) AS wb, CAST(COUNT(*) AS BIGINT) AS n,
+              |         CAST(SUM(CASE WHEN pik = rec_id THEN 1 ELSE 0 END) AS BIGINT) AS tp
+              |  FROM swp GROUP BY 1),
+              |thr AS (SELECT CAST(t AS BIGINT) AS wb, CAST(0 AS BIGINT) AS n,
+              |               CAST(0 AS BIGINT) AS tp
+              |        FROM range(-10, 31) r(t)),
+              |allb AS (
+              |  SELECT wb, SUM(n) AS n, SUM(tp) AS tp
+              |  FROM (SELECT * FROM buckets UNION ALL SELECT * FROM thr) u GROUP BY wb),
+              |cum AS (
+              |  SELECT wb,
+              |         SUM(n) OVER (ORDER BY wb DESC ROWS UNBOUNDED PRECEDING) AS n_pred,
+              |         SUM(tp) OVER (ORDER BY wb DESC ROWS UNBOUNDED PRECEDING) AS n_tp,
+              |         SUM(tp) OVER () AS n_true
+              |  FROM allb)
+              |SELECT wb AS threshold, CAST(n_pred AS BIGINT) AS n_pred,
+              |       CAST(n_tp AS BIGINT) AS n_tp, CAST(n_true AS BIGINT) AS n_true,
+              |       CASE WHEN n_pred = 0 THEN NULL
+              |            ELSE round(CAST(n_tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6) END
+              |         AS precision_,
+              |       round(CAST(n_tp AS DOUBLE) / CAST(n_true AS DOUBLE), 6) AS recall_
+              |FROM cum WHERE wb BETWEEN -10 AND 30""".stripMargin)
+    ),
+    QueryDef(
       // Splink's cumulative_comparisons chart: blocking rules stacked in
       // cascade order — each pass's own pair count, the pairs it is FIRST
       // to generate, and the cumulative distinct total. The dedup is a
