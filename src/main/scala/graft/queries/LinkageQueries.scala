@@ -1993,11 +1993,29 @@ object LinkageQueries {
           .withColumn("middle_initial", lit(null).cast("string"))
           .select(cols.map(col): _*)
         val cen2 = cen.unionByName(dup)
-        val pairsOf = (keys: Seq[String]) =>
-          LinkageCascade.pairs(cen2, cen2, BlockingPass("dedup", keys))
-            .filter(col("l_pik") < col("r_pik"))
-        val cand = pairsOf(Seq("geokey_blk"))
-          .unionByName(pairsOf(Seq("dob_year", "dob_month", "dob_day", "zip3")))
+        // Both dedupe blocking rules in ONE self-join (the q108 encoding):
+        // each row explodes to its per-rule (rule, concatenated-key)
+        // entries and the join runs on that — one shuffle instead of two
+        // self-joins, identical pair set after the id-order dedup.
+        val rules = Seq(Seq("geokey_blk"), Seq("dob_year", "dob_month", "dob_day", "zip3"))
+        val sep = "\u0001"
+        val entries = cen2.select(cols.map(col) :+
+            explode(array(rules.zipWithIndex.map { case (keys, i) =>
+              val srcCols = keys.map(col)
+              val anyNull = srcCols.map(_.isNull).reduce(_ || _)
+              when(anyNull, lit(null)).otherwise(struct(
+                lit(i).as("rule"),
+                concat_ws(sep, srcCols.map(_.cast("string")): _*).as("bkey")))
+            }: _*)).as("e"): _*)
+          .filter(col("e").isNotNull)
+          .select(cols.map(col) :+ col("e.rule").as("rule") :+ col("e.bkey").as("bkey"): _*)
+        val l = entries.select(entries.columns.map(c =>
+          if (c == "rule" || c == "bkey") col(c) else col(c).as(s"l_$c")): _*)
+        val r = entries.select(entries.columns.map(c =>
+          if (c == "rule" || c == "bkey") col(c) else col(c).as(s"r_$c")): _*)
+        val cand = l.join(r, Seq("rule", "bkey"))
+          .filter(col("l_pik") < col("r_pik"))
+          .drop("rule", "bkey")
           .dropDuplicates(Seq("l_pik", "r_pik"))
         val scored = LinkageCascade.score(cand, config)
         val edges = scored
