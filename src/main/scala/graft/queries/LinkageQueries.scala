@@ -1513,6 +1513,54 @@ object LinkageQueries {
       }
     ),
     QueryDef(
+      // Splink's estimate_m_from_label_column — the third m-training path
+      // beside random-sampled u (q30) and EM (q31/q105): with ground-truth
+      // labels, m is COUNTED directly as P(gamma = g | true match) over
+      // the labeled pair set (null-level pairs excluded per comparison,
+      // like the EM normalization). One identity join + one stacked
+      // aggregate; at scale the join is on the label key, and the output
+      // is O(levels).
+      "q115_m_from_labels",
+      (s, d) => {
+        reg(s)
+        val cen = census(s, d)
+        val inp = input(s, d)
+        val l = cen.select(cen.columns.map(c => col(c).as(s"l_$c")): _*)
+        val r = inp.select(inp.columns.map(c => col(c).as(s"r_$c")): _*)
+        val truth = l.join(r, col("l_pik") === col("r_rec_id"))
+        val withGammas = comparisons.foldLeft(truth) { (df, c) =>
+          df.withColumn(c.gammaName, FellegiSunter.gammaCol(c))
+        }
+        val stacked = withGammas
+          .select(explode(array(comparisons.map(c =>
+            struct(lit(c.name).as("comparison"), col(c.gammaName).as("gamma"))): _*)).as("e"))
+          .select(col("e.comparison").as("comparison"), col("e.gamma").as("gamma"))
+          .filter(col("gamma") =!= -1)
+        stacked.groupBy("comparison", "gamma")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("m_label",
+            round(col("n").cast("double") /
+              sum("n").over(Window.partitionBy("comparison")).cast("double"), 6))
+      },
+      Some {
+        val stackedSel = comparisons.map(c =>
+          s"SELECT '${c.name}' AS comparison, ${c.gammaName} AS gamma FROM tg " +
+            s"WHERE ${c.gammaName} <> -1")
+          .mkString("\n  UNION ALL\n  ")
+        s"""$base,
+           |tg AS (
+           |  SELECT $gammaSelects
+           |  FROM census c JOIN input i ON c.pik = i.rec_id),
+           |stacked AS (
+           |  $stackedSel)
+           |SELECT comparison, gamma, COUNT(*) AS n,
+           |       round(CAST(COUNT(*) AS DOUBLE) /
+           |             CAST(SUM(COUNT(*)) OVER (PARTITION BY comparison) AS DOUBLE), 6)
+           |         AS m_label
+           |FROM stacked GROUP BY comparison, gamma""".stripMargin
+      }
+    ),
+    QueryDef(
       // Splink's accuracy-from-labels / ROC surface: precision and recall
       // at EVERY integer match-weight threshold over the labeled scored
       // pairs (truth = pik == rec_id). No threshold×pairs join: pairs
