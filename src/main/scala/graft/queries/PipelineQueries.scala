@@ -126,22 +126,35 @@ object PipelineQueries {
     * the TypedImperativeAggregate: map-side partial top-5 buffers instead
     * of a per-query sort of every candidate.
     */
-  private def bruteTop5(s: SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    val e = embNorms(s, d)
-    val q = e.filter(col("vec_id").isin(KnnQueryIds: _*))
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-    e.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos",
-        VectorOps.dotDecimal(col("embedding"), col("qe")) / (col("nrm") * col("qn")))
-      .groupBy("qid")
-      .agg(graft.functions.GraftFunctions
-        .topKByScore(col("cos"), col("vec_id"), 5).as("top"))
-      .select(col("qid"), posexplode(col("top")))
-      .select(col("qid"), col("col.id").as("vec_id"),
-        (col("pos") + 1).as("rnk"), round(col("col.score"), 6).as("cos"))
-  }
+  // Memoized like the assignment frame: q44 and q89's truth side run the
+  // same broadcast-query decimal scoring pass.
+  private val bruteFrames =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def bruteTop5(s: SparkSession, d: String): DataFrame =
+    bruteFrames.synchronized {
+      bruteFrames.getOrElse((s, d), {
+        bruteFrames.values.foreach(_.unpersist())
+        bruteFrames.clear()
+        graft.functions.GraftFunctions.register(s)
+        val e = embNorms(s, d)
+        val q = e.filter(col("vec_id").isin(KnnQueryIds: _*))
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+        val df = e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("cos",
+            VectorOps.dotDecimal(col("embedding"), col("qe")) / (col("nrm") * col("qn")))
+          .groupBy("qid")
+          .agg(graft.functions.GraftFunctions
+            .topKByScore(col("cos"), col("vec_id"), 5).as("top"))
+          .select(col("qid"), posexplode(col("top")))
+          .select(col("qid"), col("col.id").as("vec_id"),
+            (col("pos") + 1).as("rnk"), round(col("col.score"), 6).as("cos"))
+          .cache()
+        bruteFrames.put((s, d), df)
+        df
+      })
+    }
 
   /** SQL tail for bruteTop5 (CTE names bq/bdots/truth; expects a `nrms`
     * CTE from normsCte in scope). Shared by q44 and q89.
@@ -278,6 +291,7 @@ object PipelineQueries {
     lshBandRows(s, d).count()
     plantedShingles(s, d).count()
     ivfAssign(s, d).count()
+    bruteTop5(s, d).count()
     ()
   }
 
