@@ -545,10 +545,16 @@ object PipelineQueries {
           sum(when(pmod(shiftrightunsigned(src, sh), lit(2L)) === 1L, 1L).otherwise(-1L))
             .as(s"b$j")
         }
+        // localCheckpoint: the chunk self-join below reads the signature
+        // frame on BOTH sides, and Spark shares no work across join
+        // branches — without the barrier the whole word-explode + 60-bit
+        // aggregate runs twice. The materialized frame is (doc_id, sig):
+        // two longs per doc.
         val sig = h.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
           .select(col("doc_id"),
             (0 until 60).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
               .reduce(_ bitwiseOR _).as("sig"))
+          .localCheckpoint()
         val chunks = sig.select(
           col("doc_id"), col("sig"),
           explode(array((0 until 4).map(c =>
