@@ -425,7 +425,24 @@ object PipelineQueries {
       .distinct()
   }
 
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+  // The verified pair list itself is also memoized: q43, q52 and q99 each
+  // consume it, and the banded join + exploded-token intersection is
+  // ~2 s/consumer at sf0.1 while the result is a few hundred rows.
+  private val jpairFrames =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    jpairFrames.synchronized {
+      jpairFrames.getOrElse((s, d), {
+        jpairFrames.values.foreach(_.unpersist())
+        jpairFrames.clear()
+        val df = jaccardPairsBuild(s, d).cache()
+        jpairFrames.put((s, d), df)
+        df
+      })
+    }
+
+  private def jaccardPairsBuild(s: SparkSession, d: String): DataFrame = {
     // Cached: three consumers below (sizes, both token-join sides) would
     // otherwise each recompute the shingle construction from scratch —
     // Spark does not share work across join branches without explicit
