@@ -2281,14 +2281,26 @@ object LinkageQueries {
       "q84_possible_to_pik",
       (s, d) => {
         reg(s)
+        // ONE aggregate job instead of four count() actions: every PIKed
+        // rec_id comes from the input by construction, so all four
+        // counters fall out of a single flagged join over the record set.
         val recs = input(s, d).select("rec_id").distinct()
         val truth = census(s, d).select(col("pik").as("rec_id")).distinct()
+          .withColumn("in_truth", lit(1))
         val piked = cascadeLinks(s, d).select("rec_id").distinct()
-        val nRecords = recs.count()
-        val nPossible = recs.join(truth, Seq("rec_id"), "left_semi").count()
-        val nPiked = piked.count()
-        val nMissed = recs.join(truth, Seq("rec_id"), "left_semi")
-          .join(piked, Seq("rec_id"), "left_anti").count()
+          .withColumn("is_piked", lit(1))
+        val agg = recs
+          .join(truth, Seq("rec_id"), "left")
+          .join(piked, Seq("rec_id"), "left")
+          .agg(
+            count(lit(1)).as("n_records"),
+            sum(when(col("in_truth") === 1, 1L).otherwise(0L)).as("n_possible"),
+            sum(when(col("is_piked") === 1, 1L).otherwise(0L)).as("n_piked"),
+            sum(when(col("in_truth") === 1 && col("is_piked").isNull, 1L).otherwise(0L))
+              .as("n_missed"))
+          .head
+        val (nRecords, nPossible, nPiked, nMissed) =
+          (agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3))
         def r6(x: Double): Double =
           BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
         val row = (nRecords, nPossible, nPiked, nMissed,
