@@ -271,6 +271,40 @@ object StreamingQueries {
              | AND v.vts <= c.cts AND v.vts >= c.cts - INTERVAL 1 HOUR""".stripMargin)
     ),
     QueryDef(
+      // Late-data reconciliation: the nightly base aggregate merges with a
+      // late-arrival delta by SUMMING the mergeable partials (count, sum)
+      // per group — the backfill algebra that lets a 100 TB pipeline
+      // reprocess only affected partitions instead of recomputing the
+      // world. The oracle is the full recompute over all events, so the
+      // hash check IS the proof that merge(base, delta) == recompute.
+      // Late rows are a deterministic slice (event_id % 20) so both
+      // engines split identically.
+      "q116_late_data_merge",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        def agg(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .as("hour_start"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(28,4)")).as("sv"))
+        val base = agg(ev.filter(pmod(col("event_id"), lit(20)) =!= 0))
+        val late = agg(ev.filter(pmod(col("event_id"), lit(20)) === 0))
+        base.withColumnRenamed("n_events", "n_b").withColumnRenamed("sv", "sv_b")
+          .join(late.withColumnRenamed("n_events", "n_l").withColumnRenamed("sv", "sv_l"),
+            Seq("hour_start", "event_type"), "full_outer")
+          .select(col("hour_start"), col("event_type"),
+            (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_l"), lit(0L))).as("n_events"),
+            (coalesce(col("sv_b"), lit(0).cast("decimal(28,4)")) +
+              coalesce(col("sv_l"), lit(0).cast("decimal(28,4)")))
+              .cast("double").as("sum_value"))
+      },
+      Some("""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start,
+             |       event_type, COUNT(*) AS n_events,
+             |       CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+             |FROM events
+             |GROUP BY 1, 2""".stripMargin)
+    ),
+    QueryDef(
       // Left-outer attribution (batch twin of attributeClicks with
       // joinType = leftOuter): q103 plus one NULL-view row per unattributed
       // click. In the stream the outer rows emit only once the watermark
