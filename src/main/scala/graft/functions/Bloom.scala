@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
 
@@ -81,6 +82,13 @@ case class BloomBuildAgg(
 
   require(numBits > 0 && numBits % 64 == 0, s"numBits must be a positive multiple of 64: $numBits")
   require(numHashes > 0 && numHashes <= 16, s"numHashes out of range: $numHashes")
+
+  // Misuse fails at analysis time (like BloomMightContain), not as a
+  // ClassCastException inside update() mid-job.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bloom_build requires a BIGINT key, got ${child.dataType.catalogString}")
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false

@@ -16,7 +16,14 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
-  /** @param nodes one column `node` (every element, including isolated)
+  /** CONTRACT: every edge endpoint must appear in `nodes` (edges ⊆
+    * nodes × nodes). Labels are seeded from the edge endpoints, so a
+    * foreign endpoint would participate in propagation and its id could be
+    * elected as a cluster_id via min() even though the final left join
+    * drops its own row — callers with untrusted edge lists must semi-join
+    * `edges` against `nodes` first.
+    *
+    * @param nodes one column `node` (every element, including isolated)
     * @param edges columns `a`, `b` (undirected pairs)
     * @return (node, cluster_id) where cluster_id = min node id reachable
     */

@@ -132,7 +132,11 @@ object VectorOps {
     * id-tiebroken assignment, seed centroids sorted by id.
     *
     * Returns (per-iteration objective, final centroids (cid → mean
-    * components), final assignment frame).
+    * components), last-iteration assignment frame). NOTE: the assignment
+    * corresponds to the LAST SCORING PASS — i.e. the centroids from before
+    * the final M-step update — exactly like Lloyd's loop leaves them.
+    * Callers that need the assignment under the returned (post-update)
+    * centroids should run [[assignToCentroids]] once more themselves.
     */
   def kmeans(data: DataFrame, seedIds: Seq[Long], iterations: Int)
       : (Seq[Double], Seq[(Long, Array[Double])], DataFrame) = {

@@ -294,9 +294,13 @@ object StreamingQueries {
             Seq("hour_start", "event_type"), "full_outer")
           .select(col("hour_start"), col("event_type"),
             (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_l"), lit(0L))).as("n_events"),
-            (coalesce(col("sv_b"), lit(0).cast("decimal(28,4)")) +
-              coalesce(col("sv_l"), lit(0).cast("decimal(28,4)")))
-              .cast("double").as("sum_value"))
+            // A group whose every value is NULL must merge to NULL (SUM
+            // semantics), not 0 — coalesce only fills a side that is absent
+            // from the outer join, never both sides at once.
+            when(col("sv_b").isNull && col("sv_l").isNull, lit(null).cast("double"))
+              .otherwise((coalesce(col("sv_b"), lit(0).cast("decimal(28,4)")) +
+                coalesce(col("sv_l"), lit(0).cast("decimal(28,4)")))
+                .cast("double")).as("sum_value"))
       },
       Some("""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start,
              |       event_type, COUNT(*) AS n_events,
