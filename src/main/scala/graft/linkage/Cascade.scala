@@ -20,7 +20,8 @@ final case class BlockingPass(name: String, keys: Seq[String], salt: Int = 1,
     cuts: Seq[String] = Nil,
     weightOffset: Double = 0.0,
     excludeComparisons: Set[String] = Set.empty,
-    constGammas: Map[String, Int] = Map.empty) {
+    constGammas: Map[String, Int] = Map.empty,
+    ref: String = "census") {
   /** Blocking keys with the module's cut columns appended (the reference
     * composes cut_columns into every pass's blocking rule via start_module;
     * 03_link_datasets.ipynb cells 83/101/114).
@@ -150,7 +151,7 @@ object LinkageCascade {
     * stays shallow (input scan + one anti-join per completed pass).
     */
   private def foldPasses(
-      census: DataFrame,
+      refs: Map[String, DataFrame],
       input: DataFrame,
       passes: Seq[BlockingPass],
       cfg: LinkageConfig,
@@ -158,6 +159,9 @@ object LinkageCascade {
     passes.foldLeft((acc0, input)) {
       case ((acc, remaining), pass) =>
         val t0 = System.nanoTime()
+        val census = refs.getOrElse(pass.ref, throw new IllegalArgumentException(
+          s"pass ${pass.name} searches reference frame '${pass.ref}' but run() " +
+            s"was given only ${refs.keys.mkString(", ")}"))
         // MEMORY_ONLY: the link frames are tiny (ids + weight) but the
         // default MEMORY_AND_DISK localCheckpoint still writes blocks
         // through the disk store — under I/O contention those writes
@@ -250,27 +254,47 @@ object LinkageCascade {
     * the pass's rightRemap instead of re-projecting the whole frame.
     */
   def blockCostSummaryAll(census: DataFrame, input: DataFrame,
+      passList: Seq[BlockingPass]): DataFrame =
+    blockCostSummaryAll(
+      (passList.map(_.ref).toSet + "census").map(_ -> census).toMap,
+      input, passList)
+
+  /** Per-reference-frame variant: each pass's census-side counts come from
+    * `refs(pass.ref)` (the frame the cascade will actually search). One
+    * scan per DISTINCT ref frame + one input scan — the pass count still
+    * doesn't multiply the scans.
+    */
+  def blockCostSummaryAll(refs: Map[String, DataFrame], input: DataFrame,
       passList: Seq[BlockingPass]): DataFrame = {
-    val spark = census.sparkSession
+    val spark = input.sparkSession
     val sep = "\u0001"
-    def keyEntries(applyRemap: Boolean): Column = array(
-      passList.zipWithIndex.map { case (p, i) =>
+    val withOrd = passList.zipWithIndex.map { case (p, i) => (p, i + 1) }
+    def keyEntries(subset: Seq[(BlockingPass, Int)], applyRemap: Boolean): Column = array(
+      subset.map { case (p, ord) =>
         val srcCols = p.blockKeys.map { k =>
           if (applyRemap) col(p.rightRemap.getOrElse(k, k)) else col(k)
         }
         val anyNull = srcCols.map(_.isNull).reduce(_ || _)
         when(anyNull, lit(null)).otherwise(struct(
-          lit(p.name).as("pass"), lit(i + 1).as("ordinal"),
+          lit(p.name).as("pass"), lit(ord).as("ordinal"),
           concat_ws(sep, srcCols.map(_.cast("string")): _*).as("bkey")))
       }: _*)
-    def grouped(df: DataFrame, applyRemap: Boolean, outName: String): DataFrame =
-      df.select(explode(keyEntries(applyRemap)).as("e"))
+    def grouped(df: DataFrame, subset: Seq[(BlockingPass, Int)],
+        applyRemap: Boolean, outName: String): DataFrame =
+      df.select(explode(keyEntries(subset, applyRemap)).as("e"))
         .filter(col("e").isNotNull)
         .select(col("e.pass").as("pass"), col("e.ordinal").as("ordinal"),
           col("e.bkey").as("bkey"))
         .groupBy("pass", "ordinal", "bkey").agg(count(lit(1)).as(outName))
-    val joined = grouped(census, applyRemap = false, "n_census")
-      .join(grouped(input, applyRemap = true, "n_input"),
+    val censusGrouped = withOrd.groupBy(_._1.ref).toSeq.map {
+      case (ref, subset) =>
+        val frame = refs.getOrElse(ref, throw new IllegalArgumentException(
+          s"passes ${subset.map(_._1.name).mkString(", ")} search '$ref' " +
+            s"but refs has only ${refs.keys.mkString(", ")}"))
+        grouped(frame, subset, applyRemap = false, "n_census")
+    }.reduce(_ unionByName _)
+    val joined = censusGrouped
+      .join(grouped(input, withOrd, applyRemap = true, "n_input"),
         Seq("pass", "ordinal", "bkey"))
       .select(col("pass"), col("ordinal"),
         (col("n_census") * col("n_input")).as("pairs"))
@@ -330,27 +354,50 @@ object LinkageCascade {
       .drop("ref_geokey")
   }
 
-  def run(census: DataFrame, input: DataFrame, cfg: LinkageConfig): DataFrame = {
-    // Both sides feed every pass (and the phonetic/geokey derivations are
-    // nontrivial scalar chains), so materialize them once for the cascade.
-    // A side the CALLER already persisted is left alone (and not unpersisted
-    // at the end) — callers that share the frames across queries manage the
-    // lifecycle themselves.
+  /** Single-reference-frame run: every pass searches `census` regardless
+    * of its declared `ref` (the pre-reference-file PVS shape, and the mode
+    * unit tests and ad-hoc configs use). Delegates to the refs overload
+    * with all ref names mapped to the one frame.
+    */
+  def run(census: DataFrame, input: DataFrame, cfg: LinkageConfig): DataFrame =
+    run((cfg.passes.map(_.ref).toSet + "census").map(_ -> census).toMap, input, cfg)
+
+  /** The reference-file cascade (the reference's actual PVS shape): each
+    * pass searches the reference FRAME its module owns — geosearch the
+    * GeoBase file, namesearch/dobsearch the Name/DOB Reference File
+    * (alternate name × DOB rows per PIK; 03_link_datasets.ipynb NameSearch
+    * header, 02_generate_case_study_files.ipynb cells 77/84) — via
+    * `pass.ref`. `refs` must cover every pass's ref plus "census" (the
+    * frame the hhcomp bridge is built from) when hhPasses are configured.
+    * [[bestLink]]'s distinct-PIK rule already collapses the multi-row
+    * reference sides: ties across alternate rows of the SAME pik dedupe to
+    * one link; only distinct-PIK ties drop the record.
+    */
+  def run(refs: Map[String, DataFrame], input: DataFrame, cfg: LinkageConfig): DataFrame = {
+    // Every frame feeds several passes (and the phonetic/geokey derivations
+    // are nontrivial scalar chains), so materialize each once for the
+    // cascade. A frame the CALLER already persisted is left alone (and not
+    // unpersisted at the end) — callers that share the frames across
+    // queries manage the lifecycle themselves.
     import org.apache.spark.storage.StorageLevel
-    val cPersisted = census.storageLevel != StorageLevel.NONE
+    val cached = refs.map { case (name, df) =>
+      val persisted = df.storageLevel != StorageLevel.NONE
+      name -> (if (persisted) df else df.cache(), persisted)
+    }
+    val r = cached.map { case (name, (df, _)) => name -> df }
     val iPersisted = input.storageLevel != StorageLevel.NONE
-    val c = if (cPersisted) census else census.cache()
     val i = if (iPersisted) input else input.cache()
-    val (mainLinks, mainRemaining) = foldPasses(c, i, cfg.passes, cfg, None)
+    val (mainLinks, mainRemaining) = foldPasses(r, i, cfg.passes, cfg, None)
     val links =
       if (cfg.hhPasses.isEmpty) mainLinks.get
       else {
-        val hhRef = hhcompReference(c, i, mainLinks.get)
+        val hhRef = hhcompReference(r("census"), i, mainLinks.get)
           .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
         val rem = mainRemaining.withColumn("hh_geokey", col("geokey_blk"))
-        foldPasses(hhRef, rem, cfg.hhPasses, cfg, mainLinks)._1.get
+        val hhRefs = cfg.hhPasses.map(_.ref).toSet.map((n: String) => n -> hhRef).toMap
+        foldPasses(hhRefs, rem, cfg.hhPasses, cfg, mainLinks)._1.get
       }
-    if (!cPersisted) c.unpersist()
+    cached.foreach { case (_, (df, persisted)) => if (!persisted) df.unpersist() }
     if (!iPersisted) i.unpersist()
     links
   }

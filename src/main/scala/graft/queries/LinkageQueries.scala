@@ -4,6 +4,7 @@ import graft.QueryDef
 import graft.functions.{GraftFunctions, Phonetics}
 import graft.linkage._
 import graft.operators.Preprocess
+import graft.ops.Lineage
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -138,35 +139,46 @@ object LinkageQueries {
     * exactly like the reference composes cut_columns into every pass.
     */
   val passes: Seq[BlockingPass] = Seq(
-    // geosearch (cut zip3; scores geokey)
-    BlockingPass("p1_geokey", Seq("geokey_blk"), constGammas = geoExact),
+    // geosearch (cut zip3; scores geokey; searches the GeoBase file)
+    BlockingPass("p1_geokey", Seq("geokey_blk"), constGammas = geoExact,
+      ref = "geobase"),
     BlockingPass("p2_geokey_switch", Seq("geokey_blk"), rightRemap = switchNames,
-      constGammas = geoExact),
+      constGammas = geoExact, ref = "geobase"),
     BlockingPass("p3_street_sdx", Seq("street_num_blk", "sdx_street_blk"),
-      cuts = Seq("zip3")),
+      cuts = Seq("zip3"), ref = "geobase"),
     BlockingPass("p3b_street_sdx_switch", Seq("street_num_blk", "sdx_street_blk"),
-      rightRemap = switchNames, cuts = Seq("zip3")),
-    BlockingPass("p4_name_yob", Seq("fn2", "ln2", "dob_year")),
-    // namesearch (cut first/last-initial categories; no geokey scoring)
+      rightRemap = switchNames, cuts = Seq("zip3"), ref = "geobase"),
+    BlockingPass("p4_name_yob", Seq("fn2", "ln2", "dob_year"), ref = "geobase"),
+    // namesearch (cut first/last-initial categories; no geokey scoring;
+    // searches the Name/DOB Reference File)
     BlockingPass("p5_dob_nysiis",
       Seq("dob_year", "dob_month", "dob_day", "nys_first", "nys_last"),
-      cuts = Seq("cut_first", "cut_last"), excludeComparisons = noGeo),
+      cuts = Seq("cut_first", "cut_last"), excludeComparisons = noGeo,
+      ref = "namedob"),
     BlockingPass("p6_dob_initials",
       Seq("dob_year", "dob_month", "dob_day", "fn1", "ln1"),
-      cuts = Seq("cut_first", "cut_last"), excludeComparisons = noGeo),
+      cuts = Seq("cut_first", "cut_last"), excludeComparisons = noGeo,
+      ref = "namedob"),
     BlockingPass("p6b_yob_name", Seq("fn2", "ln2", "dob_year"),
-      cuts = Seq("cut_first", "cut_last"), excludeComparisons = noGeo),
+      cuts = Seq("cut_first", "cut_last"), excludeComparisons = noGeo,
+      ref = "namedob"),
     BlockingPass("p7_bday_name", Seq("dob_month", "dob_day", "fn2", "ln2"),
-      cuts = Seq("cut_first", "cut_last"), excludeComparisons = noGeo),
-    // dobsearch (cut day+month; no geokey scoring)
+      cuts = Seq("cut_first", "cut_last"), excludeComparisons = noGeo,
+      ref = "namedob"),
+    // dobsearch (cut day+month; no geokey scoring; searches the Name/DOB
+    // Reference File)
     BlockingPass("p7b_initials_switch", Seq("fn1", "ln1"), rightRemap = switchNames,
-      cuts = Seq("dob_day", "dob_month"), excludeComparisons = noGeo),
+      cuts = Seq("dob_day", "dob_month"), excludeComparisons = noGeo,
+      ref = "namedob"),
     BlockingPass("p7c_name3", Seq("fn3", "ln3"),
-      cuts = Seq("dob_day", "dob_month"), excludeComparisons = noGeo),
+      cuts = Seq("dob_day", "dob_month"), excludeComparisons = noGeo,
+      ref = "namedob"),
     BlockingPass("p8_rev_sdx", Seq("rsdx_first", "rsdx_last"),
-      cuts = Seq("dob_day", "dob_month"), excludeComparisons = noGeo),
+      cuts = Seq("dob_day", "dob_month"), excludeComparisons = noGeo,
+      ref = "namedob"),
     BlockingPass("p8b_fn2_yob", Seq("fn2", "dob_year"),
-      cuts = Seq("dob_day", "dob_month"), excludeComparisons = noGeo))
+      cuts = Seq("dob_day", "dob_month"), excludeComparisons = noGeo,
+      ref = "namedob"))
 
   val hhPasses: Seq[BlockingPass] = Seq(
     BlockingPass("p9_hh_initials", Seq("hh_geokey", "fn1", "ln1"),
@@ -274,9 +286,12 @@ object LinkageQueries {
       .withColumn("nys_first", Phonetics.nysKey(col("first_name")))
       .withColumn("rsdx_first", Phonetics.rsdx(col("first_name")))
 
-  private def derive(df: DataFrame): DataFrame =
+  /** Both names' derived key columns (no address columns) — the subset a
+    * Name/DOB Reference File row needs (namesearch/dobsearch block on
+    * name+DOB keys only).
+    */
+  private def deriveNames(df: DataFrame): DataFrame =
     deriveFirst(df)
-      .withColumn("zip3", substring(col("zipcode"), 1, 3))
       .withColumn("ln1", substring(col("last_name"), 1, 1))
       .withColumn("ln2", substring(col("last_name"), 1, 2))
       .withColumn("ln3", substring(col("last_name"), 1, 3))
@@ -285,6 +300,10 @@ object LinkageQueries {
       .withColumn("cut_last", Preprocess.initialCut(substring(col("last_name"), 1, 1)))
       .withColumn("nys_last", Phonetics.nysKey(col("last_name")))
       .withColumn("rsdx_last", Phonetics.rsdx(col("last_name")))
+
+  private def derive(df: DataFrame): DataFrame =
+    deriveNames(df)
+      .withColumn("zip3", substring(col("zipcode"), 1, 3))
       .withColumn("sdx_street", Phonetics.sdx(col("street_std")))
       .withColumn("geokey", Preprocess.geokey(col("street_num"),
         col("street_std"), col("unit_std"), col("city"), col("state"),
@@ -412,15 +431,30 @@ object LinkageQueries {
       pmod(k, lit(41)) =!= 0 && pmod(k, lit(47)) =!= 0 &&
       pmod(k, lit(31)) =!= 0 && pmod(k, lit(43)) =!= 0 &&
       pmod(k, lit(200)) >= 20
+    // M (married-name class, recovered ONLY through the Name/DOB Reference
+    // File): FIRST name clean, LAST name the MARRIED surname — a string
+    // that exists nowhere on the census PRIMARY row but IS the reference
+    // side's era-1 refile (People.marriedLast, the k%21 alternate-name
+    // subset) — dob_year bumped (+1) so p4's fn2+ln2+yob block and every
+    // yob-keyed namesearch/dobsearch block miss, census address stale so
+    // geosearch misses. p7_bday_name (dob_month+dob_day+fn2+ln2) blocks
+    // them against the reference file's married alternate row. Excludes
+    // k%13 (would bump the day and break p7's dob_day key) and k%17 (zip
+    // typo — kept out so the class is pure).
+    val isM0 = pmod(k, lit(21)) === 0 && !isN0 && !isV0 && !hhm &&
+      pmod(k, lit(23)) =!= 0 && pmod(k, lit(37)) =!= 0 &&
+      pmod(k, lit(41)) =!= 0 && pmod(k, lit(47)) =!= 0 &&
+      pmod(k, lit(31)) =!= 0 && pmod(k, lit(43)) =!= 0 &&
+      pmod(k, lit(59)) =!= 0 && pmod(k, lit(13)) =!= 0 && pmod(k, lit(17)) =!= 0
     // Census staleness: moved households, the N/V classes, and the
-    // K/SwD/L classes (stale admin data keeps address passes from
+    // K/SwD/L/M classes (stale admin data keeps address passes from
     // recovering them first).
-    val stale0 = hhm || isN0 || pmod(k, lit(19)) === 0 || isK0 || isSwd0 || isL0
+    val stale0 = hhm || isN0 || pmod(k, lit(19)) === 0 || isK0 || isSwd0 || isL0 || isM0
     People.persons(s, d).select(col("*"),
       isN0.as("is_n"), isV0.as("is_v"), isF0.as("is_f"), isK0.as("is_k"),
       isHa0.as("is_ha"), isHb0.as("is_hb"), isSw0.as("is_sw"),
       isSwz0.as("is_swz"), isSwd0.as("is_swd"), isL0.as("is_l"),
-      isF20.as("is_f2"), stale0.as("is_stale"))
+      isF20.as("is_f2"), isM0.as("is_m"), stale0.as("is_stale"))
   }
 
   private def inputPre(flagged: DataFrame): DataFrame = {
@@ -429,6 +463,7 @@ object LinkageQueries {
     val isK = col("is_k"); val isHa = col("is_ha"); val isHb = col("is_hb")
     val isSw = col("is_sw"); val isSwz = col("is_swz")
     val isSwd = col("is_swd"); val isL = col("is_l"); val isF2 = col("is_f2")
+    val isM = col("is_m")
     val pre = flagged.select(
       k.as("rec_id"),
       when(isN, vowelMangle(col("first_name")))
@@ -439,7 +474,7 @@ object LinkageQueries {
         .when(isHb, substring(col("first_name"), 2, Int.MaxValue))
         .when(isSw || isSwz, col("messy_last"))
         .when(isSwd, col("last_name"))
-        .when(isL, col("first_name"))
+        .when(isL || isM, col("first_name"))
         .otherwise(col("messy_first")).as("first_name"),
       when(isN, vowelMangle(col("last_name")))
         .when(isV, letterMangle(col("last_name")))
@@ -448,9 +483,10 @@ object LinkageQueries {
         .when(isSw || isSwz, col("messy_first"))
         .when(isSwd, col("first_name"))
         .when(isL, reverse(col("last_name")))
+        .when(isM, People.marriedLast(k))
         .otherwise(col("messy_last")).as("last_name"),
       col("middle_initial"),
-      when(isHa, col("dob_year") + 1).otherwise(col("dob_year"))
+      when(isHa || isM, col("dob_year") + 1).otherwise(col("dob_year"))
         .cast("int").as("dob_year"),
       when(isHa || isHb || isSw || isSwz || isF, pmod(col("dob_month"), lit(12)) + 1)
         .otherwise(col("dob_month")).cast("int").as("dob_month"),
@@ -523,13 +559,15 @@ object LinkageQueries {
     * record, scalar columns only).
     */
   private val sideFrames = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, DataFrame, Seq[DataFrame])]
+    .empty[(SparkSession, String),
+      (DataFrame, DataFrame, DataFrame, DataFrame, Seq[DataFrame])]
 
-  private def sides(s: SparkSession, d: String): (DataFrame, DataFrame) =
+  private def sides(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
     sideFrames.synchronized {
       val key = (s, d)
-      val (c, i, _) = sideFrames.getOrElse(key, {
-        sideFrames.values.foreach(_._3.foreach(_.unpersist()))
+      val (c, i, nd0, gb0, _) = sideFrames.getOrElse(key, {
+        sideFrames.values.foreach(_._5.foreach(_.unpersist()))
         sideFrames.clear()
         // The pre-frames are cached BEFORE derive(): without the barrier,
         // ProjectionCollapse inlines the noise-class CASE/regex trees into
@@ -565,16 +603,78 @@ object LinkageQueries {
         val cpre = censusPre(praw).cache()
         val in = finish(ibx, gq, "rec_id").cache()
         val cen = finish(derive(cpre), gq, "pik").cache()
-        val entry = (cen, in, Seq(praw, ipre, ib, gq, cpre, in, cen))
+        // ---- per-module reference files (the PVS searches FILES, not the
+        // raw census: 03_link_datasets.ipynb NameSearch header, 02 cells
+        // 62/66/70/84). A census-side numident holds an era-0 clean filing
+        // per covered pik plus era-1 refiles: the k%21 subset under the
+        // MARRIED surname, the k%6 subset with an alternate DOB day. The
+        // same Lineage operators that build q72's file dedupe the
+        // alternates and cross name × DOB per pik ("all possible
+        // combinations of alternate names and dates of birth"); name keys
+        // re-derive on the combined rows like the input side's nickname
+        // alternates.
+        val n0 = cpre.select(
+          concat(lit("cn0_"), col("pik")).as("record_id"), col("pik").as("ssn"),
+          col("first_name"), col("last_name"), col("middle_initial"),
+          col("dob_year"), col("dob_month"), col("dob_day"))
+        val n1 = cpre
+          .filter(pmod(col("pik"), lit(21)) === 0 || pmod(col("pik"), lit(6)) === 0)
+          .select(
+            concat(lit("cn1_"), col("pik")).as("record_id"), col("pik").as("ssn"),
+            col("first_name"),
+            when(pmod(col("pik"), lit(21)) === 0, People.marriedLast(col("pik")))
+              .otherwise(col("last_name")).as("last_name"),
+            col("middle_initial"), col("dob_year"), col("dob_month"),
+            when(pmod(col("pik"), lit(6)) === 0, pmod(col("dob_day"), lit(28)) + 1)
+              .otherwise(col("dob_day")).cast("int").as("dob_day"))
+        val cnum = n0.unionByName(n1)
+        val init = Lineage.initPairs(cnum)
+        val (altN, pN) = Lineage.dedupePreservingSourceRecords(
+          cnum.select("record_id", "ssn", "first_name", "last_name", "middle_initial"),
+          init, Seq("ssn", "first_name", "last_name", "middle_initial"), "can")
+        val (altD, pD) = Lineage.dedupePreservingSourceRecords(
+          cnum.select("record_id", "ssn", "dob_year", "dob_month", "dob_day"),
+          init, Seq("ssn", "dob_year", "dob_month", "dob_day"), "cad")
+        val (ndrRaw, _) = Lineage.mergePreservingSourceRecords(
+          altN, pN, altD, pD, Seq("ssn"), "cndr")
+        val nd = deriveNames(ndrRaw.select(
+          col("ssn").as("pik"), col("first_name"), col("last_name"),
+          col("middle_initial"), col("dob_year"), col("dob_month"), col("dob_day")))
+          .cache()
+        // GeoBase = the name/DOB file with each pik's (possibly stale)
+        // census address keys appended (02 cell 84); the GQ null-out rides
+        // in via cen's *_blk columns.
+        val gb = nd.join(
+          cen.select("pik", "zip3", "geokey", "geokey_blk", "street_num_blk",
+            "sdx_street_blk"),
+          Seq("pik")).cache()
+        val entry = (cen, in, nd, gb,
+          Seq(praw, ipre, ib, gq, cpre, in, cen, nd, gb))
         sideFrames.put(key, entry)
         entry
       })
-      (c, i)
+      (c, i, nd0, gb0)
     }
 
   def input(s: SparkSession, d: String): DataFrame = sides(s, d)._2
 
   def census(s: SparkSession, d: String): DataFrame = sides(s, d)._1
+
+  /** The Name/DOB Reference File frame the namesearch/dobsearch modules
+    * search (alternate name × DOB rows per pik, name keys derived).
+    */
+  def namedob(s: SparkSession, d: String): DataFrame = sides(s, d)._3
+
+  /** The GeoBase frame the geosearch module searches (name/DOB rows +
+    * address keys).
+    */
+  def geobase(s: SparkSession, d: String): DataFrame = sides(s, d)._4
+
+  /** The per-module reference frames [[LinkageCascade.run]] searches. */
+  def cascadeRefs(s: SparkSession, d: String): Map[String, DataFrame] = {
+    val (c, _, nd, gb) = sides(s, d)
+    Map("census" -> c, "namedob" -> nd, "geobase" -> gb)
+  }
 
   /** Forces the memoized side frames into the cache (Bench warmup): the
     * one-time derivation cost stops landing on whichever linkage query
@@ -582,7 +682,9 @@ object LinkageQueries {
     */
   def warm(s: SparkSession, d: String): Unit = {
     GraftFunctions.register(s)
-    census(s, d).count(); input(s, d).count(); scoredBlock(s, d).count()
+    census(s, d).count(); input(s, d).count()
+    namedob(s, d).count(); geobase(s, d).count()
+    scoredBlock(s, d).count()
     costSummary(s, d).count(); ()
   }
 
@@ -615,6 +717,10 @@ object LinkageQueries {
   private val f2Sql =
     s"(k % 59 = 0 AND $notNV AND NOT $hhmSql AND k % 23 <> 0 AND k % 37 <> 0 " +
       "AND k % 41 <> 0 AND k % 47 <> 0 AND k % 31 <> 0 AND k % 43 <> 0 AND k % 200 >= 20)"
+  private val mSql =
+    s"(k % 21 = 0 AND $notNV AND NOT $hhmSql AND k % 23 <> 0 AND k % 37 <> 0 " +
+      "AND k % 41 <> 0 AND k % 47 <> 0 AND k % 31 <> 0 AND k % 43 <> 0 " +
+      "AND k % 59 <> 0 AND k % 13 <> 0 AND k % 17 <> 0)"
 
   private def nullPlaceholderSql(x: String): String =
     s"CASE WHEN $x IN (${Preprocess.placeholderNamesSqlList}) THEN NULL ELSE $x END"
@@ -638,7 +744,7 @@ object LinkageQueries {
        |              WHEN $hbSql THEN substr(first_name, 2)
        |              WHEN $swSql OR $swzSql THEN messy_last
        |              WHEN $swdSql THEN last_name
-       |              WHEN $lSql THEN first_name
+       |              WHEN $lSql OR $mSql THEN first_name
        |              ELSE messy_first END AS first_name,
        |         CASE WHEN $nSql THEN ${vowelMangleSql("last_name")}
        |              WHEN $vSql THEN ${letterMangleSql("last_name")}
@@ -647,9 +753,10 @@ object LinkageQueries {
        |              WHEN $swSql OR $swzSql THEN messy_first
        |              WHEN $swdSql THEN first_name
        |              WHEN $lSql THEN reverse(last_name)
+       |              WHEN $mSql THEN ${People.marriedLastSql("k")}
        |              ELSE messy_last END AS last_name,
        |         middle_initial,
-       |         CAST(CASE WHEN $haSql THEN dob_year + 1 ELSE dob_year END AS INTEGER) AS dob_year,
+       |         CAST(CASE WHEN $haSql OR $mSql THEN dob_year + 1 ELSE dob_year END AS INTEGER) AS dob_year,
        |         CAST(CASE WHEN $haSql OR $hbSql OR $swSql OR $swzSql OR $fSql THEN dob_month % 12 + 1 ELSE dob_month END AS INTEGER) AS dob_month,
        |         CAST(CASE WHEN $hbSql OR $swSql OR $swzSql OR $fSql THEN dob_day % 28 + 1
        |              WHEN $nSql OR $vSql OR $haSql OR $kSql OR $swdSql OR $lSql THEN dob_day
@@ -665,7 +772,7 @@ object LinkageQueries {
        |  WHERE first_name IS NOT NULL OR last_name IS NOT NULL)""".stripMargin
 
   private val censusStaleSql =
-    s"($hhmSql OR k % 29 = 0 OR k % 19 = 0 OR $kSql OR $swdSql OR $lSql)"
+    s"($hhmSql OR k % 29 = 0 OR k % 19 = 0 OR $kSql OR $swdSql OR $lSql OR $mSql)"
 
   private val censusPreCte: String =
     s"""census_pre AS MATERIALIZED (
@@ -682,9 +789,9 @@ object LinkageQueries {
   /** Derived-columns select list over a *_pre relation (mirror of
     * [[derive]]).
     */
-  private def deriveSql(extra: String): String =
-    s"""substr(zipcode, 1, 3) AS zip3,
-       |         substr(first_name, 1, 1) AS fn1,
+  /** SQL mirror of [[deriveNames]] — the name-key select-list fragment. */
+  private val deriveNamesSql: String =
+    s"""substr(first_name, 1, 1) AS fn1,
        |         substr(first_name, 1, 2) AS fn2,
        |         substr(first_name, 1, 3) AS fn3,
        |         substr(last_name, 1, 1) AS ln1,
@@ -699,7 +806,11 @@ object LinkageQueries {
        |         ${Phonetics.nysKeySql("first_name")} AS nys_first,
        |         ${Phonetics.nysKeySql("last_name")} AS nys_last,
        |         ${Phonetics.rsdxSql("first_name")} AS rsdx_first,
-       |         ${Phonetics.rsdxSql("last_name")} AS rsdx_last,
+       |         ${Phonetics.rsdxSql("last_name")} AS rsdx_last""".stripMargin
+
+  private def deriveSql(extra: String): String =
+    s"""substr(zipcode, 1, 3) AS zip3,
+       |         $deriveNamesSql,
        |         ${Phonetics.sdxSql("street_std")} AS sdx_street,
        |         ${geokeySql(Seq("street_num", "street_std", "unit_std", "city", "state", "zipcode"))} AS geokey$extra""".stripMargin
 
@@ -793,6 +904,46 @@ object LinkageQueries {
 
   private val base =
     s"WITH ${People.personsCte},\n$inputPreCte,\n$censusPreCte,\n$inputBaseCte,\n$censusBaseCte,\n$inputExpCte,\n$gqCte,\n$inputCte,\n$censusCte"
+
+  /** SQL mirror of the per-module reference-file frames built in [[sides]]:
+    * the census-side numident (era-0 clean + era-1 married-surname and
+    * alternate-DOB refiles), the Name/DOB Reference File (distinct names ×
+    * distinct DOBs per pik — exactly what Lineage dedupe+merge produce,
+    * record ids dropped because the cascade never reads them), and the
+    * GeoBase (address keys appended from the census frame). Appended to
+    * `base` only by the oracles that search them.
+    */
+  private val refCtes: String = {
+    val married = People.marriedLastSql("pik")
+    s"""cnum AS MATERIALIZED (
+       |  SELECT pik AS ssn, first_name, last_name, middle_initial,
+       |         dob_year, dob_month, dob_day
+       |  FROM census_pre
+       |  UNION ALL
+       |  SELECT pik, first_name,
+       |         CASE WHEN pik % 21 = 0 THEN $married ELSE last_name END,
+       |         middle_initial, dob_year, dob_month,
+       |         CAST(CASE WHEN pik % 6 = 0 THEN dob_day % 28 + 1 ELSE dob_day END AS INTEGER)
+       |  FROM census_pre WHERE pik % 21 = 0 OR pik % 6 = 0),
+       |namedob AS MATERIALIZED (
+       |  SELECT pik, first_name, last_name, middle_initial,
+       |         dob_year, dob_month, dob_day,
+       |         $deriveNamesSql
+       |  FROM (
+       |    SELECT an.ssn AS pik, an.first_name, an.last_name, an.middle_initial,
+       |           ad.dob_year, ad.dob_month, ad.dob_day
+       |    FROM (SELECT DISTINCT ssn, first_name, last_name, middle_initial FROM cnum) an
+       |    JOIN (SELECT DISTINCT ssn, dob_year, dob_month, dob_day FROM cnum) ad
+       |      ON an.ssn = ad.ssn) nd0),
+       |geobase AS MATERIALIZED (
+       |  SELECT n.*, c.zip3, c.geokey, c.geokey_blk, c.street_num_blk, c.sdx_street_blk
+       |  FROM namedob n JOIN census c ON n.pik = c.pik)""".stripMargin
+  }
+
+  /** `base` plus the reference-file CTEs — the WITH chain for every oracle
+    * whose passes search the per-module frames.
+    */
+  private val baseWithRefs = s"$base,\n$refCtes"
 
   // ---- SQL fragments generated from the config ---------------------------
 
@@ -995,12 +1146,13 @@ object LinkageQueries {
     * passes' links, mirroring [[LinkageCascade.hhcompReference]]).
     */
   private def cascadeCtes: String = {
-    val parts = new StringBuilder(base)
+    val parts = new StringBuilder(baseWithRefs)
     var prevBest = List.empty[String]
     passes.zipWithIndex.foreach { case (pass, idx) =>
       val tag = s"p${idx + 1}"
       val rel = remainingRel(prevBest)
-      parts.append(",\n").append(passSql(pass, remappedRel(rel, pass.rightRemap), tag))
+      parts.append(",\n").append(
+        passSql(pass, remappedRel(rel, pass.rightRemap), tag, censusRel = pass.ref))
       prevBest = prevBest :+ s"best_$tag"
     }
     val mains = prevBest
@@ -1162,7 +1314,7 @@ object LinkageQueries {
       val key = (s, d)
       cascadeFrames.getOrElse(key, {
         cascadeFrames.clear()
-        val df = LinkageCascade.run(census(s, d), input(s, d), config)
+        val df = LinkageCascade.run(cascadeRefs(s, d), input(s, d), config)
         cascadeFrames.put(key, df)
         df
       })
@@ -1193,7 +1345,7 @@ object LinkageQueries {
         costFrames.values.foreach(_.unpersist())
         costFrames.clear()
         val df = LinkageCascade
-          .blockCostSummaryAll(census(s, d), input(s, d), passes).cache()
+          .blockCostSummaryAll(cascadeRefs(s, d), input(s, d), passes).cache()
         costFrames.put((s, d), df)
         df
       })
@@ -1658,7 +1810,6 @@ object LinkageQueries {
       "q108_cumulative_comparisons",
       (s, d) => {
         reg(s)
-        val cen = census(s, d)
         val inp = input(s, d)
         // Per-pass totals come from the q78 count-product formula (group
         // sizes multiplied per block key — no pair rows exist), so the
@@ -1676,20 +1827,29 @@ object LinkageQueries {
         // separate joins (13 broadcast builds + 13 codegen'd stages of
         // pure overhead at bench scale; 13 shuffles at cluster scale).
         val sep = "\u0001"
-        def entries(df: DataFrame, applyRemap: Boolean, idCol: String): DataFrame =
-          df.select(col(idCol), explode(array(passes.zipWithIndex.map { case (p, i) =>
+        def entries(df: DataFrame, subset: Seq[(BlockingPass, Int)],
+            applyRemap: Boolean, idCol: String): DataFrame =
+          df.select(col(idCol), explode(array(subset.map { case (p, ord) =>
               val srcCols = p.blockKeys.map { k =>
                 if (applyRemap) col(p.rightRemap.getOrElse(k, k)) else col(k)
               }
               val anyNull = srcCols.map(_.isNull).reduce(_ || _)
               when(anyNull, lit(null)).otherwise(struct(
-                lit(i + 1).as("ordinal"),
+                lit(ord).as("ordinal"),
                 concat_ws(sep, srcCols.map(_.cast("string")): _*).as("bkey")))
             }: _*)).as("e"))
             .filter(col("e").isNotNull)
             .select(col(idCol), col("e.ordinal").as("ordinal"), col("e.bkey").as("bkey"))
-        val perPass = entries(cen, applyRemap = false, "pik")
-          .join(entries(inp, applyRemap = true, "rec_id"), Seq("ordinal", "bkey"))
+        // Census-side entries come from each pass's OWN reference frame
+        // (the frames the cascade searches) — one scan per distinct frame.
+        val withOrd = passes.zipWithIndex.map { case (p, i) => (p, i + 1) }
+        val refsMap = cascadeRefs(s, d)
+        val perPass = withOrd.groupBy(_._1.ref).toSeq
+          .map { case (ref, subset) =>
+            entries(refsMap(ref), subset, applyRemap = false, "pik")
+          }
+          .reduce(_ unionByName _)
+          .join(entries(inp, withOrd, applyRemap = true, "rec_id"), Seq("ordinal", "bkey"))
         val news = perPass.groupBy("pik", "rec_id").agg(min("ordinal").as("ordinal"))
           .groupBy("ordinal").agg(count(lit(1)).as("n_new"))
         val w = Window.orderBy("ordinal")
@@ -1703,11 +1863,11 @@ object LinkageQueries {
         val parts = passes.zipWithIndex.map { case (p, i) =>
           val rel = remappedRel("input", p.rightRemap)
           s"""SELECT c.pik AS pik, i.rec_id AS rec_id, ${i + 1} AS ordinal
-             |  FROM census c JOIN $rel i ON ${keysOn(p.blockKeys)}""".stripMargin
+             |  FROM ${p.ref} c JOIN $rel i ON ${keysOn(p.blockKeys)}""".stripMargin
         }.mkString("\n  UNION ALL\n  ")
         val nameRows = passes.zipWithIndex
           .map { case (p, i) => s"('${p.name}', ${i + 1})" }.mkString(", ")
-        s"""$base,
+        s"""$baseWithRefs,
            |pairs_all AS (
            |  $parts),
            |own AS (SELECT ordinal, COUNT(*) AS n_pairs FROM pairs_all GROUP BY 1),
@@ -2202,13 +2362,13 @@ object LinkageQueries {
              |       CAST(COALESCE(MAX(n_pairs), 0) AS BIGINT) AS max_block_pairs
              |FROM (
              |  SELECT l.n_census * r.n_input AS n_pairs
-             |  FROM (SELECT $kList, COUNT(*) AS n_census FROM census
+             |  FROM (SELECT $kList, COUNT(*) AS n_census FROM ${p.ref}
              |        WHERE $notNull GROUP BY $kList) l
              |  JOIN (SELECT $kList, COUNT(*) AS n_input FROM $rel i0
              |        WHERE $notNull GROUP BY $kList) r
              |  ON ${keys.map(k => s"l.$k = r.$k").mkString(" AND ")}) t""".stripMargin
         }
-        Some(s"$base\n${parts.mkString("\nUNION ALL\n")}")
+        Some(s"$baseWithRefs\n${parts.mkString("\nUNION ALL\n")}")
       }
     ),
     QueryDef(
@@ -2222,22 +2382,33 @@ object LinkageQueries {
       "q85_blocking_recall",
       (s, d) => {
         reg(s)
-        val l = census(s, d).select(census(s, d).columns.map(c =>
-          col(c).as(s"l_$c")): _*)
+        // True pairs join the input against each pass's OWN reference
+        // frame (the frame the cascade searches) — alternate rows of a pik
+        // are distinct true pairs, so a pass reachable only through an
+        // alternate (class M) shows up in its recall. One truth join per
+        // distinct ref frame; the per-pass hit flags evaluate on the
+        // joined row, so the pass count doesn't multiply the joins.
         val r = input(s, d).select(input(s, d).columns.map(c =>
           col(c).as(s"r_$c")): _*)
-        val truth = l.join(r, col("l_pik") === col("r_rec_id"))
-        val entries = explode(array(passes.zipWithIndex.map { case (p, i) =>
-          val eq = p.blockKeys.map { k =>
-            val rk = p.rightRemap.getOrElse(k, k)
-            col(s"l_$k") === col(s"r_$rk")
-          }.reduce(_ && _)
-          struct(lit(p.name).as("pass"), lit(i + 1).as("ordinal"),
-            when(eq, 1L).otherwise(0L).as("hit"))
-        }: _*))
-        truth.select(entries.as("e"))
-          .select(col("e.pass").as("pass"), col("e.ordinal").as("ordinal"),
-            col("e.hit").as("hit"))
+        val refsMap = cascadeRefs(s, d)
+        passes.zipWithIndex.groupBy(_._1.ref).toSeq
+          .map { case (ref, subset) =>
+            val f = refsMap(ref)
+            val l = f.select(f.columns.map(c => col(c).as(s"l_$c")): _*)
+            val truth = l.join(r, col("l_pik") === col("r_rec_id"))
+            val entries = explode(array(subset.map { case (p, i) =>
+              val eq = p.blockKeys.map { k =>
+                val rk = p.rightRemap.getOrElse(k, k)
+                col(s"l_$k") === col(s"r_$rk")
+              }.reduce(_ && _)
+              struct(lit(p.name).as("pass"), lit(i + 1).as("ordinal"),
+                when(eq, 1L).otherwise(0L).as("hit"))
+            }: _*))
+            truth.select(entries.as("e"))
+              .select(col("e.pass").as("pass"), col("e.ordinal").as("ordinal"),
+                col("e.hit").as("hit"))
+          }
+          .reduce(_ unionByName _)
           .groupBy("pass", "ordinal")
           .agg(count(lit(1)).as("n_true_pairs"), sum("hit").as("n_coblocked"))
           .select(col("pass"), col("ordinal"), col("n_true_pairs"),
@@ -2255,9 +2426,9 @@ object LinkageQueries {
              |       CAST(SUM(CASE WHEN $eq THEN 1 ELSE 0 END) AS BIGINT) AS n_coblocked,
              |       round(CAST(SUM(CASE WHEN $eq THEN 1 ELSE 0 END) AS DOUBLE) /
              |             CAST(COUNT(*) AS DOUBLE), 6) AS recall
-             |FROM census c JOIN input i ON c.pik = i.rec_id""".stripMargin
+             |FROM ${p.ref} c JOIN input i ON c.pik = i.rec_id""".stripMargin
         }
-        Some(s"$base\n${parts.mkString("\nUNION ALL\n")}")
+        Some(s"$baseWithRefs\n${parts.mkString("\nUNION ALL\n")}")
       }
     ),
     QueryDef(

@@ -69,6 +69,21 @@ object People {
   def firstName(k: Column): Column = pick(firstNames, k, firstPQ)
   def lastName(k: Column): Column = pick(lastNames, k, lastPQ)
 
+  /** The married surname of person k — a SECOND deterministic last-name
+    * pick, decorrelated from [[lastName]] by the affine index shift. The
+    * reference-file side records it as an era-1 refile (the Name/DOB
+    * Reference File's alternate-name rows: "all possible combinations of
+    * alternate names", /root/reference/03_link_datasets.ipynb NameSearch
+    * header quoting Wagner & Layne p. 15); the input-side class-M noise
+    * plants the same surname so only the reference-side alternate row can
+    * match it.
+    */
+  def marriedLast(k: Column): Column = pick(lastNames, k * 3 + 11, lastPQ)
+
+  /** SQL mirror of [[marriedLast]]. */
+  def marriedLastSql(k: String): String =
+    pickSql(lastNames, s"($k) * 3 + 11", lastPQ)
+
   /** Deterministic typo: k%4==0 drop 2nd char, ==1 swap first two chars,
     * ==2 append 'X', else unchanged.
     */

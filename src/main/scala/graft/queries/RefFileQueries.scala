@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.operators.Noise
+import graft.operators.{Noise, Preprocess}
 import graft.ops.{DfOps, Lineage}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -62,6 +62,69 @@ object RefFileQueries {
 
   private val base = s"WITH ${People.personsCte},\n$numidentCte"
 
+  /** The q72 construction as reusable pieces: (ndr frame, ndr pairs) via
+    * the Lineage operators. q72 reports it directly; q117 merges it with
+    * addresses into the GeoBase.
+    */
+  private def nameDobRef(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val n = numident(s, d)
+    val init = Lineage.initPairs(n)
+    val (altN, pN) = Lineage.dedupePreservingSourceRecords(
+      n, init, Seq("ssn", "first_name", "last_name"), "altn")
+    val (altD, pD) = Lineage.dedupePreservingSourceRecords(
+      n.select("record_id", "ssn", "dob_year", "dob_month", "dob_day"),
+      init, Seq("ssn", "dob_year", "dob_month", "dob_day"), "altd")
+    Lineage.mergePreservingSourceRecords(altN, pN, altD, pD, Seq("ssn"), "ndr")
+  }
+
+  /** Addresses-by-SSN: one current-address filing per person (street
+    * standardized the same way the linkage preprocessing does).
+    */
+  private def addresses(s: SparkSession, d: String): DataFrame =
+    People.persons(s, d).select(
+      concat(lit("addr_"), col("k")).as("record_id"),
+      col("k").as("ssn"),
+      col("street_num"),
+      Preprocess.standardizeAddressPart(col("street_raw")).as("street_std"),
+      col("city"), col("state"), col("zipcode"))
+
+  private val addrCte: String =
+    s"""addr AS (
+       |  SELECT 'addr_' || CAST(k AS VARCHAR) AS record_id, k AS ssn,
+       |         street_num,
+       |         ${Preprocess.standardizeAddressPartSql("street_raw")} AS street_std,
+       |         city, state, zipcode
+       |  FROM persons)""".stripMargin
+
+  /** The q72 oracle's CTE chain (altn/altd/ndr + the lineage maps),
+    * shared verbatim by q117's oracle so the two files cannot drift.
+    */
+  private val ndrCtes: String =
+    s"""altn AS (
+       |  SELECT 'altn_' || min(record_id) AS record_id, ssn, first_name, last_name
+       |  FROM numident GROUP BY ssn, first_name, last_name),
+       |altd AS (
+       |  SELECT 'altd_' || min(record_id) AS record_id, ssn, dob_year, dob_month, dob_day
+       |  FROM numident GROUP BY ssn, dob_year, dob_month, dob_day),
+       |ndr AS (
+       |  SELECT 'ndr_' || an.record_id || '_' || coalesce(ad.record_id, 'na') AS record_id,
+       |         an.ssn, an.first_name, an.last_name,
+       |         ad.dob_year, ad.dob_month, ad.dob_day,
+       |         an.record_id AS an_id, ad.record_id AS ad_id
+       |  FROM altn an LEFT JOIN altd ad ON an.ssn = ad.ssn),
+       |an_map AS (
+       |  SELECT record_id AS src,
+       |         'altn_' || min(record_id) OVER (PARTITION BY ssn, first_name, last_name) AS an_id
+       |  FROM numident),
+       |ad_map AS (
+       |  SELECT record_id AS src,
+       |         'altd_' || min(record_id) OVER (PARTITION BY ssn, dob_year, dob_month, dob_day) AS ad_id
+       |  FROM numident),
+       |ndr_pairs AS (
+       |  SELECT r.record_id, m.src FROM ndr r JOIN an_map m ON r.an_id = m.an_id
+       |  UNION
+       |  SELECT r.record_id, m.src FROM ndr r JOIN ad_map m ON r.ad_id = m.ad_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       // Alternate-name file (cell 62): dedupe the numident on
@@ -92,15 +155,7 @@ object RefFileQueries {
       // sources. Joins on ssn only; lineage via two equi-joins + distinct.
       "q72_name_dob_reference",
       (s, d) => {
-        val n = numident(s, d)
-        val init = Lineage.initPairs(n)
-        val (altN, pN) = Lineage.dedupePreservingSourceRecords(
-          n, init, Seq("ssn", "first_name", "last_name"), "altn")
-        val (altD, pD) = Lineage.dedupePreservingSourceRecords(
-          n.select("record_id", "ssn", "dob_year", "dob_month", "dob_day"),
-          init, Seq("ssn", "dob_year", "dob_month", "dob_day"), "altd")
-        val (ndr, pM) = Lineage.mergePreservingSourceRecords(
-          altN, pN, altD, pD, Seq("ssn"), "ndr")
+        val (ndr, pM) = nameDobRef(s, d)
         ndr.join(
           pM.groupBy("record_id")
             .agg(countDistinct("source_record_id").as("n_sources")),
@@ -109,31 +164,8 @@ object RefFileQueries {
             "dob_year", "dob_month", "dob_day", "n_sources")
       },
       Some(s"""$base,
-              |altn AS (
-              |  SELECT 'altn_' || min(record_id) AS record_id, ssn, first_name, last_name
-              |  FROM numident GROUP BY ssn, first_name, last_name),
-              |altd AS (
-              |  SELECT 'altd_' || min(record_id) AS record_id, ssn, dob_year, dob_month, dob_day
-              |  FROM numident GROUP BY ssn, dob_year, dob_month, dob_day),
-              |ndr AS (
-              |  SELECT 'ndr_' || an.record_id || '_' || coalesce(ad.record_id, 'na') AS record_id,
-              |         an.ssn, an.first_name, an.last_name,
-              |         ad.dob_year, ad.dob_month, ad.dob_day,
-              |         an.record_id AS an_id, ad.record_id AS ad_id
-              |  FROM altn an LEFT JOIN altd ad ON an.ssn = ad.ssn),
-              |an_map AS (
-              |  SELECT record_id AS src,
-              |         'altn_' || min(record_id) OVER (PARTITION BY ssn, first_name, last_name) AS an_id
-              |  FROM numident),
-              |ad_map AS (
-              |  SELECT record_id AS src,
-              |         'altd_' || min(record_id) OVER (PARTITION BY ssn, dob_year, dob_month, dob_day) AS ad_id
-              |  FROM numident),
-              |pairs AS (
-              |  SELECT r.record_id, m.src FROM ndr r JOIN an_map m ON r.an_id = m.an_id
-              |  UNION
-              |  SELECT r.record_id, m.src FROM ndr r JOIN ad_map m ON r.ad_id = m.ad_id),
-              |counts AS (SELECT record_id, count(DISTINCT src) AS n_sources FROM pairs GROUP BY record_id)
+              |$ndrCtes,
+              |counts AS (SELECT record_id, count(DISTINCT src) AS n_sources FROM ndr_pairs GROUP BY record_id)
               |SELECT r.record_id, r.ssn, r.first_name, r.last_name,
               |       r.dob_year, r.dob_month, r.dob_day, c.n_sources
               |FROM ndr r JOIN counts c ON r.record_id = c.record_id""".stripMargin)
@@ -260,6 +292,104 @@ object RefFileQueries {
                 |       street_num, zipcode, state, dob_day, dob_month, dob_year
                 |FROM noised
                 |WHERE ${Noise.omitRowsSql("k", 0.01, 29)}""".stripMargin)
+      }
+    ),
+    QueryDef(
+      // The GeoBase reference file build (reference 02 cell 84): the
+      // name×DOB reference merged with addresses-by-SSN on ssn via the
+      // same lineage-preserving merge — every GeoBase record traces to the
+      // numident filings AND the address filing that produced it
+      // (n_sources = the union). One equi-join on ssn over the q72 chain;
+      // at scale each step is a shuffle on its key, nothing driver-side.
+      "q117_geobase_reference",
+      (s, d) => {
+        val (ndr, pM) = nameDobRef(s, d)
+        val addr = addresses(s, d)
+        val (geob, pG) = Lineage.mergePreservingSourceRecords(
+          ndr, pM, addr, Lineage.initPairs(addr), Seq("ssn"), "geo")
+        geob.join(
+          pG.groupBy("record_id")
+            .agg(countDistinct("source_record_id").as("n_sources")),
+          Seq("record_id"))
+          .select("record_id", "ssn", "first_name", "last_name",
+            "dob_year", "dob_month", "dob_day",
+            "street_num", "street_std", "city", "state", "zipcode", "n_sources")
+      },
+      Some(s"""$base,
+              |$ndrCtes,
+              |$addrCte,
+              |geob AS (
+              |  SELECT 'geo_' || r.record_id || '_' || coalesce(a.record_id, 'na') AS record_id,
+              |         r.ssn, r.first_name, r.last_name,
+              |         r.dob_year, r.dob_month, r.dob_day,
+              |         a.street_num, a.street_std, a.city, a.state, a.zipcode,
+              |         r.record_id AS ndr_id, a.record_id AS addr_id
+              |  FROM ndr r LEFT JOIN addr a ON r.ssn = a.ssn),
+              |gpairs AS (
+              |  SELECT g.record_id, p.src FROM geob g JOIN ndr_pairs p ON g.ndr_id = p.record_id
+              |  UNION
+              |  SELECT g.record_id, g.addr_id AS src FROM geob g WHERE g.addr_id IS NOT NULL),
+              |gcounts AS (SELECT record_id, count(DISTINCT src) AS n_sources FROM gpairs GROUP BY record_id)
+              |SELECT g.record_id, g.ssn, g.first_name, g.last_name,
+              |       g.dob_year, g.dob_month, g.dob_day,
+              |       g.street_num, g.street_std, g.city, g.state, g.zipcode, c.n_sources
+              |FROM geob g JOIN gcounts c ON g.record_id = c.record_id""".stripMargin)
+    ),
+    QueryDef(
+      // ITIN incorporation (reference 02 cells 72-75): people WITHOUT an
+      // SSN (the k%5=4 slice the census reference never covers) who filed
+      // taxes get an ITIN-range identifier (9 + the filing key), and their
+      // IDENTITY DATA comes from the 1040 filing — which carries the IRS
+      // noise chain, including the 4-char last-name truncation (q74's
+      // machinery; the reference notes ITIN PIKing is exactly where the
+      // truncation bites). The combined SSN ∪ ITIN identifier set mints
+      // contiguous PIKs the q73 way (range-partitioned, no global window).
+      "q118_itin_incorporation",
+      (s, d) => {
+        val nameCols = Seq("first_name", "middle_initial", "last_name")
+        val p = People.persons(s, d)
+        val ssa = p.filter(pmod(col("k"), lit(5)) =!= 4)
+          .select(col("k").as("id"), lit("ssn").as("id_type"),
+            col("first_name"), col("middle_initial"), col("last_name"))
+        val filers = p.filter(pmod(col("k"), lit(5)) === 4 && pmod(col("k"), lit(3)) === 0)
+          .select("k", "first_name", "middle_initial", "last_name")
+        val split = Noise.splitColumnsIncorrectly(filers, nameCols, "k", 0.01, 1)
+        val trunc = Noise.truncateColumn(split, "last_name", "k", 0.4, 4, 2)
+        val noised = Noise.shuffleColumns(trunc, nameCols, "k", 0.01, 3)
+        val itin = noised.select(
+          (lit(900000000L) + col("k")).as("id"), lit("itin").as("id_type"),
+          col("first_name"), col("middle_initial"), col("last_name"))
+        val ids = ssa.unionByName(itin)
+        DfOps.addContiguousId(ids, "id", "pik")
+          .select("pik", "id", "id_type", "first_name", "middle_initial", "last_name")
+      }, {
+        val nameCols = Seq("first_name", "middle_initial", "last_name")
+        val sp = Noise.splitColumnsIncorrectlySql(nameCols, "k", 0.01, 1)
+        val tr = Noise.truncateColumnSql("last_name", "k", 0.4, 4, 2)
+        val sh = Noise.shuffleColumnsSql(nameCols, "k", 0.01, 3)
+        Some(s"""WITH ${People.personsCte},
+                |ssa AS (
+                |  SELECT k AS id, 'ssn' AS id_type, first_name, middle_initial, last_name
+                |  FROM persons WHERE k % 5 <> 4),
+                |split AS (
+                |  SELECT k, ${sp("first_name")} AS first_name,
+                |         ${sp("middle_initial")} AS middle_initial,
+                |         ${sp("last_name")} AS last_name
+                |  FROM persons WHERE k % 5 = 4 AND k % 3 = 0),
+                |trunc AS (
+                |  SELECT k, first_name, middle_initial, $tr AS last_name
+                |  FROM split),
+                |itin AS (
+                |  SELECT 900000000 + k AS id, 'itin' AS id_type,
+                |         ${sh("first_name")} AS first_name,
+                |         ${sh("middle_initial")} AS middle_initial,
+                |         ${sh("last_name")} AS last_name
+                |  FROM trunc),
+                |allids AS (
+                |  SELECT * FROM ssa UNION ALL SELECT * FROM itin)
+                |SELECT row_number() OVER (ORDER BY id) - 1 AS pik, id, id_type,
+                |       first_name, middle_initial, last_name
+                |FROM allids""".stripMargin)
       }
     )
   )

@@ -93,4 +93,72 @@ class LineageSpec extends SparkTestBase {
       "no alternate-name record collapsed multiple sources")
     ndr.unpersist()
   }
+
+  test("geobase records resolve to exactly one simulant through their pairings") {
+    // Rebuild the q117 chain keeping the pairings, then resolve ground
+    // truth through them (reference cell 87): every numident/address
+    // filing of ssn k belongs to simulant k, so each GeoBase record must
+    // resolve to its ssn with NO disagreement (n_truths == 1).
+    val p = queries.People.persons(spark, sfDir)
+    val n0 = p.select(concat(lit("num0_"), col("k")).as("record_id"),
+      col("k").as("ssn"), col("first_name"), col("last_name"),
+      col("dob_year"), col("dob_month"), col("dob_day"))
+    val n1 = p.select(concat(lit("num1_"), col("k")).as("record_id"),
+      col("k").as("ssn"),
+      when(pmod(col("k"), lit(9)) === 0, col("first_name"))
+        .otherwise(col("messy_first")).as("first_name"),
+      when(pmod(col("k"), lit(9)) === 0, col("last_name"))
+        .otherwise(col("messy_last")).as("last_name"),
+      col("dob_year"), col("dob_month"),
+      when(pmod(col("k"), lit(6)) === 0, pmod(col("dob_day"), lit(28)) + 1)
+        .otherwise(col("dob_day")).cast("int").as("dob_day"))
+    val num = n0.unionByName(n1)
+    val init = Lineage.initPairs(num)
+    val (altN, pN) = Lineage.dedupePreservingSourceRecords(
+      num, init, Seq("ssn", "first_name", "last_name"), "altn")
+    val (altD, pD) = Lineage.dedupePreservingSourceRecords(
+      num.select("record_id", "ssn", "dob_year", "dob_month", "dob_day"),
+      init, Seq("ssn", "dob_year", "dob_month", "dob_day"), "altd")
+    val (ndr, pM) = Lineage.mergePreservingSourceRecords(
+      altN, pN, altD, pD, Seq("ssn"), "ndr")
+    val addr = p.select(concat(lit("addr_"), col("k")).as("record_id"),
+      col("k").as("ssn"), col("zipcode"))
+    val (geob, pG) = Lineage.mergePreservingSourceRecords(
+      ndr, pM, addr, Lineage.initPairs(addr), Seq("ssn"), "geo")
+    // Truth table: every raw filing record (both numident eras + the
+    // address filings) maps back to its simulant key.
+    val truth = num.select(col("record_id"), col("ssn").as("simulant_id"))
+      .unionByName(addr.select(col("record_id"), col("ssn").as("simulant_id")))
+    val resolved = Lineage.resolveGroundTruth(pG, truth).cache()
+    assert(resolved.select("record_id").distinct().count() == geob.count(),
+      "some geobase record resolved to no simulant")
+    val disagree = resolved.filter(col("n_truths") =!= 1).count()
+    assert(disagree == 0, s"$disagree geobase records with ambiguous ground truth")
+    resolved.unpersist()
+  }
+
+  test("ITIN incorporation: ITIN rows are PIKed and carry the IRS truncation") {
+    val itinRef = RefFileQueries.defs.find(_.name == "q118_itin_incorporation").get
+      .query(spark, sfDir).cache()
+    val itins = itinRef.filter(col("id_type") === "itin").cache()
+    assert(itins.count() > 0, "no ITIN rows minted")
+    // ITIN-range identifiers start with 9 (the reference's ITIN test) and
+    // every one received a PIK.
+    assert(itins.filter(!col("id").cast("string").startsWith("9")).count() == 0,
+      "an ITIN outside the 9-range")
+    assert(itins.filter(col("pik").isNull).count() == 0, "an ITIN row without a PIK")
+    // PIKs are contiguous over the union: max pik == rows - 1.
+    val total = itinRef.count()
+    assert(itinRef.agg(max("pik")).head.getLong(0) == total - 1,
+      "PIK minting left holes")
+    // Only SSN-less people (k%5=4) get ITINs — no double identity.
+    assert(itins.filter(pmod(col("id") - 900000000L, lit(5)) =!= 4).count() == 0,
+      "an SSN holder was minted an ITIN")
+    // The 1040-sourced names carry the IRS 4-char truncation on a real
+    // fraction of rows (q74's machinery; where ITIN PIKing meets the
+    // truncation, per the reference's own comment).
+    val truncated = itins.filter(length(col("last_name")) === 4).count()
+    assert(truncated > 0, "no ITIN row shows the 4-char IRS truncation")
+    itins.unpersist(); itinRef.unpersist()
+  }
 }

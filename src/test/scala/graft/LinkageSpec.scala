@@ -20,7 +20,8 @@ class LinkageSpec extends SparkTestBase {
 
   test("cascade accuracy beats 0.9 precision and recall") {
     GraftFunctions.register(spark)
-    val links = LinkageCascade.run(census, input, cfg).cache()
+    val links = LinkageCascade.run(
+      LinkageQueries.cascadeRefs(spark, sfDir), input, cfg).cache()
     val nLinks = links.count().toDouble
     val nCorrect = links.filter(col("pik") === col("rec_id")).count().toDouble
     val nTrue = census.count().toDouble
@@ -84,10 +85,13 @@ class LinkageSpec extends SparkTestBase {
     u.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-3, r.toString))
   }
 
-  /** Shared cascade run for the planted-class assertions. */
+  /** Shared cascade run for the planted-class assertions — the same
+    * reference-file cascade q32 ships (geosearch over GeoBase,
+    * namesearch/dobsearch over the Name/DOB Reference File).
+    */
   private lazy val cascade: Array[(Long, Long, String)] = {
     GraftFunctions.register(spark)
-    LinkageCascade.run(census, input, cfg)
+    LinkageCascade.run(LinkageQueries.cascadeRefs(spark, sfDir), input, cfg)
       .select("pik", "rec_id", "pass").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
   }
@@ -296,6 +300,59 @@ class LinkageSpec extends SparkTestBase {
     val expected = census.select("pik").collect().map(_.getLong(0)).filter(isKRec).toSet
     assert(kLinks.map(_._2).toSet == expected,
       s"class-K coverage: got ${kLinks.size}, expected ${expected.size}")
+  }
+
+  /** Class-M membership (married surname; mirror of flaggedPersons' isM). */
+  private def isMRec(k: Long): Boolean =
+    k % 21 == 0 && k % 29 != 0 && k % 19 != 0 && !movedHh(k) &&
+      k % 23 != 0 && k % 37 != 0 && k % 41 != 0 && k % 47 != 0 &&
+      k % 31 != 0 && k % 43 != 0 && k % 59 != 0 && k % 13 != 0 && k % 17 != 0
+
+  test("married-surname class M is reachable ONLY through the reference file's alternate row") {
+    // Class M: clean first name, MARRIED surname (exists nowhere on the
+    // census primary row — only as the Name/DOB Reference File's era-1
+    // refile), dob_year bumped, stale census address. p7_bday_name blocks
+    // it against the married alternate row; every pass that could reach
+    // the primary row is blocked by the bumped year / stale address.
+    val m = cascade.filter(t => isMRec(t._2))
+    assert(m.nonEmpty, "no class-M records recovered")
+    m.foreach { case (pik, rec, pass) =>
+      assert(pik == rec, s"M mislink $pik -> $rec")
+      assert(pass == "p7_bday_name", s"M recovered by unexpected pass $pass for $rec")
+    }
+    val expected = census.select("pik").collect().map(_.getLong(0)).filter(isMRec).toSet
+    assert(expected.nonEmpty, "no class-M records planted in census coverage")
+    assert(m.map(_._2).toSet == expected,
+      s"class-M coverage: got ${m.size}, expected ${expected.size}")
+    // The proof that the REFERENCE-side alternate (not any input-side
+    // mechanism) does the work: the single-frame cascade — identical
+    // passes, census primary rows as every module's search side — cannot
+    // link a single class-M record.
+    GraftFunctions.register(spark)
+    val primaryOnly = LinkageCascade.run(census, input, cfg)
+      .select("pik", "rec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (_, rec) => isMRec(rec) }
+    assert(primaryOnly.isEmpty,
+      s"class M reachable without the reference file: ${primaryOnly.take(5).toSeq}")
+  }
+
+  test("reference frames carry the alternate rows the cascade searches") {
+    val nd = LinkageQueries.namedob(spark, sfDir)
+    val cenPiks = census.select("pik").collect().map(_.getLong(0)).toSet
+    // Every covered pik appears; married piks carry >= 2 distinct surnames.
+    val ndPiks = nd.select("pik").distinct().collect().map(_.getLong(0)).toSet
+    assert(ndPiks == cenPiks, "namedob pik set != census pik set")
+    val marriedVariants = nd.filter(col("pik") % 21 === 0)
+      .groupBy("pik").agg(countDistinct("last_name").as("n"))
+      .filter(col("n") < 2).count()
+    assert(marriedVariants == 0, "a married pik lost its surname alternate")
+    // GeoBase = namedob + address keys, one address per pik (inner join
+    // against census can't drop or fan out rows).
+    val gb = LinkageQueries.geobase(spark, sfDir)
+    assert(gb.count() == nd.count(), "geobase row count != namedob row count")
+    assert(gb.columns.contains("geokey_blk") && gb.columns.contains("zip3"),
+      "geobase missing address keys")
   }
 
   test("GQ records never enter address-blocked passes") {
