@@ -194,4 +194,37 @@ object VectorOps {
        |    FROM $rel, range(0, $planes) p(j), range(1, ${Dim + 1}) t(i)
        |    GROUP BY vec_id, j)
        |  GROUP BY vec_id)""".stripMargin
+
+  /** Multi-band signature: `bands` keys of `bitsPerBand` sign bits each,
+    * over DISTINCT hyperplanes (plane j = band·bitsPerBand + bit). Two
+    * vectors are LSH CANDIDATES when ANY band key matches — the standard
+    * banding construction that turns a cosine threshold into an equi-join
+    * with tunable recall (miss probability (1−p^r)^b per pair). Exact
+    * cross-engine semantics like [[lshBucketExact]].
+    */
+  def lshBandKeysExact(emb: Column, bands: Int, bitsPerBand: Int): Column =
+    array((0 until bands).map { t =>
+      (0 until bitsPerBand).map { i =>
+        val j = t * bitsPerBand + i
+        val w = array(lshPlaneW(j).map(v => lit(v.toFloat)): _*)
+        when(dotDecimal(emb, w) >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+
+  /** DuckDB CTE `bandkeys(vec_id, band, bkey)` ≡ posexploded
+    * [[lshBandKeysExact]] over a relation `rel(vec_id, embedding)`.
+    */
+  def lshBandsSqlCte(rel: String, bands: Int, bitsPerBand: Int): String =
+    s"""bandkeys AS (
+       |  SELECT vec_id, CAST((j // $bitsPerBand) AS INT) AS band,
+       |         CAST(SUM(CASE WHEN s >= 0 THEN CAST(power(2, j % $bitsPerBand) AS BIGINT)
+       |                       ELSE 0 END) AS BIGINT) AS bkey
+       |  FROM (
+       |    SELECT vec_id, j,
+       |           SUM(CAST(CAST(embedding[i] AS DOUBLE) *
+       |               (2 * ((j * $Dim + i - 1) * 2654435761 % 1000003) - 1000003)
+       |               AS DECIMAL(30,18))) AS s
+       |    FROM $rel, range(0, ${bands * bitsPerBand}) p(j), range(1, ${Dim + 1}) t(i)
+       |    GROUP BY vec_id, j)
+       |  GROUP BY vec_id, (j // $bitsPerBand))""".stripMargin
 }

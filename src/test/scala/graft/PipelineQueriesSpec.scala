@@ -126,6 +126,34 @@ class PipelineQueriesSpec extends SparkTestBase {
     planted.foreach(p => assert(pairs.contains(p), s"missed planted variant $p"))
   }
 
+  test("q51 bucketed candidates: pair set equals the exact label join, plan joins on IVF cells") {
+    import graft.operators.VectorOps
+    graft.functions.GraftFunctions.register(spark)
+    val df = byName("q51_embedding_dedup").query(spark, sfDir)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Exact reference: the label-blocked quadratic join (the pre-banding
+    // q51) — the banded candidates must not lose a single pair on the
+    // test data.
+    val e = PipelineQueries.embWithDups(spark, sfDir)
+      .withColumn("nrm", VectorOps.norm(col("embedding")))
+    val exactCos =
+      VectorOps.dotDecimal(col("a.embedding"), col("b.embedding")) /
+        (col("a.nrm") * col("b.nrm"))
+    val expected = e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id") &&
+          exactCos >= 0.9)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"celled pair set != exact label join: missing ${(expected -- got).take(5)}, " +
+        s"extra ${(got -- expected).take(5)}")
+    // And the candidate stage is BUCKET-joined: the physical plan carries
+    // the IVF cell id (cid) in the candidate join, not a bare
+    // label-quadratic self-join.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("cid"), "q51 plan lost the cell-key candidate join")
+  }
+
   test("q52 clusters the planted dup triangles under the original doc_id") {
     val rows = byName("q52_dup_clusters").query(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -50,12 +50,14 @@ class PlanSpec extends SparkTestBase {
     // q30 samples both sides then cross-joins (intended); q44 is the
     // brute-force KNN baseline against a broadcast query set (intended);
     // q33/q39/q53/q66 cross-join a single-row totals frame (intended);
-    // q68's IVF assignment scores a broadcast 16-centroid set (intended);
-    // q89 reuses the q44 + q68 builders for its recall join.
+    // q68's IVF assignment scores a broadcast 16-centroid set (intended),
+    // and q51's celled candidate generation runs the same assignment over
+    // the dup-planted frame; q89 reuses the q44 + q68 builders for its
+    // recall join.
     val intendedCross = Set(
       "q30_u_estimation", "q44_cosine_knn", "q33_accuracy_eval",
       "q39_pik_rate", "q53_tfidf", "q66_unigram_logprob", "q68_ann_ivf",
-      "q89_ann_recall", "q110_kmeans_step")
+      "q89_ann_recall", "q110_kmeans_step", "q51_embedding_dedup")
     SparkEntry.queries.keys.filterNot(intendedCross).foreach { name =>
       val p = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")

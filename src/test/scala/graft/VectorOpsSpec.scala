@@ -32,6 +32,19 @@ class VectorOpsSpec extends SparkTestBase {
     assert(line.contains("*("), s"vec_dot_decimal not codegen'd:\n$plan")
   }
 
+  test("lshBandKeysExact band 0 equals the 8-plane bucket; keys bounded by band width") {
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir).limit(100)
+    val bad = e.select(
+        VectorOps.lshBandKeysExact(col("embedding"), 2, 8).as("bands"),
+        VectorOps.lshBucketExact(col("embedding"), 8).as("bucket"))
+      .filter(element_at(col("bands"), 1) =!= col("bucket") ||
+        element_at(col("bands"), 1) > 255 || element_at(col("bands"), 2) > 255 ||
+        element_at(col("bands"), 1) < 0 || element_at(col("bands"), 2) < 0)
+      .count()
+    assert(bad == 0, "band 0 diverged from the 8-plane bucket or keys out of range")
+  }
+
   test("hyperplanes are deterministic and roughly zero-centered") {
     val hp = VectorOps.hyperplane(3)
     assert(hp == VectorOps.hyperplane(3))
