@@ -43,9 +43,12 @@ object Bench {
     // report their build cost as its own metric — otherwise it lands on
     // whichever consumer runs first (q26/q43) and poisons round-over-round
     // deltas.
-    val warm0 = System.nanoTime()
-    try SparkEntry.warm(spark, sfDir) catch { case _: Throwable => }
-    val warmSec = (System.nanoTime() - warm0) / 1e9
+    val warmTimes = SparkEntry.warmSteps.map { case (step, f) =>
+      val t0 = System.nanoTime()
+      try f(spark, sfDir) catch { case _: Throwable => }
+      (step, (System.nanoTime() - t0) / 1e9)
+    }
+    val warmSec = warmTimes.map(_._2).sum
     // SPARK_GRAFT_ONLY=q51,q55 narrows the run for local iteration; unset
     // (driver mode) benches the full inventory.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
@@ -125,8 +128,11 @@ object Bench {
     // One JSON line; the long queries map comes FIRST so the headline
     // scalars land at the END of the line — the harness keeps only the
     // last ~2000 chars of output, and totals must survive that window.
+    val warmBreakdown = warmTimes
+      .map { case (step, t) => s"\"" + step + "\":" + sec(t) }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"queries":$qs,"errors":$errs,"sf":"$sfDir","passes":$passesRun,"agg":"min","warm_sec":${sec(warmSec)},"prep_sec":${sec(prepSec)},"linkage_sec":${sec(linkSec)},"chain_sec":${sec(prepSec + linkSec)},"n_errors":$nErr,"metric":"total","value":${sec(total)},"unit":"sec"}"""
+      s"""{"queries":$qs,"errors":$errs,"sf":"$sfDir","passes":$passesRun,"agg":"min","warm_breakdown":$warmBreakdown,"warm_sec":${sec(warmSec)},"prep_sec":${sec(prepSec)},"linkage_sec":${sec(linkSec)},"chain_sec":${sec(prepSec + linkSec)},"n_errors":$nErr,"metric":"total","value":${sec(total)},"unit":"sec"}"""
     println(line)
     // Also drop the full line in the repo so the complete per-query map is
     // readable even when the captured stdout tail truncates it.

@@ -31,8 +31,13 @@ object SparkEntry {
     * gram frame) so benchmarks measure steady-state query time, not
     * whichever query first pays the one-time cache build.
     */
-  def warm(spark: SparkSession, sfDir: String): Unit = {
-    _root_.graft.queries.LinkageQueries.warm(spark, sfDir)
-    _root_.graft.queries.PipelineQueries.warm(spark, sfDir)
-  }
+  def warm(spark: SparkSession, sfDir: String): Unit =
+    warmSteps.foreach { case (_, f) => f(spark, sfDir) }
+
+  /** Named memo builds, in execution order — Bench times each and emits
+    * the per-step `warm_breakdown` map alongside the `warm_sec` total.
+    */
+  def warmSteps: Seq[(String, (SparkSession, String) => Unit)] =
+    _root_.graft.queries.LinkageQueries.warmSteps ++
+      _root_.graft.queries.PipelineQueries.warmSteps
 }

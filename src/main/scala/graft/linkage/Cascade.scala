@@ -387,20 +387,44 @@ object LinkageCascade {
     val r = cached.map { case (name, (df, _)) => name -> df }
     val iPersisted = input.storageLevel != StorageLevel.NONE
     val i = if (iPersisted) input else input.cache()
-    val (mainLinks, mainRemaining) = foldPasses(r, i, cfg.passes, cfg, None)
-    val links =
-      if (cfg.hhPasses.isEmpty) mainLinks.get
-      else {
-        val hhRef = hhcompReference(r("census"), i, mainLinks.get)
-          .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-        val rem = mainRemaining.withColumn("hh_geokey", col("geokey_blk"))
-        val hhRefs = cfg.hhPasses.map(_.ref).toSet.map((n: String) => n -> hhRef).toMap
-        foldPasses(hhRefs, rem, cfg.hhPasses, cfg, mainLinks)._1.get
-      }
+    val links = hhStage(r, i, mainPasses(r, i, cfg)._1, cfg)
     cached.foreach { case (_, (df, persisted)) => if (!persisted) df.unpersist() }
     if (!iPersisted) i.unpersist()
     links
   }
+
+  /** The 13 main search modules alone: fold the non-household passes over
+    * `input`, returning (accumulated links, unlinked remainder). Records
+    * are INDEPENDENT through this stage — a pass's candidates, threshold
+    * and best-link window all condition on the record's own rec_id — so
+    * running it over any partition of the input and unioning equals
+    * running it over the whole input (the property the streaming cascade's
+    * micro-batch replay parity rests on; StreamingSpec pins it).
+    */
+  def mainPasses(refs: Map[String, DataFrame], input: DataFrame,
+      cfg: LinkageConfig): (DataFrame, DataFrame) = {
+    val (links, remaining) = foldPasses(refs, input, cfg.passes, cfg, None)
+    (links.get, remaining)
+  }
+
+  /** The hhcompsearch finalization: build the household-composition
+    * reference from ALL main-stage links (the bridge needs the global link
+    * set — this stage is NOT per-record independent, which is why the
+    * streaming path defers it to a finalize step), then fold the hh passes
+    * over the still-unlinked remainder. Returns main ∪ hh links.
+    */
+  def hhStage(refs: Map[String, DataFrame], input: DataFrame,
+      mainLinks: DataFrame, cfg: LinkageConfig): DataFrame =
+    if (cfg.hhPasses.isEmpty) mainLinks
+    else {
+      val hhRef = hhcompReference(refs("census"), input, mainLinks)
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      val remaining = input
+        .join(mainLinks.select("rec_id").distinct(), Seq("rec_id"), "left_anti")
+      val rem = remaining.withColumn("hh_geokey", col("geokey_blk"))
+      val hhRefs = cfg.hhPasses.map(_.ref).toSet.map((n: String) => n -> hhRef).toMap
+      foldPasses(hhRefs, rem, cfg.hhPasses, cfg, Some(mainLinks))._1.get
+    }
 
   /** Post-search confirm (reference "post-search confirm" cells): drop
     * links whose PIK belongs to a deceased person (date_of_death file) —

@@ -55,4 +55,36 @@ object StreamingLinkage {
     */
   def resolveBatch(scoredBatch: DataFrame): DataFrame =
     LinkageCascade.bestLink(scoredBatch)
+
+  /** One micro-batch of the FULL multi-pass cascade for a foreachBatch
+    * sink: anti-join the arrivals against the already-linked state (a
+    * record PIKed by an earlier batch never re-enters a search module —
+    * the cross-batch twin of the cascade's per-pass anti-join), then run
+    * the 13 main search modules over the remainder. Returns the batch's
+    * new links; the caller unions them into its state (checkpointing the
+    * union per batch, as [[graft.streaming.StreamingDedup]] does for its
+    * band index).
+    *
+    * Exactness: the main modules are per-record independent
+    * ([[LinkageCascade.mainPasses]]), so replaying an input in any batch
+    * order yields EXACTLY the batch cascade's main links — parity
+    * StreamingSpec pins over a 5-batch replay.
+    */
+  def cascadeMainBatch(refs: Map[String, DataFrame], arrivals: DataFrame,
+      priorLinks: DataFrame, cfg: LinkageConfig): DataFrame = {
+    val fresh = arrivals.join(
+      priorLinks.select("rec_id").distinct(), Seq("rec_id"), "left_anti")
+    LinkageCascade.mainPasses(refs, fresh, cfg)._1
+  }
+
+  /** Stream-end (or periodic) hhcompsearch finalization: the household
+    * bridge conditions on the GLOBAL link set — a record's housemate may
+    * arrive batches later — so the hh modules run once over the
+    * accumulated arrivals and links rather than per batch. With this
+    * deferral the streaming path's total output equals batch
+    * [[LinkageCascade.run]] exactly.
+    */
+  def cascadeFinalize(refs: Map[String, DataFrame], allArrivals: DataFrame,
+      accLinks: DataFrame, cfg: LinkageConfig): DataFrame =
+    LinkageCascade.hhStage(refs, allArrivals, accLinks, cfg)
 }

@@ -26,16 +26,19 @@ object CascadeProbe {
     }
 
     val cfg = LinkageQueries.config
-    val census = LinkageQueries.census(spark, dir).cache()
+    val refs = LinkageQueries.cascadeRefs(spark, dir)
+    val census = refs("census")
     val input = LinkageQueries.input(spark, dir).cache()
     t("census cache build")(census.count())
     t("input cache build")(input.count())
+    t("namedob cache build")(refs("namedob").count())
+    t("geobase cache build")(refs("geobase").count())
 
     var acc: Option[org.apache.spark.sql.DataFrame] = None
     var remaining = input
     for (pass <- cfg.passes) {
       val links = t(s"pass ${pass.name}") {
-        LinkageCascade.predict(census, remaining, pass, cfg)
+        LinkageCascade.predict(refs(pass.ref), remaining, pass, cfg)
           .withColumn("pass", org.apache.spark.sql.functions.lit(pass.name))
           .localCheckpoint()
       }

@@ -66,6 +66,55 @@ class LinkageSpec extends SparkTestBase {
     assert(mOf("byear", 2) > 0.7, s"EM exact-level m for byear: ${mOf("byear", 2)}")
   }
 
+  test("EM recovers planted m within tolerance across seeds and blockings") {
+    GraftFunctions.register(spark)
+    // Synthetic frame with KNOWN m: n people in blocks of B; the input
+    // record of person k agrees with the census record on field f_i with
+    // planted probability rate_i (hash-gated, deterministic). Values are
+    // unique per person, so non-matches never agree (u_exact ≈ 0) and the
+    // block's true prior is exactly 1/B. EM with u and λ fixed must drive
+    // the exact-level m to the EMPIRICAL agreement rate of the planted
+    // matches (compared against the realized rate, not the nominal, so
+    // the tolerance covers only EM bias — the posterior down-weighting of
+    // matches that disagree everywhere — not sampling noise).
+    val plantedRates = Seq(("f1", 0.70), ("f2", 0.85), ("f3", 0.60))
+    val n = 600
+    for ((seed, b) <- Seq((1, 5), (2, 10), (3, 20))) {
+      def agrees(idx: Int) = {
+        val (_, rate) = plantedRates(idx)
+        pmod(col("id") * (seed * 1000003 + idx * 7919 + 13), lit(997)) <
+          lit(math.round(rate * 997).toInt)
+      }
+      def vOf(agree: org.apache.spark.sql.Column) =
+        when(agree, concat(lit("v"), col("id")))
+          .otherwise(concat(lit("w"), col("id")))
+      val census2 = spark.range(n).select(
+        col("id").as("pik"), (col("id") / b).as("blk"),
+        concat(lit("v"), col("id")).as("f1"),
+        concat(lit("v"), col("id")).as("f2"),
+        concat(lit("v"), col("id")).as("f3"))
+      val input2 = spark.range(n).select(
+        col("id").as("rec_id"), (col("id") / b).as("blk"),
+        vOf(agrees(0)).as("f1"), vOf(agrees(1)).as("f2"), vOf(agrees(2)).as("f3"))
+      val empirical = spark.range(n).select(
+        plantedRates.indices.map(i => sum(agrees(i).cast("long")).as(s"a$i")): _*)
+        .head()
+      val cmps = plantedRates.map { case (nm, _) =>
+        Comparison(nm, nm, Seq(ComparisonLevel(ExactMatch, 0.5, 0.0001)), 0.5, 0.9999)
+      }
+      val pass = BlockingPass("blk", Seq("blk"))
+      val cfg2 = LinkageConfig(cmps, lambda = 1.0 / b, thresholdWeight = 0.0,
+        passes = Seq(pass))
+      val m = LinkageCascade.emTrainSession(census2, input2, pass, cfg2, iterations = 10)
+      plantedRates.zipWithIndex.foreach { case ((nm, nominal), i) =>
+        val mExact = m.find(t => t._1 == nm && t._2 == 1).get._3
+        val realized = empirical.getLong(i).toDouble / n
+        assert(math.abs(mExact - realized) < 0.05,
+          f"seed=$seed B=$b $nm: m̂=$mExact%.4f realized=$realized%.4f nominal=$nominal")
+      }
+    }
+  }
+
   test("bestLink keeps same-pik ties and drops only multi-pik ties") {
     import spark.implicits._
     val scored = Seq(

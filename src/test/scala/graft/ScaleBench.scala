@@ -1,0 +1,102 @@
+package graft
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev harness: MEASURED scaling datapoint for BASELINE.md — runs the
+  * linkage chain + the dedup/ANN family at sf0.1 and at an N×-replicated
+  * copy of it (ids offset per copy, so the synthetic universes are
+  * disjoint), and prints per-query seconds with the empirical scaling
+  * exponent log(tN/t1)/log(N).
+  *
+  * The replicated tables land under target/scaledata (the driver testdata
+  * dir is read-only); only the three tables the measured families read are
+  * scaled (customer drives the whole linkage synthesis; documents and
+  * embeddings drive the dedup families). Offsets are multiples of the base
+  * count, which is a multiple of 200, so household/GQ structure is
+  * preserved across copies and planted-dup id ranges (+100000) stay
+  * collision-free at 10×.
+  */
+object ScaleBench {
+
+  private val chainQueries: Seq[String] = Seq(
+    "q13", "q14", "q15", "q16", "q17", "q18", "q19", "q20",
+    "q26", "q27", "q28", "q29", "q30", "q31", "q32", "q33", "q34", "q35",
+    "q36", "q37", "q38", "q39")
+
+  private val dedupQueries: Seq[String] = Seq(
+    "q40", "q41", "q42", "q43", "q44", "q45", "q51", "q52", "q56", "q68",
+    "q104")
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val baseDir = "/root/testdata/sf0.1"
+    val outDir = s"target/scaledata/x$factor"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+        else System.getProperty("java.io.tmpdir"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.register(spark)
+
+    def replicate(table: String, idCol: String): Unit = {
+      val base = spark.read.parquet(s"$baseDir/$table.parquet")
+      val n = base.count()
+      val copies = (0 until factor).map(i =>
+        base.withColumn(idCol, col(idCol) + lit(i * n)))
+      copies.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+    }
+    if (!new java.io.File(s"$outDir/embeddings.parquet").isDirectory) {
+      replicate("customer", "c_custkey")
+      replicate("documents", "doc_id")
+      replicate("embeddings", "vec_id")
+    }
+
+    val names = (chainQueries ++ dedupQueries)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => names.exists(name.startsWith) }
+
+    def timeAll(dir: String): Map[String, Double] = {
+      val w0 = System.nanoTime()
+      SparkEntry.warm(spark, dir)
+      println(f"[scale] warm($dir): ${(System.nanoTime() - w0) / 1e9}%.1f s")
+      selected.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val df = fn(spark, dir)
+        df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+          .agg(expr("bit_xor(h)")).collect()
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] $dir $name%-28s $t%7.2f s")
+        name -> t
+      }.toMap
+    }
+
+    val t1 = timeAll(baseDir)
+    val tN = timeAll(outDir)
+    println(f"%n== scaling at ${factor}x (exponent = log(tN/t1)/log($factor)) ==")
+    println(f"${"query"}%-28s ${"t_1x"}%8s ${"t_Nx"}%8s ${"exp"}%6s")
+    selected.map(_._1).foreach { q =>
+      val a = t1(q); val b = tN(q)
+      val exp = math.log(b / a) / math.log(factor.toDouble)
+      println(f"$q%-28s $a%8.2f $b%8.2f $exp%6.2f")
+    }
+    def sum(m: Map[String, Double], qs: Seq[String]) =
+      m.collect { case (k, v) if qs.exists(k.startsWith) => v }.sum
+    val chains = Seq("prep+linkage chain" -> chainQueries, "dedup family" -> dedupQueries)
+    chains.foreach { case (label, qs) =>
+      val a = sum(t1, qs); val b = sum(tN, qs)
+      println(f"$label%-28s $a%8.2f $b%8.2f ${math.log(b / a) / math.log(factor.toDouble)}%6.2f")
+    }
+    spark.stop()
+  }
+}

@@ -267,6 +267,69 @@ class StreamingSpec extends SparkTestBase {
         s"only-batch=${(batch -- out.toSet).take(5)}")
   }
 
+  test("replaying the input in 5 batches yields exactly the batch cascade's links") {
+    import graft.functions.GraftFunctions
+    import graft.linkage.LinkageCascade
+    import graft.queries.LinkageQueries
+    import graft.streaming.StreamingLinkage
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    GraftFunctions.register(spark)
+
+    val refs = LinkageQueries.cascadeRefs(spark, sfDir)
+    val input = LinkageQueries.input(spark, sfDir)
+    val cfg = LinkageQueries.config
+
+    // The streaming cascade contract: per micro-batch, anti-join the
+    // arrivals against the accumulated link state and run the 13 main
+    // search modules; at stream end, run the hhcomp finalization over the
+    // accumulated arrivals + links (the household bridge conditions on
+    // the global link set, so it cannot be per-batch).
+    val stream = MemoryStream[Long]
+    val arrivals = stream.toDF().withColumnRenamed("value", "rec_id")
+    var acc: Option[DataFrame] = None
+    val query = arrivals.writeStream.outputMode("append")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val prior = acc.getOrElse(input.select("rec_id").limit(0))
+        val batchLinks = StreamingLinkage.cascadeMainBatch(
+          refs, StreamingLinkage.reconstitute(df, input), prior, cfg)
+        acc = Some(acc.fold(batchLinks)(_.unionByName(batchLinks))
+          .localCheckpoint())
+        ()
+      }.start()
+    try {
+      val recIds = input.select("rec_id").distinct()
+        .collect().map(_.getLong(0)).sorted
+      recIds.grouped(math.max(1, (recIds.length + 4) / 5)).foreach { g =>
+        stream.addData(g.toIndexedSeq)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    val streamed = StreamingLinkage.cascadeFinalize(refs, input, acc.get, cfg)
+      .select("pik", "rec_id", "pass")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val batchSet = cascadeLinks3
+    assert(streamed == batchSet,
+      s"streaming replay vs batch cascade differ: only-streaming=" +
+        s"${(streamed -- batchSet).take(5)} only-batch=${(batchSet -- streamed).take(5)}")
+  }
+
+  /** The batch cascade's (pik, rec_id, pass) set at sfDir — the parity
+    * target for the streaming replay.
+    */
+  private lazy val cascadeLinks3: Set[(Long, Long, String)] = {
+    import graft.functions.GraftFunctions
+    import graft.linkage.LinkageCascade
+    import graft.queries.LinkageQueries
+    GraftFunctions.register(spark)
+    LinkageCascade.run(LinkageQueries.cascadeRefs(spark, sfDir),
+        LinkageQueries.input(spark, sfDir), LinkageQueries.config)
+      .select("pik", "rec_id", "pass")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+  }
+
   test("streaming incremental LSH dedup agrees with the batch q100 probe") {
     import graft.queries.PipelineQueries
     import graft.streaming.StreamingDedup
