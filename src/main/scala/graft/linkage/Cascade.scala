@@ -324,9 +324,18 @@ object LinkageCascade {
     */
   def autoSalt(census: DataFrame, input: DataFrame,
       passList: Seq[BlockingPass], maxBlockPairs: Long = 100000000L,
-      maxSalt: Int = 32): Seq[BlockingPass] = {
+      maxSalt: Int = 32): Seq[BlockingPass] =
+    autoSalt((passList.map(_.ref).toSet + "census").map(_ -> census).toMap,
+      input, passList, maxBlockPairs, maxSalt)
+
+  /** [[autoSalt]] against each pass's own reference frame — the pre-flight
+    * that prices the reference-file cascade exactly as it will run.
+    */
+  def autoSalt(refs: Map[String, DataFrame], input: DataFrame,
+      passList: Seq[BlockingPass], maxBlockPairs: Long,
+      maxSalt: Int): Seq[BlockingPass] = {
     require(maxBlockPairs > 0, s"maxBlockPairs must be positive: $maxBlockPairs")
-    val worst = blockCostSummaryAll(census, input, passList).collect()
+    val worst = blockCostSummaryAll(refs, input, passList).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("max_block_pairs")).toMap
     passList.map { p =>
       val mx = worst.getOrElse(p.name, 0L)

@@ -1434,11 +1434,14 @@ object LinkageQueries {
     * weight offset — the reference's per-module matching_columns /
     * cut_columns configuration (cells 83/101/114/138) as a queryable table.
     */
-  private val passMatrixRows: Seq[(String, Int, String, Int, String,
+  private val passMatrixRows: Seq[(String, Int, String, String, Int, String,
       Int, Option[Int], Double)] =
     (passes ++ hhPasses).zipWithIndex.flatMap { case (p, i) =>
+      // hh passes search the derived household-composition reference, not
+      // a refs-map entry — report them under their module's file name.
+      val refFile = if (hhPasses.contains(p)) "hhcomp" else p.ref
       comparisons.map { c =>
-        (p.name, i + 1, p.blockKeys.mkString("+"),
+        (p.name, i + 1, refFile, p.blockKeys.mkString("+"),
           if (p.rightRemap.nonEmpty) 1 else 0, c.name,
           if (p.excludeComparisons.contains(c.name)) 0 else 1,
           p.constGammas.get(c.name), r12(p.weightOffset))
@@ -1446,12 +1449,12 @@ object LinkageQueries {
     }
 
   private val passMatrixSql: String = {
-    val rows = passMatrixRows.map { case (pass, ord, keys, sw, cmp, sc, cg, wo) =>
+    val rows = passMatrixRows.map { case (pass, ord, rf, keys, sw, cmp, sc, cg, wo) =>
       val cgs = cg.fold("CAST(NULL AS INTEGER)")(_.toString)
-      s"('$pass', $ord, '$keys', $sw, '$cmp', $sc, $cgs, $wo)"
+      s"('$pass', $ord, '$rf', '$keys', $sw, '$cmp', $sc, $cgs, $wo)"
     }
     s"""SELECT * FROM (VALUES ${rows.mkString(", ")})
-       |AS t(pass, ordinal, block_keys, name_switch, comparison, scored, const_gamma, weight_offset)""".stripMargin
+       |AS t(pass, ordinal, ref_file, block_keys, name_switch, comparison, scored, const_gamma, weight_offset)""".stripMargin
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -2554,7 +2557,7 @@ object LinkageQueries {
       "q76_pass_matrix",
       (s, _) =>
         s.createDataFrame(passMatrixRows).toDF("pass", "ordinal",
-          "block_keys", "name_switch", "comparison", "scored",
+          "ref_file", "block_keys", "name_switch", "comparison", "scored",
           "const_gamma", "weight_offset"),
       Some(passMatrixSql)
     )

@@ -154,6 +154,34 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(plan.contains("cid"), "q51 plan lost the cell-key candidate join")
   }
 
+  test("q43 banded candidates reproduce the exact length-bucket pair set") {
+    import graft.operators.TextOps
+    // Exact reference: the quadratic same-source + |Δn_chars|<=20 join
+    // (the pre-banding q43). The MinHash-band candidate stage must not
+    // lose a single >=0.5 pair on the test corpus.
+    val docs = PipelineQueries.docsWithDups(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        TextOps.wordShingles(col("text"), 3).as("grams"))
+      .cache()
+    val inter = size(array_intersect(col("a.grams"), col("b.grams")))
+    val uni = size(array_distinct(concat(col("a.grams"), col("b.grams"))))
+    val expected = docs.as("a").join(docs.as("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.n_chars") - col("b.n_chars")) <= 20)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (inter.cast("double") / uni.cast("double")).as("j"))
+      .filter(col("j") >= 0.5)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = byName("q43_ngram_jaccard_dedup").query(spark, sfDir)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    docs.unpersist()
+    assert(got == expected,
+      s"banded pair set != exact join: missing ${(expected -- got).take(5)}, " +
+        s"extra ${(got -- expected).take(5)}")
+  }
+
   test("q52 clusters the planted dup triangles under the original doc_id") {
     val rows = byName("q52_dup_clusters").query(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
