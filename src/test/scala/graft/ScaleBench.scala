@@ -97,6 +97,54 @@ object ScaleBench {
       val a = sum(t1, qs); val b = sum(tN, qs)
       println(f"$label%-28s $a%8.2f $b%8.2f ${math.log(b / a) / math.log(factor.toDouble)}%6.2f")
     }
+
+    // q51's remaining super-linearity is the FIXED 16-centroid test
+    // fixture: cell occupancy grows with the corpus, so celled candidate
+    // pairs grow ~n²/k. The deployment lever is k tracking corpus size —
+    // measure the same celled-dedup shape at the scaled dir with k scaled
+    // 10× alongside the data, which should pull the candidate stage back
+    // to the 1× ballpark.
+    import graft.operators.VectorOps
+    import graft.queries.PipelineQueries
+    import org.apache.spark.sql.expressions.Window
+    def celledDedupSec(dir: String, k: Int): Double = {
+      val t0 = System.nanoTime()
+      val e = PipelineQueries.embWithDups(spark, dir)
+        .withColumn("nrm", VectorOps.norm(col("embedding"))).cache()
+      e.count()
+      val seedIds = (0 until k).map(i => i.toLong * 97 + 3)
+      val cents = e.filter(col("vec_id").isin(seedIds: _*))
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+      val byVec = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
+      val assign = e.select("vec_id", "label", "embedding", "nrm")
+        .crossJoin(broadcast(cents))
+        .withColumn("csim", VectorOps.dotDecimal(col("embedding"), col("ce")) /
+          (col("nrm") * col("cn")))
+        .withColumn("arnk", row_number().over(byVec))
+        .filter(col("arnk") <= 2)
+        .select("vec_id", "label", "cid")
+      val cand = assign.as("a").join(assign.as("b"),
+          col("a.label") === col("b.label") && col("a.cid") === col("b.cid") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+      val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
+      val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+      val naNb = col("na") * col("nb")
+      val fastOk = VectorOps.dotFast(col("ea"), col("eb")) >= (lit(0.9) - lit(1e-6)) * naNb
+      val exactCos = VectorOps.dotDecimal(col("ea"), col("eb")) / naNb
+      val n = cand.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
+        .filter(when(fastOk, exactCos >= 0.9).otherwise(lit(false)))
+        .count()
+      e.unpersist()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] celled dedup $dir k=$k%-4d pairs=$n $t%7.2f s")
+      t
+    }
+    println(s"\n== q51 shape with k scaled alongside the corpus ==")
+    celledDedupSec(baseDir, 16)
+    celledDedupSec(outDir, 16)
+    celledDedupSec(outDir, 16 * factor)
     spark.stop()
   }
 }
