@@ -83,13 +83,45 @@ object PipelineQueries {
     Seq(7L, 23L, 41L, 59L, 83L, 101L, 127L, 149L, 173L, 199L, 223L, 251L,
       277L, 307L, 331L, 353L)
 
-  /** q68's fixed IVF "centroids": 16 deterministic seed vectors, all
-    * < 500 so they exist at every scale factor. A real deployment trains
-    * these with k-means; fixing them keeps the oracle reproducible.
+  /** IVF index granularity TRACKS THE CORPUS: k = max(16, n/128)
+    * centroids (~128 vectors per cell), realized as the id-stride pick
+    * cid ≡ 3 (mod stride) with stride = max(1, n/k) — pure integer
+    * arithmetic on the corpus count, so the DuckDB oracle reproduces the
+    * exact centroid set and hash verification survives any scale. At 10×
+    * data the index carries 10× cells and per-cell occupancy stays ~128,
+    * keeping celled candidate generation ~linear (the round-11 fixed-k=16
+    * fixture grew occupancy with the corpus instead). A real deployment
+    * replaces the stride pick with VectorOps.kmeans at the same k; the
+    * stride pick is the deterministic stand-in with the same cost shape.
     */
-  val IvfSeedIds: Seq[Long] =
-    Seq(2L, 3L, 5L, 11L, 17L, 29L, 37L, 47L, 67L, 89L, 113L, 151L, 197L,
-      241L, 283L, 347L)
+  private def ivfCentroids(e: DataFrame): DataFrame = {
+    val params = e.agg(count(lit(1)).as("n")).select(
+      greatest(lit(1L), (col("n") /
+        greatest(lit(16L), (col("n") / lit(128)).cast("long"))).cast("long"))
+        .as("stride"))
+    e.crossJoin(broadcast(params))
+      .filter(pmod(col("vec_id"), col("stride")) === pmod(lit(3L), col("stride")))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("nrm").as("cn"))
+  }
+
+  /** Driver-side twin of the [[ivfCentroids]] arithmetic for a corpus of
+    * n dense-id vectors (specs/dev harnesses that need the seed list).
+    */
+  def ivfSeedIdsFor(n: Long): Seq[Long] = {
+    val k = math.max(16L, n / 128)
+    val stride = math.max(1L, n / k)
+    ((3L % stride) until n by stride).toSeq
+  }
+
+  /** SQL mirror of [[ivfCentroids]] over a norms CTE `rel`. */
+  private def centsCteSql(rel: String): String =
+    s"""cents AS (
+       |  SELECT vec_id AS cid, embedding AS ce, nrm AS cn
+       |  FROM $rel,
+       |       (SELECT greatest(1, count(*) // greatest(16, count(*) // 128)) AS stride
+       |        FROM $rel) p
+       |  WHERE vec_id % stride = 3 % stride)""".stripMargin
 
   /** norm CTE over a (vec_id, embedding, ...) relation. */
   private def normsCte(name: String, rel: String, extraCols: String = ""): String =
@@ -217,8 +249,7 @@ object PipelineQueries {
         assignFrames.clear()
         graft.functions.GraftFunctions.register(s)
         val e = embNorms(s, d)
-        val cents = e.filter(col("vec_id").isin(IvfSeedIds: _*))
-          .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+        val cents = ivfCentroids(e)
         val byVec = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
         val df = e.crossJoin(broadcast(cents))
           .withColumn("csim",
@@ -252,9 +283,7 @@ object PipelineQueries {
     * expects `nrms` in scope). Shared by q68 and q89.
     */
   private def ivfTailCtes: String =
-    s"""cents AS (
-       |  SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM nrms
-       |  WHERE vec_id IN (${IvfSeedIds.mkString(", ")})),
+    s"""${centsCteSql("nrms")},
        |csims AS (
        |  SELECT n.vec_id, c.cid, MAX(n.nrm) AS nrm, MAX(c.cn) AS cn,
        |         ${VectorOps.dotDecimalSql("n.embedding", "c.ce")} AS cdot
@@ -1055,9 +1084,7 @@ object PipelineQueries {
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         val e = embDupNorms(s, d)
-        val cents = e.filter(col("vec_id").isin(IvfSeedIds: _*))
-          .select(col("vec_id").as("cid"), col("embedding").as("ce"),
-            col("nrm").as("cn"))
+        val cents = ivfCentroids(e)
         val byVec = Window.partitionBy("vec_id")
           .orderBy(col("csim").desc, col("cid").asc)
         val assign = e.select("vec_id", "label", "embedding", "nrm")
@@ -1091,8 +1118,7 @@ object PipelineQueries {
       },
       Some(s"""WITH $emb2Cte,
               |${normsCte("nrms", "emb2", ", label")},
-              |cents AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn
-              |          FROM nrms WHERE vec_id IN (${IvfSeedIds.mkString(", ")})),
+              |${centsCteSql("nrms")},
               |csims AS (
               |  SELECT n.vec_id, n.label, c.cid, MAX(n.nrm) AS nrm, MAX(c.cn) AS cn,
               |         ${VectorOps.dotDecimalSql("n.embedding", "c.ce")} AS dot
@@ -1557,9 +1583,7 @@ object PipelineQueries {
               .as("c_new"))
       },
       Some(s"""WITH ${normsCte("nrms", "embeddings")},
-              |cents AS (
-              |  SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM nrms
-              |  WHERE vec_id IN (${IvfSeedIds.mkString(", ")})),
+              |${centsCteSql("nrms")},
               |csims AS (
               |  SELECT n.vec_id, c.cid, MAX(n.nrm) AS nrm, MAX(c.cn) AS cn,
               |         ${VectorOps.dotDecimalSql("n.embedding", "c.ce")} AS cdot

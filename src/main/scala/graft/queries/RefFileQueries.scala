@@ -3,29 +3,60 @@ package graft.queries
 import graft.QueryDef
 import graft.operators.{Noise, Preprocess}
 import graft.ops.{DfOps, Lineage}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.G — reference-file construction (the notebook-02 surface:
   * /root/reference/02_generate_case_study_files.ipynb). A two-era
-  * "numident" derives deterministically from `persons` (era 0 clean
-  * names, era 1 the messy name variants and a bumped DOB day for k%6),
-  * then the lineage operators build the alternate-name file, the
-  * name×DOB reference file (all combinations per SSN, each record
-  * tracing to every source row that contributed), and the SSN→PIK
-  * assignment — cells 62/66/70/114.
+  * "numident" derives deterministically from `persons` for SSN-holders
+  * (era 0 clean names, era 1 the messy name variants and a bumped DOB day
+  * for k%6); the TAX sources — one 1040 filing per filer plus the last
+  * five W2/1099 tax years (cells 24-39) — carry the IRS noise chain
+  * (wrong-boundary name splits, 4-char last-name truncation, name-part
+  * shuffles) and feed the reference files exactly the way the reference
+  * wires them: addresses_by_ssn dedupes ALL tax filings on (ssn, address)
+  * into the GeoBase merge (cells 78-84), and ITIN names from the 1040
+  * filings of SSN-less filers concat into the name/DOB reference file
+  * (cells 72-76). The lineage operators keep every derived record traced
+  * to all raw filings that produced it.
   *
   * Spark + DuckDB render from the same construction so the whole chain is
   * hash-verified: group-mins for dedupe ids, parent-id concatenation for
   * merge ids, windowed group mapping for pairings.
+  *
+  * Scale shape: every step is an equi-join or a single shuffle on its
+  * dedupe keys; the W2 expansion is a 5-way explode (flatMap, no join);
+  * nothing is driver-side.
   */
 object RefFileQueries {
 
-  /** Two rows per person: the SSA-era clean record and a later filing with
-    * the messy names (and a shifted DOB day for k%6 — alternate DOBs).
+  private val nameCols = Seq("first_name", "middle_initial", "last_name")
+  private val addrCols = Seq("street_num", "street_std", "city", "state", "zipcode")
+  private val taxYears = Seq(2025, 2026, 2027, 2028, 2029)
+
+  /** Identifier a tax filing reports: SSN-holders file under their SSN;
+    * the SSN-less slice (k%5==4, reference 02 cells 72-75) files under an
+    * ITIN in the 9-range. Only k%3==0 of the SSN-less actually file.
+    */
+  private def taxSsn(k: Column): Column =
+    when(pmod(k, lit(5)) === 4, lit(900000000L) + k).otherwise(k)
+
+  private def taxSsnSql(k: String): String =
+    s"CASE WHEN ($k) % 5 = 4 THEN 900000000 + ($k) ELSE ($k) END"
+
+  private val taxFilerWhere = "(k % 5 <> 4 OR k % 3 = 0)"
+
+  private def taxFilerFilter(df: DataFrame): DataFrame =
+    df.filter(pmod(col("k"), lit(5)) =!= 4 || pmod(col("k"), lit(3)) === 0)
+
+  /** Two rows per SSN-holder: the SSA-era clean record and a later filing
+    * with the messy names (and a shifted DOB day for k%6 — alternate
+    * DOBs). The k%5==4 slice holds no SSN, so the SSA numident never
+    * covers it (they enter the reference files only through ITIN filings).
     */
   private def numident(s: SparkSession, d: String): DataFrame = {
-    val p = People.persons(s, d)
+    val p = People.persons(s, d).filter(pmod(col("k"), lit(5)) =!= 4)
     val era0 = p.select(
       concat(lit("num0_"), col("k")).as("record_id"),
       col("k").as("ssn"),
@@ -51,20 +82,180 @@ object RefFileQueries {
     s"""numident AS (
        |  SELECT 'num0_' || CAST(k AS VARCHAR) AS record_id, k AS ssn,
        |         first_name, last_name, dob_year, dob_month, dob_day
-       |  FROM persons
+       |  FROM persons WHERE k % 5 <> 4
        |  UNION ALL
        |  SELECT 'num1_' || CAST(k AS VARCHAR), k,
        |         CASE WHEN k % 9 = 0 THEN first_name ELSE messy_first END,
        |         CASE WHEN k % 9 = 0 THEN last_name ELSE messy_last END,
        |         dob_year, dob_month,
        |         CAST(CASE WHEN k % 6 = 0 THEN dob_day % 28 + 1 ELSE dob_day END AS INTEGER)
-       |  FROM persons)""".stripMargin
+       |  FROM persons WHERE k % 5 <> 4)""".stripMargin
 
   private val base = s"WITH ${People.personsCte},\n$numidentCte"
 
-  /** The q72 construction as reusable pieces: (ndr frame, ndr pairs) via
-    * the Lineage operators. q72 reports it directly; q117 merges it with
-    * addresses into the GeoBase.
+  // ---- tax sources (reference 02 cells 24-39) ------------------------------
+
+  /** One 1040 filing per filer: current address, names through the IRS
+    * noise chain (cells 24-26: wrong-boundary splits 1%, last-name
+    * truncation to 4 chars 40%, name-part shuffles 1% — seeds 1/2/3 keyed
+    * on k, the same chain q118's ITIN identity data carries).
+    */
+  private def t1040(s: SparkSession, d: String): DataFrame = {
+    val p = taxFilerFilter(People.persons(s, d))
+    val raw = p.select(
+      concat(lit("t1040_"), col("k")).as("record_id"),
+      col("k"), taxSsn(col("k")).as("ssn"),
+      col("first_name"), col("middle_initial"), col("last_name"),
+      col("street_num"),
+      Preprocess.standardizeAddressPart(col("street_raw")).as("street_std"),
+      col("city"), col("state"), col("zipcode"))
+    val sp = Noise.splitColumnsIncorrectly(raw, nameCols, "k", 0.01, 1)
+    val tr = Noise.truncateColumn(sp, "last_name", "k", 0.4, 4, 2)
+    Noise.shuffleColumns(tr, nameCols, "k", 0.01, 3)
+  }
+
+  /** The last 5 W2/1099 tax years (cells 29-33): one filing per filer per
+    * year present (each filer misses the one year of five where
+    * (k + year) % 5 == 0), mailing address = the OLD household address for
+    * moved households in the two earliest years (so addresses_by_ssn keeps
+    * "current and recent addresses"), names through the same IRS chain
+    * (seeds 4/5/6 keyed on the per-filing key wk). A k%57 slice's 2026
+    * filing reports the NEIGHBOR's SSN — the reference-file-construction
+    * error class that mints multi-simulant PIKs (notebook 04 cell 25).
+    */
+  private def w2(s: SparkSession, d: String): DataFrame = {
+    val p = taxFilerFilter(People.persons(s, d))
+      .withColumn("tax_year", explode(array(taxYears.map(lit): _*)))
+      .filter(pmod(col("k") + col("tax_year"), lit(5)) =!= 0)
+    val old = People.householdMoved(col("hh")) && col("tax_year") <= 2026
+    val wrong = pmod(col("k"), lit(57)) === 0 && pmod(col("k"), lit(5)) =!= 4 &&
+      pmod(col("k") + 1, lit(5)) =!= 4 && col("tax_year") === 2026
+    val raw = p.select(
+      concat(lit("w2_"), col("tax_year"), lit("_"), col("k")).as("record_id"),
+      col("tax_year"), col("k"),
+      (col("k") * 5 + (col("tax_year") - lit(2025))).as("wk"),
+      when(wrong, col("k") + 1).otherwise(taxSsn(col("k"))).as("ssn"),
+      col("first_name"), col("middle_initial"), col("last_name"),
+      when(old, col("street_num_old")).otherwise(col("street_num")).as("street_num"),
+      when(old, Preprocess.standardizeAddressPart(col("street_raw_old")))
+        .otherwise(Preprocess.standardizeAddressPart(col("street_raw"))).as("street_std"),
+      when(old, col("city_old")).otherwise(col("city")).as("city"),
+      when(old, col("state_old")).otherwise(col("state")).as("state"),
+      when(old, col("zipcode_old")).otherwise(col("zipcode")).as("zipcode"))
+    val sp = Noise.splitColumnsIncorrectly(raw, nameCols, "wk", 0.01, 4)
+    val tr = Noise.truncateColumn(sp, "last_name", "wk", 0.4, 4, 5)
+    Noise.shuffleColumns(tr, nameCols, "wk", 0.01, 6)
+  }
+
+  private val w2OldSql = "(hh % 13 = 0 AND hh % 200 <> 0 AND tax_year <= 2026)"
+  private val w2WrongSql =
+    "(k % 57 = 0 AND k % 5 <> 4 AND (k + 1) % 5 <> 4 AND tax_year = 2026)"
+
+  import Preprocess.{standardizeAddressPartSql => stdSql}
+
+  /** CTEs rendering [[t1040]] and [[w2]] — the noise chain stages mirror
+    * q74's oracle (split → trunc → shuffle as successive CTEs so each
+    * stage observes the previous stage's outputs, exactly like the
+    * Spark-side sequential projections).
+    */
+  private val taxCtes: String = {
+    val sp1 = Noise.splitColumnsIncorrectlySql(nameCols, "k", 0.01, 1)
+    val tr1 = Noise.truncateColumnSql("last_name", "k", 0.4, 4, 2)
+    val sh1 = Noise.shuffleColumnsSql(nameCols, "k", 0.01, 3)
+    val sp2 = Noise.splitColumnsIncorrectlySql(nameCols, "wk", 0.01, 4)
+    val tr2 = Noise.truncateColumnSql("last_name", "wk", 0.4, 4, 5)
+    val sh2 = Noise.shuffleColumnsSql(nameCols, "wk", 0.01, 6)
+    s"""t1040base AS (
+       |  SELECT 't1040_' || CAST(k AS VARCHAR) AS record_id, k,
+       |         ${taxSsnSql("k")} AS ssn,
+       |         first_name, middle_initial, last_name,
+       |         street_num, ${stdSql("street_raw")} AS street_std,
+       |         city, state, zipcode
+       |  FROM persons WHERE $taxFilerWhere),
+       |t1040split AS (
+       |  SELECT record_id, k, ssn, ${sp1("first_name")} AS first_name,
+       |         ${sp1("middle_initial")} AS middle_initial,
+       |         ${sp1("last_name")} AS last_name,
+       |         street_num, street_std, city, state, zipcode
+       |  FROM t1040base),
+       |t1040trunc AS (
+       |  SELECT record_id, k, ssn, first_name, middle_initial,
+       |         $tr1 AS last_name,
+       |         street_num, street_std, city, state, zipcode
+       |  FROM t1040split),
+       |t1040 AS MATERIALIZED (
+       |  SELECT record_id, k, ssn, ${sh1("first_name")} AS first_name,
+       |         ${sh1("middle_initial")} AS middle_initial,
+       |         ${sh1("last_name")} AS last_name,
+       |         street_num, street_std, city, state, zipcode
+       |  FROM t1040trunc),
+       |w2base AS (
+       |  SELECT 'w2_' || CAST(tax_year AS VARCHAR) || '_' || CAST(k AS VARCHAR) AS record_id,
+       |         tax_year, k, k * 5 + (tax_year - 2025) AS wk,
+       |         CASE WHEN $w2WrongSql THEN k + 1 ELSE ${taxSsnSql("k")} END AS ssn,
+       |         first_name, middle_initial, last_name,
+       |         CASE WHEN $w2OldSql THEN street_num_old ELSE street_num END AS street_num,
+       |         CASE WHEN $w2OldSql THEN ${stdSql("street_raw_old")}
+       |              ELSE ${stdSql("street_raw")} END AS street_std,
+       |         CASE WHEN $w2OldSql THEN city_old ELSE city END AS city,
+       |         CASE WHEN $w2OldSql THEN state_old ELSE state END AS state,
+       |         CASE WHEN $w2OldSql THEN zipcode_old ELSE zipcode END AS zipcode
+       |  FROM persons
+       |  CROSS JOIN (SELECT unnest([${taxYears.mkString(", ")}]) AS tax_year) years
+       |  WHERE $taxFilerWhere AND (k + tax_year) % 5 <> 0),
+       |w2split AS (
+       |  SELECT record_id, tax_year, k, wk, ssn, ${sp2("first_name")} AS first_name,
+       |         ${sp2("middle_initial")} AS middle_initial,
+       |         ${sp2("last_name")} AS last_name,
+       |         street_num, street_std, city, state, zipcode
+       |  FROM w2base),
+       |w2trunc AS (
+       |  SELECT record_id, tax_year, k, wk, ssn, first_name, middle_initial,
+       |         $tr2 AS last_name,
+       |         street_num, street_std, city, state, zipcode
+       |  FROM w2split),
+       |w2 AS MATERIALIZED (
+       |  SELECT record_id, tax_year, k, wk, ssn, ${sh2("first_name")} AS first_name,
+       |         ${sh2("middle_initial")} AS middle_initial,
+       |         ${sh2("last_name")} AS last_name,
+       |         street_num, street_std, city, state, zipcode
+       |  FROM w2trunc)""".stripMargin
+  }
+
+  // ---- addresses_by_ssn (cells 78-80) --------------------------------------
+
+  /** Every tax filing's (ssn, standardized address), deduped with lineage:
+    * one record per distinct combination, tracing to ALL filings that
+    * reported it. Moved households contribute both addresses; the wrong-
+    * SSN W2 slice contributes a neighbor's address group.
+    */
+  private def addressesBySsn(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val cols = ("record_id" +: "ssn" +: addrCols).map(col)
+    val all = t1040(s, d).select(cols: _*).unionByName(w2(s, d).select(cols: _*))
+    Lineage.dedupePreservingSourceRecords(
+      all, Lineage.initPairs(all), "ssn" +: addrCols, "abys")
+  }
+
+  private val abysCtes: String =
+    s"""taxaddr AS (
+       |  SELECT record_id, ssn, street_num, street_std, city, state, zipcode FROM t1040
+       |  UNION ALL
+       |  SELECT record_id, ssn, street_num, street_std, city, state, zipcode FROM w2),
+       |abys AS MATERIALIZED (
+       |  SELECT 'abys_' || min(record_id) AS record_id, ssn,
+       |         street_num, street_std, city, state, zipcode
+       |  FROM taxaddr
+       |  GROUP BY ssn, street_num, street_std, city, state, zipcode),
+       |abys_map AS (
+       |  SELECT record_id AS src,
+       |         'abys_' || min(record_id) OVER (
+       |           PARTITION BY ssn, street_num, street_std, city, state, zipcode) AS ab_id
+       |  FROM taxaddr)""".stripMargin
+
+  // ---- name/DOB reference file (cells 62-76) -------------------------------
+
+  /** The numident-derived pieces: alternate names × alternate DOBs per
+    * ssn via the lineage operators (cells 62/66/70).
     */
   private def nameDobRef(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val n = numident(s, d)
@@ -77,27 +268,31 @@ object RefFileQueries {
     Lineage.mergePreservingSourceRecords(altN, pN, altD, pD, Seq("ssn"), "ndr")
   }
 
-  /** Addresses-by-SSN: one current-address filing per person (street
-    * standardized the same way the linkage preprocessing does).
+  /** The FULL name/DOB reference file: numident combinations concat'd with
+    * the ITIN name records retained from the 1040 filings of SSN-less
+    * filers (cells 73/76 — "as well as ITIN data"). ITIN rows carry no
+    * DOB (the tax filing reports none).
     */
-  private def addresses(s: SparkSession, d: String): DataFrame =
-    People.persons(s, d).select(
-      concat(lit("addr_"), col("k")).as("record_id"),
-      col("k").as("ssn"),
-      col("street_num"),
-      Preprocess.standardizeAddressPart(col("street_raw")).as("street_std"),
-      col("city"), col("state"), col("zipcode"))
+  private def nameDobRefFull(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val (ndr, pM) = nameDobRef(s, d)
+    val itinRaw = t1040(s, d).filter(col("ssn") >= 900000000L)
+      .select("record_id", "ssn", "first_name", "last_name")
+    val (itn, pI) = Lineage.dedupePreservingSourceRecords(
+      itinRaw, Lineage.initPairs(itinRaw), Seq("ssn", "first_name", "last_name"), "itn")
+    val outCols = Seq("record_id", "ssn", "first_name", "last_name",
+      "dob_year", "dob_month", "dob_day")
+    val itnAligned = itn
+      .withColumn("dob_year", lit(null).cast("int"))
+      .withColumn("dob_month", lit(null).cast("int"))
+      .withColumn("dob_day", lit(null).cast("int"))
+      .select(outCols.map(col): _*)
+    Lineage.concatPreservingSourceRecords(
+      Seq(ndr.select(outCols.map(col): _*), itnAligned), Seq(pM, pI))
+  }
 
-  private val addrCte: String =
-    s"""addr AS (
-       |  SELECT 'addr_' || CAST(k AS VARCHAR) AS record_id, k AS ssn,
-       |         street_num,
-       |         ${Preprocess.standardizeAddressPartSql("street_raw")} AS street_std,
-       |         city, state, zipcode
-       |  FROM persons)""".stripMargin
-
-  /** The q72 oracle's CTE chain (altn/altd/ndr + the lineage maps),
-    * shared verbatim by q117's oracle so the two files cannot drift.
+  /** The numident-side CTE chain (altn/altd/ndr + lineage maps) plus the
+    * ITIN concat (itn/ndrf) — shared verbatim by q72/q117/q120's oracles
+    * so the files cannot drift.
     */
   private val ndrCtes: String =
     s"""altn AS (
@@ -120,10 +315,53 @@ object RefFileQueries {
        |  SELECT record_id AS src,
        |         'altd_' || min(record_id) OVER (PARTITION BY ssn, dob_year, dob_month, dob_day) AS ad_id
        |  FROM numident),
-       |ndr_pairs AS (
+       |itn AS (
+       |  SELECT 'itn_' || min(record_id) AS record_id, ssn, first_name, last_name
+       |  FROM t1040 WHERE ssn >= 900000000 GROUP BY ssn, first_name, last_name),
+       |itn_map AS (
+       |  SELECT record_id AS src,
+       |         'itn_' || min(record_id) OVER (PARTITION BY ssn, first_name, last_name) AS itn_id
+       |  FROM t1040 WHERE ssn >= 900000000),
+       |ndrf AS MATERIALIZED (
+       |  SELECT record_id, ssn, first_name, last_name, dob_year, dob_month, dob_day,
+       |         an_id, ad_id, CAST(NULL AS VARCHAR) AS itn_id
+       |  FROM ndr
+       |  UNION ALL
+       |  SELECT record_id, ssn, first_name, last_name,
+       |         CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+       |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), record_id
+       |  FROM itn),
+       |ndrf_pairs AS MATERIALIZED (
        |  SELECT r.record_id, m.src FROM ndr r JOIN an_map m ON r.an_id = m.an_id
        |  UNION
-       |  SELECT r.record_id, m.src FROM ndr r JOIN ad_map m ON r.ad_id = m.ad_id)""".stripMargin
+       |  SELECT r.record_id, m.src FROM ndr r JOIN ad_map m ON r.ad_id = m.ad_id
+       |  UNION
+       |  SELECT f.record_id, m.src FROM ndrf f JOIN itn_map m ON f.itn_id = m.itn_id)""".stripMargin
+
+  /** GeoBase CTEs (cell 84): the full name/DOB file LEFT JOIN
+    * addresses_by_ssn on ssn, lineage = union of both parents'.
+    */
+  private val geobCtes: String =
+    s"""geob AS MATERIALIZED (
+       |  SELECT 'geo_' || r.record_id || '_' || coalesce(a.record_id, 'na') AS record_id,
+       |         r.ssn, r.first_name, r.last_name,
+       |         r.dob_year, r.dob_month, r.dob_day,
+       |         a.street_num, a.street_std, a.city, a.state, a.zipcode,
+       |         r.record_id AS ndr_id, a.record_id AS ab_id
+       |  FROM ndrf r LEFT JOIN abys a ON r.ssn = a.ssn),
+       |gpairs AS MATERIALIZED (
+       |  SELECT g.record_id, p.src FROM geob g JOIN ndrf_pairs p ON g.ndr_id = p.record_id
+       |  UNION
+       |  SELECT g.record_id, m.src FROM geob g JOIN abys_map m ON g.ab_id = m.ab_id)""".stripMargin
+
+  /** The GeoBase frame + pairs on the Spark side. */
+  private def geobaseFull(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val (ndrFull, pFull) = nameDobRefFull(s, d)
+    val (abys, pA) = addressesBySsn(s, d)
+    Lineage.mergePreservingSourceRecords(ndrFull, pFull, abys, pA, Seq("ssn"), "geo")
+  }
+
+  private val refBase = s"$base,\n$taxCtes,\n$abysCtes,\n$ndrCtes"
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
@@ -149,13 +387,14 @@ object RefFileQueries {
               |GROUP BY ssn, first_name, last_name""".stripMargin)
     ),
     QueryDef(
-      // Name×DOB reference file (cells 66/70): alternate names LEFT JOIN
-      // alternate DOBs on ssn — every name/DOB combination per person,
-      // with the merged record's sources = union of both parents'
-      // sources. Joins on ssn only; lineage via two equi-joins + distinct.
+      // Name×DOB reference file (cells 66/70/76): alternate names LEFT
+      // JOIN alternate DOBs on ssn — every name/DOB combination per
+      // SSN-holder — CONCAT'd with the ITIN name records retained from
+      // 1040 filings ("as well as ITIN data"). Joins on ssn only; lineage
+      // via equi-joins + distinct.
       "q72_name_dob_reference",
       (s, d) => {
-        val (ndr, pM) = nameDobRef(s, d)
+        val (ndr, pM) = nameDobRefFull(s, d)
         ndr.join(
           pM.groupBy("record_id")
             .agg(countDistinct("source_record_id").as("n_sources")),
@@ -163,12 +402,11 @@ object RefFileQueries {
           .select("record_id", "ssn", "first_name", "last_name",
             "dob_year", "dob_month", "dob_day", "n_sources")
       },
-      Some(s"""$base,
-              |$ndrCtes,
-              |counts AS (SELECT record_id, count(DISTINCT src) AS n_sources FROM ndr_pairs GROUP BY record_id)
+      Some(s"""$refBase,
+              |counts AS (SELECT record_id, count(DISTINCT src) AS n_sources FROM ndrf_pairs GROUP BY record_id)
               |SELECT r.record_id, r.ssn, r.first_name, r.last_name,
               |       r.dob_year, r.dob_month, r.dob_day, c.n_sources
-              |FROM ndr r JOIN counts c ON r.record_id = c.record_id""".stripMargin)
+              |FROM ndrf r JOIN counts c ON r.record_id = c.record_id""".stripMargin)
     ),
     QueryDef(
       // SSN→PIK assignment (cell 114): distinct SSNs across the reference
@@ -191,14 +429,12 @@ object RefFileQueries {
       // the identical transform.
       "q74_noise_inject",
       (s, d) => {
-        val nameCols = Seq("first_name", "middle_initial", "last_name")
         val base = People.persons(s, d)
           .select("k", "first_name", "middle_initial", "last_name")
         val split = Noise.splitColumnsIncorrectly(base, nameCols, "k", 0.01, 1)
         val trunc = Noise.truncateColumn(split, "last_name", "k", 0.4, 4, 2)
         Noise.shuffleColumns(trunc, nameCols, "k", 0.01, 3)
       }, {
-        val nameCols = Seq("first_name", "middle_initial", "last_name")
         val sp = Noise.splitColumnsIncorrectlySql(nameCols, "k", 0.01, 1)
         val tr = Noise.truncateColumnSql("last_name", "k", 0.4, 4, 2)
         val sh = Noise.shuffleColumnsSql(nameCols, "k", 0.01, 3)
@@ -295,18 +531,18 @@ object RefFileQueries {
       }
     ),
     QueryDef(
-      // The GeoBase reference file build (reference 02 cell 84): the
-      // name×DOB reference merged with addresses-by-SSN on ssn via the
-      // same lineage-preserving merge — every GeoBase record traces to the
-      // numident filings AND the address filing that produced it
-      // (n_sources = the union). One equi-join on ssn over the q72 chain;
-      // at scale each step is a shuffle on its key, nothing driver-side.
+      // The GeoBase reference file build (reference 02 cell 84): the FULL
+      // name×DOB reference file (numident combos + ITIN names) merged
+      // with addresses_by_ssn — the deduped (ssn, address) combinations
+      // across ALL tax filings (1040 + five W2/1099 years) — via the same
+      // lineage-preserving merge. Every GeoBase record traces to the
+      // numident filings AND the tax filings that produced it; moved
+      // households carry BOTH their current and recent address rows. One
+      // equi-join on ssn over the q72 chain; at scale each step is a
+      // shuffle on its key, nothing driver-side.
       "q117_geobase_reference",
       (s, d) => {
-        val (ndr, pM) = nameDobRef(s, d)
-        val addr = addresses(s, d)
-        val (geob, pG) = Lineage.mergePreservingSourceRecords(
-          ndr, pM, addr, Lineage.initPairs(addr), Seq("ssn"), "geo")
+        val (geob, pG) = geobaseFull(s, d)
         geob.join(
           pG.groupBy("record_id")
             .agg(countDistinct("source_record_id").as("n_sources")),
@@ -315,20 +551,8 @@ object RefFileQueries {
             "dob_year", "dob_month", "dob_day",
             "street_num", "street_std", "city", "state", "zipcode", "n_sources")
       },
-      Some(s"""$base,
-              |$ndrCtes,
-              |$addrCte,
-              |geob AS (
-              |  SELECT 'geo_' || r.record_id || '_' || coalesce(a.record_id, 'na') AS record_id,
-              |         r.ssn, r.first_name, r.last_name,
-              |         r.dob_year, r.dob_month, r.dob_day,
-              |         a.street_num, a.street_std, a.city, a.state, a.zipcode,
-              |         r.record_id AS ndr_id, a.record_id AS addr_id
-              |  FROM ndr r LEFT JOIN addr a ON r.ssn = a.ssn),
-              |gpairs AS (
-              |  SELECT g.record_id, p.src FROM geob g JOIN ndr_pairs p ON g.ndr_id = p.record_id
-              |  UNION
-              |  SELECT g.record_id, g.addr_id AS src FROM geob g WHERE g.addr_id IS NOT NULL),
+      Some(s"""$refBase,
+              |$geobCtes,
               |gcounts AS (SELECT record_id, count(DISTINCT src) AS n_sources FROM gpairs GROUP BY record_id)
               |SELECT g.record_id, g.ssn, g.first_name, g.last_name,
               |       g.dob_year, g.dob_month, g.dob_day,
@@ -346,7 +570,6 @@ object RefFileQueries {
       // contiguous PIKs the q73 way (range-partitioned, no global window).
       "q118_itin_incorporation",
       (s, d) => {
-        val nameCols = Seq("first_name", "middle_initial", "last_name")
         val p = People.persons(s, d)
         val ssa = p.filter(pmod(col("k"), lit(5)) =!= 4)
           .select(col("k").as("id"), lit("ssn").as("id_type"),
@@ -363,7 +586,6 @@ object RefFileQueries {
         DfOps.addContiguousId(ids, "id", "pik")
           .select("pik", "id", "id_type", "first_name", "middle_initial", "last_name")
       }, {
-        val nameCols = Seq("first_name", "middle_initial", "last_name")
         val sp = Noise.splitColumnsIncorrectlySql(nameCols, "k", 0.01, 1)
         val tr = Noise.truncateColumnSql("last_name", "k", 0.4, 4, 2)
         val sh = Noise.shuffleColumnsSql(nameCols, "k", 0.01, 3)
@@ -391,6 +613,215 @@ object RefFileQueries {
                 |       first_name, middle_initial, last_name
                 |FROM allids""".stripMargin)
       }
+    ),
+    QueryDef(
+      // The W2/1099 multi-year tax source itself (reference 02 cells
+      // 29-34): the last five tax years concat'd, per-year presence, the
+      // IRS noise chain applied per filing, each row carrying its tax
+      // year and source file — the per-source lineage the reference keeps
+      // via record_id_to_single_source_record_pairs. The 5-way year
+      // expansion is an explode (flatMap), not a join; linear at scale.
+      "q119_w2_source",
+      (s, d) => w2(s, d)
+        .withColumn("source", lit("w2_1099"))
+        .select("record_id", "source", "tax_year", "ssn",
+          "first_name", "middle_initial", "last_name",
+          "street_num", "street_std", "city", "state", "zipcode"),
+      Some(s"""WITH ${People.personsCte},
+              |$taxCtes
+              |SELECT record_id, 'w2_1099' AS source, tax_year, ssn,
+              |       first_name, middle_initial, last_name,
+              |       street_num, street_std, city, state, zipcode
+              |FROM w2""".stripMargin)
+    ),
+    QueryDef(
+      // addresses_by_ssn (reference 02 cell 80): all tax filings' (ssn,
+      // standardized address) combinations deduped with lineage — the
+      // GeoBase's address side. n_sources counts how many filings (across
+      // 1040 + five W2 years) reported that exact address.
+      "q121_addresses_by_ssn",
+      (s, d) => {
+        val (abys, pA) = addressesBySsn(s, d)
+        abys.join(
+          pA.groupBy("record_id")
+            .agg(countDistinct("source_record_id").as("n_sources")),
+          Seq("record_id"))
+          .select("record_id", "ssn", "street_num", "street_std",
+            "city", "state", "zipcode", "n_sources")
+      },
+      Some(s"""WITH ${People.personsCte},
+              |$taxCtes,
+              |$abysCtes,
+              |acounts AS (SELECT ab_id, count(DISTINCT src) AS n_sources FROM abys_map GROUP BY ab_id)
+              |SELECT a.record_id, a.ssn, a.street_num, a.street_std,
+              |       a.city, a.state, a.zipcode, c.n_sources
+              |FROM abys a JOIN acounts c ON a.record_id = c.ab_id""".stripMargin)
+    ),
+    QueryDef(
+      // Notebook-04 accuracy Definitions 1/2/3 (cells 24-52), computed
+      // through reference-file LINEAGE: resolve each reference record's
+      // simulants via its source-record pairings (cell 87), build
+      // pik_simulant_pairs with n_unique_simulants (cells 24-26 — the
+      // wrong-SSN W2 filings make some PIKs genuinely multi-simulant),
+      // then score a deterministic PIK assignment of the input file at
+      // both the PIK level and the record level:
+      //   1 (strict)  — multi-simulant PIK assignments are incorrect;
+      //   2           — they are excluded from the denominator;
+      //   3 (lenient) — correct if ANY simulant matches the truth.
+      // Every step is an equi-join or key-shuffle; the final six scalars
+      // cross-join 1-row aggregates (intended, PlanSpec-allowlisted).
+      "q120_accuracy_definitions",
+      (s, d) => {
+        val (ndrFull, pFull) = nameDobRefFull(s, d)
+        val (geob, pG) = geobaseFull(s, d)
+        // Truth: every raw filing record traces to the person that filed
+        // it (numident rows are per-SSN-holder; tax rows keep k).
+        val truth = numident(s, d).select(col("record_id"), col("ssn").as("simulant_id"))
+          .unionByName(t1040(s, d).select(col("record_id"), col("k").as("simulant_id")))
+          .unionByName(w2(s, d).select(col("record_id"), col("k").as("simulant_id")))
+        val refGt = Lineage.resolveGroundTruth(pFull.unionByName(pG), truth)
+          .withColumnRenamed("n_truths", "n_unique_simulants")
+        // SSN→PIK crosswalk over the reference files' identifier set.
+        val piks = DfOps.addContiguousId(
+          ndrFull.select("ssn").distinct(), "ssn", "pik").select("ssn", "pik")
+        val recPik = ndrFull.select("record_id", "ssn")
+          .unionByName(geob.select("record_id", "ssn"))
+          .join(piks, Seq("ssn"))
+        val psp = refGt.join(recPik, Seq("record_id"))
+          .select("pik", "simulant_id").distinct()
+          .withColumn("nu", count(lit(1)).over(Window.partitionBy("pik")))
+        // Deterministic PIK assignment of the input file: SSN-holders
+        // link to their own SSN's PIK except a k%83 wrong-link slice
+        // (the neighbor's PIK); ITIN filers link to their ITIN's PIK;
+        // SSN-less non-filers stay unPIKed.
+        val holders = pmod(col("k"), lit(5)) =!= 4
+        val itinFiler = pmod(col("k"), lit(5)) === 4 && pmod(col("k"), lit(3)) === 0
+        val wrongLink = holders && pmod(col("k"), lit(83)) === 0 &&
+          pmod(col("k") + 1, lit(5)) =!= 4
+        val piked = People.persons(s, d).select(
+          concat(lit("cin_"), col("k")).as("in_id"),
+          col("k").as("simulant_in"),
+          when(wrongLink, col("k") + 1)
+            .when(holders, col("k"))
+            .when(itinFiler, lit(900000000L) + col("k"))
+            .otherwise(lit(null).cast("long")).as("assigned_ssn"))
+          .join(piks.withColumnRenamed("ssn", "assigned_ssn"), Seq("assigned_ssn"))
+        // Record-level: the confirmed link picks the ssn's first GeoBase
+        // record (min record_id — deterministic under any partitioning).
+        val confirmed = piked.join(
+          geob.groupBy("ssn").agg(min("record_id").as("ref_id"))
+            .withColumnRenamed("ssn", "assigned_ssn"),
+          Seq("assigned_ssn"))
+        val refGtByRef = refGt.withColumnRenamed("record_id", "ref_id")
+        val assigned = piked.agg(count(lit(1)).as("den"))
+        val d2pd = piked.join(psp.filter(col("nu") === 1), Seq("pik"))
+          .agg(count(lit(1)).as("den"))
+        val d2rd = confirmed.join(refGtByRef, Seq("ref_id"))
+          .agg(coalesce(sum(when(col("n_unique_simulants") === 1, 1L).otherwise(0L)),
+            lit(0L)).as("den"))
+        val d1p = piked.join(psp, Seq("pik"))
+          .agg(coalesce(sum(when(col("simulant_id") === col("simulant_in") &&
+            col("nu") === 1, 1L).otherwise(0L)), lit(0L)).as("num"))
+        val d1r = confirmed.join(refGtByRef, Seq("ref_id"))
+          .agg(coalesce(sum(when(col("simulant_id") === col("simulant_in") &&
+            col("n_unique_simulants") === 1, 1L).otherwise(0L)), lit(0L)).as("num"))
+        val d3p = piked.join(psp, Seq("pik"))
+          .select("in_id", "pik", "simulant_in", "simulant_id").distinct()
+          .groupBy("in_id", "pik")
+          .agg(max(when(col("simulant_id") === col("simulant_in"), 1L)
+            .otherwise(0L)).as("c"))
+          .agg(coalesce(sum("c"), lit(0L)).as("num"))
+        val d3r = confirmed.join(refGtByRef, Seq("ref_id"))
+          .groupBy("in_id", "ref_id")
+          .agg(max(when(col("simulant_id") === col("simulant_in"), 1L)
+            .otherwise(0L)).as("c"))
+          .agg(coalesce(sum("c"), lit(0L)).as("num"))
+        def row(defn: Int, level: String, num: DataFrame, den: DataFrame): DataFrame =
+          num.crossJoin(den).select(
+            lit(defn).as("definition"), lit(level).as("level"),
+            col("num").as("numerator"), col("den").as("denominator"))
+        Seq(
+          row(1, "pik", d1p, assigned), row(1, "record", d1r, assigned),
+          row(2, "pik", d1p, d2pd), row(2, "record", d1r, d2rd),
+          row(3, "pik", d3p, assigned), row(3, "record", d3r, assigned))
+          .reduce(_ unionByName _)
+          .withColumn("accuracy",
+            col("numerator").cast("double") / col("denominator").cast("double"))
+      },
+      Some(s"""$refBase,
+              |$geobCtes,
+              |truth AS (
+              |  SELECT record_id, ssn AS simulant_id FROM numident
+              |  UNION ALL SELECT record_id, k FROM t1040
+              |  UNION ALL SELECT record_id, k FROM w2),
+              |refgt AS MATERIALIZED (
+              |  SELECT record_id, simulant_id,
+              |         count(*) OVER (PARTITION BY record_id) AS n_unique_simulants
+              |  FROM (SELECT DISTINCT p.record_id, t.simulant_id
+              |        FROM (SELECT record_id, src FROM ndrf_pairs
+              |              UNION SELECT record_id, src FROM gpairs) p
+              |        JOIN truth t ON p.src = t.record_id)),
+              |piks AS (
+              |  SELECT ssn, row_number() OVER (ORDER BY ssn) - 1 AS pik
+              |  FROM (SELECT DISTINCT ssn FROM ndrf) t),
+              |recpik AS (
+              |  SELECT r.record_id, p.pik
+              |  FROM (SELECT record_id, ssn FROM ndrf
+              |        UNION ALL SELECT record_id, ssn FROM geob) r
+              |  JOIN piks p ON r.ssn = p.ssn),
+              |psp AS MATERIALIZED (
+              |  SELECT pik, simulant_id, count(*) OVER (PARTITION BY pik) AS nu
+              |  FROM (SELECT DISTINCT rp.pik, g.simulant_id
+              |        FROM refgt g JOIN recpik rp ON g.record_id = rp.record_id)),
+              |piked AS MATERIALIZED (
+              |  SELECT i.in_id, i.simulant_in, i.assigned_ssn, p.pik
+              |  FROM (
+              |    SELECT 'cin_' || CAST(k AS VARCHAR) AS in_id, k AS simulant_in,
+              |           CASE WHEN k % 5 <> 4 AND k % 83 = 0 AND (k + 1) % 5 <> 4 THEN k + 1
+              |                WHEN k % 5 <> 4 THEN k
+              |                WHEN k % 3 = 0 THEN 900000000 + k
+              |                ELSE NULL END AS assigned_ssn
+              |    FROM persons) i
+              |  JOIN piks p ON i.assigned_ssn = p.ssn),
+              |confirmed AS MATERIALIZED (
+              |  SELECT pk.in_id, pk.simulant_in, pk.pik, rc.ref_id
+              |  FROM piked pk
+              |  JOIN (SELECT ssn, min(record_id) AS ref_id FROM geob GROUP BY ssn) rc
+              |    ON pk.assigned_ssn = rc.ssn),
+              |assigned AS (SELECT count(*) AS den FROM piked),
+              |d1p AS (SELECT CAST(coalesce(sum(CASE WHEN s.simulant_id = pk.simulant_in
+              |                  AND s.nu = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS num
+              |        FROM piked pk JOIN psp s ON pk.pik = s.pik),
+              |d1r AS (SELECT CAST(coalesce(sum(CASE WHEN g.simulant_id = c.simulant_in
+              |                  AND g.n_unique_simulants = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS num
+              |        FROM confirmed c JOIN refgt g ON c.ref_id = g.record_id),
+              |d2pd AS (SELECT count(*) AS den
+              |         FROM piked pk JOIN psp s ON pk.pik = s.pik AND s.nu = 1),
+              |d2rd AS (SELECT CAST(coalesce(sum(CASE WHEN g.n_unique_simulants = 1
+              |                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS den
+              |         FROM confirmed c JOIN refgt g ON c.ref_id = g.record_id),
+              |d3p AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS num FROM (
+              |          SELECT in_id, pik,
+              |                 max(CASE WHEN simulant_id = simulant_in THEN 1 ELSE 0 END) AS c
+              |          FROM (SELECT DISTINCT pk.in_id, pk.pik, pk.simulant_in, s.simulant_id
+              |                FROM piked pk JOIN psp s ON pk.pik = s.pik)
+              |          GROUP BY in_id, pik)),
+              |d3r AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS num FROM (
+              |          SELECT c.in_id, c.ref_id,
+              |                 max(CASE WHEN g.simulant_id = c.simulant_in THEN 1 ELSE 0 END) AS c
+              |          FROM confirmed c JOIN refgt g ON c.ref_id = g.record_id
+              |          GROUP BY c.in_id, c.ref_id))
+              |SELECT definition, level, numerator, denominator,
+              |       numerator * 1.0 / denominator AS accuracy
+              |FROM (
+              |  SELECT 1 AS definition, 'pik' AS level, d1p.num AS numerator,
+              |         assigned.den AS denominator FROM d1p, assigned
+              |  UNION ALL SELECT 1, 'record', d1r.num, assigned.den FROM d1r, assigned
+              |  UNION ALL SELECT 2, 'pik', d1p.num, d2pd.den FROM d1p, d2pd
+              |  UNION ALL SELECT 2, 'record', d1r.num, d2rd.den FROM d1r, d2rd
+              |  UNION ALL SELECT 3, 'pik', d3p.num, assigned.den FROM d3p, assigned
+              |  UNION ALL SELECT 3, 'record', d3r.num, assigned.den FROM d3r, assigned
+              |) accrows""".stripMargin)
     )
   )
 }

@@ -74,9 +74,14 @@ class LineageSpec extends SparkTestBase {
       assert(d.query(spark, sfDir).count() > 0, s"${d.name} returned no rows")
     }
     // Every ndr record's n_sources >= the max of its parents' counts, and
-    // per ssn the combo count = n_alt_names * n_alt_dobs.
-    val ndr = RefFileQueries.defs.find(_.name == "q72_name_dob_reference").get
+    // per SSN-holder ssn the combo count = n_alt_names * n_alt_dobs (ITIN
+    // rows carry no DOB and live outside the numident cross, so they are
+    // excluded from the combinatorial check).
+    val ndrAll = RefFileQueries.defs.find(_.name == "q72_name_dob_reference").get
       .query(spark, sfDir).cache()
+    assert(ndrAll.filter(col("ssn") >= 900000000L).count() > 0,
+      "no ITIN name records reached the name/DOB reference file")
+    val ndr = ndrAll.filter(col("ssn") < 900000000L)
     val altn = RefFileQueries.defs.find(_.name == "q71_alternate_names").get
       .query(spark, sfDir)
     val combos = ndr.groupBy("ssn").agg(count(lit(1)).as("n_combos"),
@@ -91,7 +96,7 @@ class LineageSpec extends SparkTestBase {
     // records trace to BOTH eras.
     assert(altn.filter(col("n_sources") > 1).count() > 0,
       "no alternate-name record collapsed multiple sources")
-    ndr.unpersist()
+    ndrAll.unpersist()
   }
 
   test("geobase records resolve to exactly one simulant through their pairings") {
@@ -135,6 +140,39 @@ class LineageSpec extends SparkTestBase {
     val disagree = resolved.filter(col("n_truths") =!= 1).count()
     assert(disagree == 0, s"$disagree geobase records with ambiguous ground truth")
     resolved.unpersist()
+  }
+
+  test("q119/q120: planted wrong-SSN W2 mints a multi-simulant PIK that " +
+    "separates the three accuracy definitions") {
+    // The k%57 slice's 2026 W2 filing reports the neighbor's SSN
+    // (RefFileQueries.w2): person 57's filing lands under ssn 58, so ssn
+    // 58's reference records trace to simulants {57, 58} and its PIK is
+    // multi-simulant (notebook 04 cell 25's collision class).
+    val w2 = RefFileQueries.defs.find(_.name == "q119_w2_source").get
+      .query(spark, sfDir)
+    val planted = w2.filter(col("record_id") === "w2_2026_57")
+      .select("ssn").collect()
+    assert(planted.length == 1 && planted.head.getLong(0) == 58L,
+      s"wrong-SSN plant missing: ${planted.toSeq}")
+    // Other years of the same filer stay under the filer's own SSN.
+    val own = w2.filter(col("record_id") === "w2_2025_57").select("ssn").collect()
+    assert(own.head.getLong(0) == 57L, "non-2026 W2 years must keep the own SSN")
+    // The definitions separate: person 58 links (correctly) to its own
+    // SSN's PIK, which is multi-simulant — definition 1 scores it
+    // incorrect, definition 3 scores it correct, definition 2 drops it
+    // from the denominator.
+    val acc = RefFileQueries.defs.find(_.name == "q120_accuracy_definitions").get
+      .query(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val (n1, d1) = acc((1, "pik"))
+    val (n2, d2) = acc((2, "pik"))
+    val (n3, d3) = acc((3, "pik"))
+    assert(n3 > n1, s"definition 3 must credit the multi-sim PIK def 1 rejects ($n1 vs $n3)")
+    assert(d2 < d1, s"definition 2 must shrink the denominator ($d2 vs $d1)")
+    assert(n1 == n2 && d1 == d3, "definition wiring broken")
+    assert(n1 <= d1 && n2 <= d2 && n3 <= d3, "accuracy above 1")
+    // Record level exists and is similarly ordered.
+    assert(acc((3, "record"))._1 >= acc((1, "record"))._1)
   }
 
   test("ITIN incorporation: ITIN rows are PIKed and carry the IRS truncation") {

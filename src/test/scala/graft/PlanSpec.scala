@@ -54,10 +54,12 @@ class PlanSpec extends SparkTestBase {
     // and q51's celled candidate generation runs the same assignment over
     // the dup-planted frame; q89 reuses the q44 + q68 builders for its
     // recall join.
+    // q120's six output scalars cross-join 1-row aggregate frames.
     val intendedCross = Set(
       "q30_u_estimation", "q44_cosine_knn", "q33_accuracy_eval",
       "q39_pik_rate", "q53_tfidf", "q66_unigram_logprob", "q68_ann_ivf",
-      "q89_ann_recall", "q110_kmeans_step", "q51_embedding_dedup")
+      "q89_ann_recall", "q110_kmeans_step", "q51_embedding_dedup",
+      "q120_accuracy_definitions")
     SparkEntry.queries.keys.filterNot(intendedCross).foreach { name =>
       val p = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")

@@ -98,12 +98,13 @@ object ScaleBench {
       println(f"$label%-28s $a%8.2f $b%8.2f ${math.log(b / a) / math.log(factor.toDouble)}%6.2f")
     }
 
-    // q51's remaining super-linearity is the FIXED 16-centroid test
-    // fixture: cell occupancy grows with the corpus, so celled candidate
-    // pairs grow ~n²/k. The deployment lever is k tracking corpus size —
-    // measure the same celled-dedup shape at the scaled dir with k scaled
-    // 10× alongside the data, which should pull the candidate stage back
-    // to the 1× ballpark.
+    // Since round 12 the q51/q68 index granularity SELF-SCALES (k =
+    // max(16, n/128) derived in-query from the corpus count), so the main
+    // table's q51/q68 rows already measure the deployment configuration —
+    // no manual k override. The sweep below isolates the celled-dedup
+    // shape at explicit k values to show the occupancy-vs-k tradeoff the
+    // derivation encodes (k=16 fixed → occupancy grows 10×; derived k →
+    // occupancy pinned ~128).
     import graft.operators.VectorOps
     import graft.queries.PipelineQueries
     import org.apache.spark.sql.expressions.Window
@@ -141,7 +142,11 @@ object ScaleBench {
       println(f"[scale] celled dedup $dir k=$k%-4d pairs=$n $t%7.2f s")
       t
     }
-    println(s"\n== q51 shape with k scaled alongside the corpus ==")
+    println(s"\n== q51 shape: fixed k=16 vs the in-query derived k ==")
+    val nBase = PipelineQueries.embWithDups(spark, baseDir).count()
+    val nOut = PipelineQueries.embWithDups(spark, outDir).count()
+    println(s"[scale] derived k: base=${PipelineQueries.ivfSeedIdsFor(nBase).size} " +
+      s"scaled=${PipelineQueries.ivfSeedIdsFor(nOut).size}")
     celledDedupSec(baseDir, 16)
     celledDedupSec(outDir, 16)
     celledDedupSec(outDir, 16 * factor)

@@ -55,7 +55,7 @@ class VectorOpsSpec extends SparkTestBase {
   test("kmeans: objective is monotone, iteration 1 matches the q110 step") {
     GraftFunctions.register(spark)
     val data = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
-    val seeds = graft.queries.PipelineQueries.IvfSeedIds
+    val seeds = graft.queries.PipelineQueries.ivfSeedIdsFor(data.count())
     val (obj, cents, assigned) = VectorOps.kmeans(data, seeds, iterations = 3)
     assert(obj.size == 3)
     // Spherical k-means: Σ cos(x, c_assigned) never decreases (tiny slack
