@@ -42,13 +42,13 @@ object Bench {
     // Populate the cross-query memo caches (linkage sides, gram frame) and
     // report their build cost as its own metric — otherwise it lands on
     // whichever consumer runs first (q26/q43) and poisons round-over-round
-    // deltas.
-    val warmTimes = SparkEntry.warmSteps.map { case (step, f) =>
-      val t0 = System.nanoTime()
-      try f(spark, sfDir) catch { case _: Throwable => }
-      (step, (System.nanoTime() - t0) / 1e9)
-    }
-    val warmSec = warmTimes.map(_._2).sum
+    // deltas. Waves run their steps concurrently (most builds are 1-2 task
+    // jobs at this scale, so serial warm summed scheduler latencies);
+    // warm_sec is the WALL time of the warm phase, warm_breakdown the
+    // per-step elapsed times measured under that concurrency.
+    val warmT0 = System.nanoTime()
+    val warmTimes = SparkEntry.warmWaves.flatMap(w => SparkEntry.runWave(w, spark, sfDir))
+    val warmSec = (System.nanoTime() - warmT0) / 1e9
     // SPARK_GRAFT_ONLY=q51,q55 narrows the run for local iteration; unset
     // (driver mode) benches the full inventory.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)

@@ -292,26 +292,33 @@ object LinkageCascade {
           s"passes ${subset.map(_._1.name).mkString(", ")} search '$ref' " +
             s"but refs has only ${refs.keys.mkString(", ")}"))
         grouped(frame, subset, applyRemap = false, "n_census")
-    }.reduce(_ unionByName _)
-    val joined = censusGrouped
-      .join(grouped(input, withOrd, applyRemap = true, "n_input"),
-        Seq("pass", "ordinal", "bkey"))
-      .select(col("pass"), col("ordinal"),
-        (col("n_census") * col("n_input")).as("pairs"))
-      .groupBy("pass", "ordinal")
-      .agg(
-        sum("pairs").as("n_pairs"),
-        count(lit(1)).as("n_blocks"),
-        max("pairs").as("max_block_pairs"))
+    }.reduceOption(_ unionByName _)
     // A pass whose blocking matches nothing still reports a zero row
-    // (left join from the O(passes) literal pass list).
+    // (left join from the O(passes) literal pass list); an EMPTY pass
+    // list returns the same zero-row-per-pass frame with no jobs run.
     val allRows = passList.zipWithIndex.map { case (p, i) => (p.name, i + 1) }
-    spark.createDataFrame(allRows).toDF("pass", "ordinal")
-      .join(joined, Seq("pass", "ordinal"), "left")
-      .select(col("pass"), col("ordinal"),
-        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
-        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
-        coalesce(col("max_block_pairs"), lit(0L)).as("max_block_pairs"))
+    val passRows = spark.createDataFrame(allRows).toDF("pass", "ordinal")
+    censusGrouped.fold(
+      passRows.withColumn("n_pairs", lit(0L))
+        .withColumn("n_blocks", lit(0L))
+        .withColumn("max_block_pairs", lit(0L))) { cg =>
+      val joined = cg
+        .join(grouped(input, withOrd, applyRemap = true, "n_input"),
+          Seq("pass", "ordinal", "bkey"))
+        .select(col("pass"), col("ordinal"),
+          (col("n_census") * col("n_input")).as("pairs"))
+        .groupBy("pass", "ordinal")
+        .agg(
+          sum("pairs").as("n_pairs"),
+          count(lit(1)).as("n_blocks"),
+          max("pairs").as("max_block_pairs"))
+      passRows
+        .join(joined, Seq("pass", "ordinal"), "left")
+        .select(col("pass"), col("ordinal"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+          coalesce(col("max_block_pairs"), lit(0L)).as("max_block_pairs"))
+    }
   }
 
   /** Pre-flight → action: re-writes the pass list with `salt` set wherever

@@ -211,20 +211,7 @@ object VectorOps {
       }.reduce(_ + _)
     }: _*)
 
-  /** DuckDB CTE `bandkeys(vec_id, band, bkey)` ≡ posexploded
-    * [[lshBandKeysExact]] over a relation `rel(vec_id, embedding)`.
-    */
-  def lshBandsSqlCte(rel: String, bands: Int, bitsPerBand: Int): String =
-    s"""bandkeys AS (
-       |  SELECT vec_id, CAST((j // $bitsPerBand) AS INT) AS band,
-       |         CAST(SUM(CASE WHEN s >= 0 THEN CAST(power(2, j % $bitsPerBand) AS BIGINT)
-       |                       ELSE 0 END) AS BIGINT) AS bkey
-       |  FROM (
-       |    SELECT vec_id, j,
-       |           SUM(CAST(CAST(embedding[i] AS DOUBLE) *
-       |               (2 * ((j * $Dim + i - 1) * 2654435761 % 1000003) - 1000003)
-       |               AS DECIMAL(30,18))) AS s
-       |    FROM $rel, range(0, ${bands * bitsPerBand}) p(j), range(1, ${Dim + 1}) t(i)
-       |    GROUP BY vec_id, j)
-       |  GROUP BY vec_id, (j // $bitsPerBand))""".stripMargin
+  // (The DuckDB mirror of lshBandKeysExact was removed: no query consumed
+  // it, so nothing pinned it against the Scala band-key arithmetic — a
+  // consumer should reintroduce it together with its oracle.)
 }

@@ -579,7 +579,12 @@ object LinkageQueries {
         // (inputPre's class CASEs, censusPre's stale switches, derive's
         // phonetics) compiles as its own stage directly over a scan — the
         // shape whole-stage codegen can method-split (see flaggedPersons).
-        val praw = flaggedPersons(s, d).cache()
+        // It is also FANNED OUT to the session parallelism: the local
+        // bench parquet arrives as 1-2 scan partitions (file < split
+        // size), which would run every downstream phonetic/noise
+        // projection single-threaded; a cluster scan splits naturally.
+        val praw = flaggedPersons(s, d)
+          .repartition(s.sessionState.conf.numShufflePartitions).cache()
         val ipre = inputPre(praw).cache()
         val ib = derive(ipre).cache()
         // GQ detection runs on the PRE-expansion frame (one row per input

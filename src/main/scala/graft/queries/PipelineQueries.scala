@@ -134,6 +134,17 @@ object PipelineQueries {
   private def sparkNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", VectorOps.norm(col("embedding")))
 
+  /** Local parquet scans of the bench-scale tables arrive as one or two
+    * partitions (file < maxPartitionBytes), which runs the heavy per-row
+    * scalar memo builds SINGLE-THREADED — the round-11 q51 exponent and
+    * the 26 s "grams" warm step were this, not operator cost. On a real
+    * cluster the scan splits naturally; locally, fan the build out to the
+    * session's shuffle parallelism BEFORE the expensive projection (the
+    * cached frame then also feeds every consumer 32-wide).
+    */
+  private def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
   /** Normalized embeddings, cached per (session, dir): q44, q68 and both
     * branches of q89 all start from this frame — one scan + one decimal
     * norm pass instead of four. Latest-key-only eviction like the gram
@@ -147,7 +158,8 @@ object PipelineQueries {
       normFrames.getOrElse((s, d), {
         normFrames.values.foreach(_.unpersist())
         normFrames.clear()
-        val df = sparkNorm(Tables.embeddings(s, d).select("vec_id", "embedding")).cache()
+        val df = sparkNorm(fanOut(Tables.embeddings(s, d)
+          .select("vec_id", "embedding"))).cache()
         normFrames.put((s, d), df)
         df
       })
@@ -166,7 +178,7 @@ object PipelineQueries {
         dupNormFrames.values.foreach(_.unpersist())
         dupNormFrames.clear()
         graft.functions.GraftFunctions.register(s)
-        val df = sparkNorm(embWithDups(s, d)).cache()
+        val df = sparkNorm(fanOut(embWithDups(s, d))).cache()
         dupNormFrames.put((s, d), df)
         df
       })
@@ -374,7 +386,7 @@ object PipelineQueries {
         val planted = concat(col("text"),
           when(isBench || pmod(col("doc_id"), lit(13)) === 0, lit(PlantedPassage))
             .otherwise(lit("")))
-        val df = Tables.documents(s, d)
+        val df = fanOut(Tables.documents(s, d))
           .select(col("doc_id"), isBench.as("is_bench"),
             TextOps.wordShingles(planted, 5).as("grams"))
           .select(col("doc_id"), col("is_bench"),
@@ -437,7 +449,8 @@ object PipelineQueries {
       bandFrames.getOrElse((s, d), {
         bandFrames.values.foreach(_.unpersist())
         bandFrames.clear()
-        val df = bandRowsFor(docsWithDups(s, d).select("doc_id", "text")).cache()
+        val df = bandRowsFor(fanOut(docsWithDups(s, d)
+          .select("doc_id", "text"))).cache()
         bandFrames.put((s, d), df)
         df
       })
@@ -509,7 +522,7 @@ object PipelineQueries {
       gramFrames.getOrElse((s, d), {
         gramFrames.values.foreach(_.unpersist())
         gramFrames.clear()
-        val df = docsWithDups(s, d)
+        val df = fanOut(docsWithDups(s, d))
           .select(col("doc_id"), col("source"), col("n_chars"),
             TextOps.wordShingles(col("text"), 3).as("grams"))
           .cache()
@@ -694,8 +707,9 @@ object PipelineQueries {
       (s, d) => {
         // Same explode + hash-agg shape as q41: each word is md5'd once;
         // the 60 ±1 bit sums are map-side partial aggregates, then the
-        // fingerprint packs from the per-bit sums.
-        val h = docsWithDups(s, d)
+        // fingerprint packs from the per-bit sums. Fanned out before the
+        // word explode + md5: the local parquet scan is one partition.
+        val h = fanOut(docsWithDups(s, d))
           .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
           .select(col("doc_id"), md5(col("word")).as("mh"))
           .select(col("doc_id"),

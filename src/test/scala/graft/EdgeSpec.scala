@@ -36,6 +36,15 @@ class EdgeSpec extends SparkTestBase {
     }
   }
 
+  test("cost summary over an EMPTY PASS LIST returns the zero-row frame, no failure") {
+    GraftFunctions.register(spark)
+    val rows = LinkageCascade.blockCostSummaryAll(census, input, Seq.empty)
+    assert(rows.columns.toSeq ==
+      Seq("pass", "ordinal", "n_pairs", "n_blocks", "max_block_pairs"))
+    assert(rows.count() == 0L)
+    assert(LinkageCascade.autoSalt(census, input, Seq.empty) == Seq.empty)
+  }
+
   test("autoSalt over an empty input leaves every pass untouched") {
     GraftFunctions.register(spark)
     assert(LinkageCascade.autoSalt(census, emptyInput, cfg.passes) == cfg.passes)

@@ -351,11 +351,8 @@ class LinkageSpec extends SparkTestBase {
       s"class-K coverage: got ${kLinks.size}, expected ${expected.size}")
   }
 
-  /** Class-M membership (married surname; mirror of flaggedPersons' isM). */
-  private def isMRec(k: Long): Boolean =
-    k % 21 == 0 && k % 29 != 0 && k % 19 != 0 && !movedHh(k) &&
-      k % 23 != 0 && k % 37 != 0 && k % 41 != 0 && k % 47 != 0 &&
-      k % 31 != 0 && k % 43 != 0 && k % 59 != 0 && k % 13 != 0 && k % 17 != 0
+  /** Class-M membership — the one shared definition (ClassPredicates). */
+  private def isMRec(k: Long): Boolean = ClassPredicates.isMRec(k)
 
   test("married-surname class M is reachable ONLY through the reference file's alternate row") {
     // Class M: clean first name, MARRIED surname (exists nowhere on the

@@ -37,15 +37,8 @@ object RefsProbe {
         sum(when(col("pik") === col("rec_id"), 1L).otherwise(0L)).as("ok"))
       .orderBy("pass").show(30, truncate = false)
 
-    // Class M membership mirrors flaggedPersons' isM.
-    def isM(k: Long): Boolean =
-      k % 21 == 0 && k % 29 != 0 && k % 19 != 0 &&
-        !(k % 13 == 0 && k % 200 != 0 && false) && // hh handled below
-        k % 23 != 0 && k % 37 != 0 && k % 41 != 0 && k % 47 != 0 &&
-        k % 31 != 0 && k % 43 != 0 && k % 59 != 0 && k % 13 != 0 && k % 17 != 0 && {
-          val hh = if (k % 200 < 20) k - (k % 200) else k - (k % 4)
-          !(hh % 13 == 0 && hh % 200 != 0)
-        }
+    // Class M membership — the one shared definition (ClassPredicates).
+    def isM(k: Long): Boolean = ClassPredicates.isMRec(k)
     val mRecovered = links.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
       .filter { case (_, rec, _) => isM(rec) }

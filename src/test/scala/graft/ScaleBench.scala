@@ -51,8 +51,23 @@ object ScaleBench {
     def replicate(table: String, idCol: String): Unit = {
       val base = spark.read.parquet(s"$baseDir/$table.parquet")
       val n = base.count()
-      val copies = (0 until factor).map(i =>
-        base.withColumn(idCol, col(idCol) + lit(i * n)))
+      val copies = (0 until factor).map { i =>
+        // Embedding copies get a per-copy pseudorandom SIGN FLIP per
+        // component: identical vectors across copies would otherwise be
+        // genuine cos=1.0 near-dups, making the "disjoint universes"
+        // replication quadratically self-similar (round-11's q51 10×
+        // measurement counted 104k cross-copy phantom pairs). Flipped
+        // copies have cross-copy cosine ~0, so true pair density stays
+        // per-universe and the measured exponent reflects the machinery,
+        // not the synthetic data's degeneracy.
+        val c =
+          if (table != "embeddings" || i == 0) base
+          else base.withColumn("embedding",
+            transform(col("embedding"), (x, j) =>
+              when(pmod((j + 1) * lit(2 * i + 1) * 2654435761L, lit(1000003L)) % 2 === 0,
+                x).otherwise(-x)))
+        c.withColumn(idCol, col(idCol) + lit(i * n))
+      }
       copies.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
     }
@@ -142,6 +157,35 @@ object ScaleBench {
       println(f"[scale] celled dedup $dir k=$k%-4d pairs=$n $t%7.2f s")
       t
     }
+    // Pair-set parity audit at the scaled dir: the celled candidates must
+    // reproduce the exact label-join pair set at 10× too, not only at the
+    // spec's test SF (timing alone can hide recall loss). Fast-double
+    // scoring with a 1e-6 exclusion band around the threshold keeps the
+    // audit cheap; any pair comfortably above 0.9 missing from the celled
+    // output is a genuine candidate-stage miss.
+    def parityAudit(dir: String): Unit = {
+      val e = PipelineQueries.embWithDups(spark, dir)
+        .withColumn("nrm", VectorOps.norm(col("embedding"))).cache()
+      val celled = SparkEntry.queries("q51_embedding_dedup")(spark, dir)
+        .select("vec_a", "vec_b")
+      val ea = e.select(col("label"), col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val eb = e.select(col("label"), col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      val exact = ea.join(eb, Seq("label")).filter(col("vec_a") < col("vec_b"))
+        .withColumn("cos",
+          VectorOps.dotFast(col("ea"), col("eb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.9 + 1e-6)
+        .select("vec_a", "vec_b")
+      val missed = exact.except(celled).count()
+      val total = exact.count()
+      println(s"[scale] q51 parity audit $dir: exact(>=0.9+1e-6)=$total " +
+        s"missedByCelled=$missed")
+      e.unpersist()
+      assert(missed == 0, s"celled q51 lost $missed pairs at $dir")
+    }
+    parityAudit(outDir)
+
     println(s"\n== q51 shape: fixed k=16 vs the in-query derived k ==")
     val nBase = PipelineQueries.embWithDups(spark, baseDir).count()
     val nOut = PipelineQueries.embWithDups(spark, outDir).count()
