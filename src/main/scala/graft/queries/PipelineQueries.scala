@@ -263,10 +263,19 @@ object PipelineQueries {
         val e = embNorms(s, d)
         val cents = ivfCentroids(e)
         val byVec = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
+        // The ranking window sees only (vec_id, cid, csim) — n×k SLIM
+        // rows — and the probe rows re-join their embedding by id
+        // afterwards (n×probes rows). Ranking with the embedding arrays
+        // attached would shuffle n×k×Dim floats: measured ~2 GB and the
+        // dominant q51/q68 cost at the 10× scale point.
         val df = e.crossJoin(broadcast(cents))
-          .withColumn("csim",
-            VectorOps.dotDecimal(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+          .select(col("vec_id"),
+            (VectorOps.dotDecimal(col("embedding"), col("ce")) /
+              (col("nrm") * col("cn"))).as("csim"),
+            col("cid"))
           .withColumn("arnk", row_number().over(byVec))
+          .filter(col("arnk") <= 2)
+          .join(e, Seq("vec_id"))
           .cache()
         assignFrames.put((s, d), df)
         df
@@ -1101,13 +1110,23 @@ object PipelineQueries {
         val cents = ivfCentroids(e)
         val byVec = Window.partitionBy("vec_id")
           .orderBy(col("csim").desc, col("cid").asc)
+        // Rank over SLIM (vec_id, label, cid, csim) rows — attaching the
+        // embedding arrays here shuffles n×k×Dim floats through the
+        // window exchange (the measured 10× bottleneck).
         val assign = e.select("vec_id", "label", "embedding", "nrm")
           .crossJoin(broadcast(cents))
-          .withColumn("csim",
-            VectorOps.dotDecimal(col("embedding"), col("ce")) /
-              (col("nrm") * col("cn")))
+          .select(col("vec_id"), col("label"),
+            (VectorOps.dotDecimal(col("embedding"), col("ce")) /
+              (col("nrm") * col("cn"))).as("csim"),
+            col("cid"))
           .withColumn("arnk", row_number().over(byVec))
-          .filter(col("arnk") <= 2)
+          // probe-3 for the DEDUP candidate stage: the 10× parity audit
+          // (ScaleBench) measured probe-2 missing 9/1000 true pairs at
+          // derived k=165 while probe-3 missed 0 — dedup wants recall, so
+          // it pays the ~2× candidate growth (the double-dot prefilter
+          // keeps verify cheap); the ANN queries (q68/q89) keep probe-2,
+          // their recall is the measured trade q89 reports.
+          .filter(col("arnk") <= 3)
           .select("vec_id", "label", "cid")
         val cand = assign.as("a").join(assign.as("b"),
             col("a.label") === col("b.label") && col("a.cid") === col("b.cid") &&
@@ -1144,7 +1163,7 @@ object PipelineQueries {
               |           ROW_NUMBER() OVER (PARTITION BY vec_id
               |               ORDER BY dot / (nrm * cn) DESC, cid ASC) AS arnk
               |    FROM csims) r
-              |  WHERE arnk <= 2),
+              |  WHERE arnk <= 3),
               |cand AS (
               |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
               |  FROM assign a JOIN assign b

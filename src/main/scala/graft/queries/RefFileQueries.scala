@@ -402,13 +402,141 @@ object RefFileQueries {
       })
     }
 
-  /** Bench warm hook: materializes the cached chain so its one-time build
-    * cost is attributed to warm, not to whichever consumer runs first.
+  /** The notebook-04 accuracy inputs, memoized and cached like the chain:
+    * q120 (the three definitions) and q122 (incorrect/missed diagnosis)
+    * read the same resolved ground truth, crosswalk, assignment and
+    * confirmed-link frames several times each.
+    *
+    *  - refGt: reference record → simulant(s) through lineage, with
+    *    n_unique_simulants (04 cells 16/24-26).
+    *  - piks: SSN→PIK crosswalk over the reference identifier set.
+    *  - inRecs: the input file with its DETERMINISTIC pik assignment —
+    *    holders link to their own SSN except the k%83 wrong-link slice
+    *    (neighbor's pik) and the k%67 missed slice (no pik at all, the
+    *    cascade "missed" them); ITIN filers link to their ITIN; SSN-less
+    *    non-filers stay unPIKed (impossible to pik).
+    *  - piked/confirmed: the assigned subset, record-level via each ssn's
+    *    first GeoBase record (min record_id — deterministic).
+    *  - psp: pik_simulant_pairs with n_unique_simulants per pik.
+    */
+  private final case class AccFrames(
+      refGt: DataFrame, piks: DataFrame, inRecs: DataFrame,
+      piked: DataFrame, confirmed: DataFrame, psp: DataFrame) {
+    def cached: Seq[DataFrame] = Seq(refGt, piks, inRecs, piked, confirmed, psp)
+  }
+
+  private val accCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), AccFrames]
+
+  private def accFrames(s: SparkSession, d: String): AccFrames =
+    accCache.synchronized {
+      accCache.getOrElse((s, d), {
+        accCache.values.foreach(_.cached.foreach(_.unpersist()))
+        accCache.clear()
+        val c = refChain(s, d)
+        val truth = numident(s, d).select(col("record_id"), col("ssn").as("simulant_id"))
+          .unionByName(c.t1040.select(col("record_id"), col("k").as("simulant_id")))
+          .unionByName(c.w2.select(col("record_id"), col("k").as("simulant_id")))
+        // localCheckpoint, not cache: these frames embed the WHOLE tax
+        // chain in their logical plans, and q120's six output branches
+        // would re-ANALYZE that tree per branch (~20 s of driver planning
+        // at sf0.1, execution being trivial). Checkpointing truncates the
+        // lineage so consumers plan over a LogicalRDD.
+        val refGt = Lineage.resolveGroundTruth(c.pFull.unionByName(c.pG), truth)
+          .withColumnRenamed("n_truths", "n_unique_simulants").localCheckpoint()
+        val piks = DfOps.addContiguousId(
+          c.ndrFull.select("ssn").distinct(), "ssn", "pik")
+          .select("ssn", "pik").localCheckpoint()
+        val recPik = c.ndrFull.select("record_id", "ssn")
+          .unionByName(c.geob.select("record_id", "ssn"))
+          .join(piks, Seq("ssn"))
+        val psp = refGt.join(recPik, Seq("record_id"))
+          .select("pik", "simulant_id").distinct()
+          .withColumn("nu", count(lit(1)).over(Window.partitionBy("pik")))
+          .localCheckpoint()
+        val holders = pmod(col("k"), lit(5)) =!= 4
+        val itinFiler = pmod(col("k"), lit(5)) === 4 && pmod(col("k"), lit(3)) === 0
+        val missedLink = holders && pmod(col("k"), lit(67)) === 0
+        val wrongLink = holders && pmod(col("k"), lit(83)) === 0 &&
+          pmod(col("k") + 1, lit(5)) =!= 4
+        val inRecs = People.persons(s, d).select(
+          concat(lit("cin_"), col("k")).as("in_id"),
+          col("k").as("simulant_in"),
+          when(missedLink, lit(null).cast("long"))
+            .when(wrongLink, col("k") + 1)
+            .when(holders, col("k"))
+            .when(itinFiler, lit(900000000L) + col("k"))
+            .otherwise(lit(null).cast("long")).as("assigned_ssn")).localCheckpoint()
+        val piked = inRecs
+          .join(piks.withColumnRenamed("ssn", "assigned_ssn"), Seq("assigned_ssn"))
+          .localCheckpoint()
+        val confirmed = piked.join(
+          c.geob.groupBy("ssn").agg(min("record_id").as("ref_id"))
+            .withColumnRenamed("ssn", "assigned_ssn"),
+          Seq("assigned_ssn")).localCheckpoint()
+        val a = AccFrames(refGt, piks, inRecs, piked, confirmed, psp)
+        accCache.put((s, d), a)
+        a
+      })
+    }
+
+  /** SQL mirror of [[accFrames]] (expects the refBase + geob CTEs in
+    * scope) — shared verbatim by q120 and q122 so the accuracy inputs
+    * cannot drift between the definition scores and the diagnosis.
+    */
+  private val accCtes: String =
+    s"""truth AS (
+       |  SELECT record_id, ssn AS simulant_id FROM numident
+       |  UNION ALL SELECT record_id, k FROM t1040
+       |  UNION ALL SELECT record_id, k FROM w2),
+       |refgt AS MATERIALIZED (
+       |  SELECT record_id, simulant_id,
+       |         count(*) OVER (PARTITION BY record_id) AS n_unique_simulants
+       |  FROM (SELECT DISTINCT p.record_id, t.simulant_id
+       |        FROM (SELECT record_id, src FROM ndrf_pairs
+       |              UNION SELECT record_id, src FROM gpairs) p
+       |        JOIN truth t ON p.src = t.record_id)),
+       |piks AS MATERIALIZED (
+       |  SELECT ssn, row_number() OVER (ORDER BY ssn) - 1 AS pik
+       |  FROM (SELECT DISTINCT ssn FROM ndrf) t),
+       |recpik AS (
+       |  SELECT r.record_id, p.pik
+       |  FROM (SELECT record_id, ssn FROM ndrf
+       |        UNION ALL SELECT record_id, ssn FROM geob) r
+       |  JOIN piks p ON r.ssn = p.ssn),
+       |psp AS MATERIALIZED (
+       |  SELECT pik, simulant_id, count(*) OVER (PARTITION BY pik) AS nu
+       |  FROM (SELECT DISTINCT rp.pik, g.simulant_id
+       |        FROM refgt g JOIN recpik rp ON g.record_id = rp.record_id)),
+       |inrecs AS MATERIALIZED (
+       |  SELECT 'cin_' || CAST(k AS VARCHAR) AS in_id, k AS simulant_in,
+       |         CASE WHEN k % 5 <> 4 AND k % 67 = 0 THEN NULL
+       |              WHEN k % 5 <> 4 AND k % 83 = 0 AND (k + 1) % 5 <> 4 THEN k + 1
+       |              WHEN k % 5 <> 4 THEN k
+       |              WHEN k % 3 = 0 THEN 900000000 + k
+       |              ELSE NULL END AS assigned_ssn
+       |  FROM persons),
+       |piked AS MATERIALIZED (
+       |  SELECT i.in_id, i.simulant_in, i.assigned_ssn, p.pik
+       |  FROM inrecs i JOIN piks p ON i.assigned_ssn = p.ssn),
+       |confirmed AS MATERIALIZED (
+       |  SELECT pk.in_id, pk.simulant_in, pk.pik, rc.ref_id
+       |  FROM piked pk
+       |  JOIN (SELECT ssn, min(record_id) AS ref_id FROM geob GROUP BY ssn) rc
+       |    ON pk.assigned_ssn = rc.ssn)""".stripMargin
+
+  /** Bench warm hooks: materialize the cached chain + accuracy frames so
+    * their one-time build cost is attributed to warm, not to whichever
+    * consumer runs first.
     */
   def warmSteps: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "reffile_chain" -> ((s: SparkSession, d: String) => {
       val c = refChain(s, d)
       c.geob.count(); c.pG.count(); ()
+    }),
+    "reffile_accuracy" -> ((s: SparkSession, d: String) => {
+      val a = accFrames(s, d)
+      a.confirmed.count(); a.psp.count(); ()
     }))
 
   private val refBase = s"$base,\n$taxCtes,\n$abysCtes,\n$ndrCtes"
@@ -725,55 +853,8 @@ object RefFileQueries {
       // cross-join 1-row aggregates (intended, PlanSpec-allowlisted).
       "q120_accuracy_definitions",
       (s, d) => {
-        val c = refChain(s, d)
-        val (ndrFull, pFull, geob, pG) = (c.ndrFull, c.pFull, c.geob, c.pG)
-        // Truth: every raw filing record traces to the person that filed
-        // it (numident rows are per-SSN-holder; tax rows keep k).
-        val truth = numident(s, d).select(col("record_id"), col("ssn").as("simulant_id"))
-          .unionByName(c.t1040.select(col("record_id"), col("k").as("simulant_id")))
-          .unionByName(c.w2.select(col("record_id"), col("k").as("simulant_id")))
-        // The shared intermediates are localCheckpoint'd: the six output
-        // aggregates below each read them several times, and Spark shares
-        // no work across branches — without the barrier the lineage
-        // resolution re-executes per output row.
-        val refGt = Lineage.resolveGroundTruth(pFull.unionByName(pG), truth)
-          .withColumnRenamed("n_truths", "n_unique_simulants")
-          .localCheckpoint()
-        // SSN→PIK crosswalk over the reference files' identifier set.
-        val piks = DfOps.addContiguousId(
-          ndrFull.select("ssn").distinct(), "ssn", "pik").select("ssn", "pik")
-          .localCheckpoint()
-        val recPik = ndrFull.select("record_id", "ssn")
-          .unionByName(geob.select("record_id", "ssn"))
-          .join(piks, Seq("ssn"))
-        val psp = refGt.join(recPik, Seq("record_id"))
-          .select("pik", "simulant_id").distinct()
-          .withColumn("nu", count(lit(1)).over(Window.partitionBy("pik")))
-          .localCheckpoint()
-        // Deterministic PIK assignment of the input file: SSN-holders
-        // link to their own SSN's PIK except a k%83 wrong-link slice
-        // (the neighbor's PIK); ITIN filers link to their ITIN's PIK;
-        // SSN-less non-filers stay unPIKed.
-        val holders = pmod(col("k"), lit(5)) =!= 4
-        val itinFiler = pmod(col("k"), lit(5)) === 4 && pmod(col("k"), lit(3)) === 0
-        val wrongLink = holders && pmod(col("k"), lit(83)) === 0 &&
-          pmod(col("k") + 1, lit(5)) =!= 4
-        val piked = People.persons(s, d).select(
-          concat(lit("cin_"), col("k")).as("in_id"),
-          col("k").as("simulant_in"),
-          when(wrongLink, col("k") + 1)
-            .when(holders, col("k"))
-            .when(itinFiler, lit(900000000L) + col("k"))
-            .otherwise(lit(null).cast("long")).as("assigned_ssn"))
-          .join(piks.withColumnRenamed("ssn", "assigned_ssn"), Seq("assigned_ssn"))
-          .localCheckpoint()
-        // Record-level: the confirmed link picks the ssn's first GeoBase
-        // record (min record_id — deterministic under any partitioning).
-        val confirmed = piked.join(
-          geob.groupBy("ssn").agg(min("record_id").as("ref_id"))
-            .withColumnRenamed("ssn", "assigned_ssn"),
-          Seq("assigned_ssn"))
-          .localCheckpoint()
+        val a = accFrames(s, d)
+        val (refGt, psp, piked, confirmed) = (a.refGt, a.psp, a.piked, a.confirmed)
         val refGtByRef = refGt.withColumnRenamed("record_id", "ref_id")
         val assigned = piked.agg(count(lit(1)).as("den"))
         val d2pd = piked.join(psp.filter(col("nu") === 1), Seq("pik"))
@@ -812,44 +893,7 @@ object RefFileQueries {
       },
       Some(s"""$refBase,
               |$geobCtes,
-              |truth AS (
-              |  SELECT record_id, ssn AS simulant_id FROM numident
-              |  UNION ALL SELECT record_id, k FROM t1040
-              |  UNION ALL SELECT record_id, k FROM w2),
-              |refgt AS MATERIALIZED (
-              |  SELECT record_id, simulant_id,
-              |         count(*) OVER (PARTITION BY record_id) AS n_unique_simulants
-              |  FROM (SELECT DISTINCT p.record_id, t.simulant_id
-              |        FROM (SELECT record_id, src FROM ndrf_pairs
-              |              UNION SELECT record_id, src FROM gpairs) p
-              |        JOIN truth t ON p.src = t.record_id)),
-              |piks AS (
-              |  SELECT ssn, row_number() OVER (ORDER BY ssn) - 1 AS pik
-              |  FROM (SELECT DISTINCT ssn FROM ndrf) t),
-              |recpik AS (
-              |  SELECT r.record_id, p.pik
-              |  FROM (SELECT record_id, ssn FROM ndrf
-              |        UNION ALL SELECT record_id, ssn FROM geob) r
-              |  JOIN piks p ON r.ssn = p.ssn),
-              |psp AS MATERIALIZED (
-              |  SELECT pik, simulant_id, count(*) OVER (PARTITION BY pik) AS nu
-              |  FROM (SELECT DISTINCT rp.pik, g.simulant_id
-              |        FROM refgt g JOIN recpik rp ON g.record_id = rp.record_id)),
-              |piked AS MATERIALIZED (
-              |  SELECT i.in_id, i.simulant_in, i.assigned_ssn, p.pik
-              |  FROM (
-              |    SELECT 'cin_' || CAST(k AS VARCHAR) AS in_id, k AS simulant_in,
-              |           CASE WHEN k % 5 <> 4 AND k % 83 = 0 AND (k + 1) % 5 <> 4 THEN k + 1
-              |                WHEN k % 5 <> 4 THEN k
-              |                WHEN k % 3 = 0 THEN 900000000 + k
-              |                ELSE NULL END AS assigned_ssn
-              |    FROM persons) i
-              |  JOIN piks p ON i.assigned_ssn = p.ssn),
-              |confirmed AS MATERIALIZED (
-              |  SELECT pk.in_id, pk.simulant_in, pk.pik, rc.ref_id
-              |  FROM piked pk
-              |  JOIN (SELECT ssn, min(record_id) AS ref_id FROM geob GROUP BY ssn) rc
-              |    ON pk.assigned_ssn = rc.ssn),
+              |$accCtes,
               |assigned AS (SELECT count(*) AS den FROM piked),
               |d1p AS (SELECT CAST(coalesce(sum(CASE WHEN s.simulant_id = pk.simulant_in
               |                  AND s.nu = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS num
@@ -884,6 +928,56 @@ object RefFileQueries {
               |  UNION ALL SELECT 3, 'pik', d3p.num, assigned.den FROM d3p, assigned
               |  UNION ALL SELECT 3, 'record', d3r.num, assigned.den FROM d3r, assigned
               |) accrows""".stripMargin)
+    ),
+    QueryDef(
+      // Incorrect and missed links (04 cells 60-72): the diagnosis frames
+      // a linkage analyst reads after the definitions. `incorrect` = the
+      // distinct confirmed (input, reference-record) pairs where NO
+      // simulant of the linked reference record matches the input's truth
+      // (cell 61 — definition-3-false links, here the k%83 wrong-link
+      // slice). `missed` = unPIKed input records joined through ground
+      // truth to the single-simulant reference records they COULD have
+      // matched (cell 66 — the k%67 missed-holder slice; SSN-less
+      // non-filers have no reference records at all and correctly emit
+      // nothing: they are impossible to PIK, not missed). Equi-joins on
+      // pik/simulant keys throughout.
+      "q122_link_diagnosis",
+      (s, d) => {
+        val a = accFrames(s, d)
+        val incorrect = a.confirmed
+          .join(a.refGt.withColumnRenamed("record_id", "ref_id"), Seq("ref_id"))
+          .groupBy("in_id", "ref_id")
+          .agg(max(when(col("simulant_id") === col("simulant_in"), 1L)
+            .otherwise(0L)).as("c"))
+          .filter(col("c") === 0)
+          .select(lit("incorrect").as("kind"), col("in_id"), col("ref_id"))
+        val missed = a.inRecs
+          .join(a.piks.withColumnRenamed("ssn", "assigned_ssn"),
+            Seq("assigned_ssn"), "left")
+          .filter(col("pik").isNull)
+          .join(a.refGt.filter(col("n_unique_simulants") === 1)
+              .select(col("record_id").as("ref_id"), col("simulant_id")),
+            col("simulant_id") === col("simulant_in"))
+          .select(lit("missed").as("kind"), col("in_id"), col("ref_id"))
+        incorrect.unionByName(missed)
+      },
+      Some(s"""$refBase,
+              |$geobCtes,
+              |$accCtes,
+              |incorrect AS (
+              |  SELECT c.in_id, c.ref_id
+              |  FROM confirmed c JOIN refgt g ON c.ref_id = g.record_id
+              |  GROUP BY c.in_id, c.ref_id
+              |  HAVING max(CASE WHEN g.simulant_id = c.simulant_in THEN 1 ELSE 0 END) = 0),
+              |missed AS (
+              |  SELECT i.in_id, g.record_id AS ref_id
+              |  FROM inrecs i
+              |  LEFT JOIN piks p ON i.assigned_ssn = p.ssn
+              |  JOIN refgt g ON g.simulant_id = i.simulant_in
+              |       AND g.n_unique_simulants = 1
+              |  WHERE p.ssn IS NULL)
+              |SELECT 'incorrect' AS kind, in_id, ref_id FROM incorrect
+              |UNION ALL SELECT 'missed', in_id, ref_id FROM missed""".stripMargin)
     )
   )
 }

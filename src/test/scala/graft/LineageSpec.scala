@@ -173,6 +173,29 @@ class LineageSpec extends SparkTestBase {
     assert(n1 <= d1 && n2 <= d2 && n3 <= d3, "accuracy above 1")
     // Record level exists and is similarly ordered.
     assert(acc((3, "record"))._1 >= acc((1, "record"))._1)
+    // q122 diagnosis (04 cells 61/66): the k%83 wrong-link slice shows up
+    // as `incorrect` pairs, the k%67 missed-holder slice as `missed`
+    // rows pointing at its own single-simulant reference records; the
+    // SSN-less non-filers (impossible to PIK) emit nothing.
+    val diag = RefFileQueries.defs.find(_.name == "q122_link_diagnosis").get
+      .query(spark, sfDir).cache()
+    val missedIds = diag.filter(col("kind") === "missed")
+      .select("in_id").distinct().collect().map(_.getString(0)).toSet
+    assert(missedIds.contains("cin_67"), s"k=67 not in missed: $missedIds")
+    assert(missedIds.forall { id =>
+      val k = id.stripPrefix("cin_").toLong
+      k % 5 != 4 && k % 67 == 0
+    }, s"non-planted missed ids: $missedIds")
+    // Every `incorrect` row is a k%83 wrong-link (def-3 any-match means a
+    // record linked to its OWN pik can never be incorrect, even on a
+    // multi-simulant pik). At this test SF the slice is empty — k=83's
+    // neighbor is SSN-less, so no wrong link fires — which itself pins
+    // the diagnosis emitting no false positives.
+    val incorrectIds = diag.filter(col("kind") === "incorrect")
+      .select("in_id").collect().map(_.getString(0)).toSet
+    assert(incorrectIds.forall(_.stripPrefix("cin_").toLong % 83 == 0),
+      s"non-wrong-link rows diagnosed incorrect: $incorrectIds")
+    diag.unpersist()
   }
 
   test("ITIN incorporation: ITIN rows are PIKed and carry the IRS truncation") {

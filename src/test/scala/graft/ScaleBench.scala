@@ -134,10 +134,11 @@ object ScaleBench {
       val byVec = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
       val assign = e.select("vec_id", "label", "embedding", "nrm")
         .crossJoin(broadcast(cents))
-        .withColumn("csim", VectorOps.dotDecimal(col("embedding"), col("ce")) /
-          (col("nrm") * col("cn")))
+        .select(col("vec_id"), col("label"),
+          (VectorOps.dotDecimal(col("embedding"), col("ce")) /
+            (col("nrm") * col("cn"))).as("csim"), col("cid"))
         .withColumn("arnk", row_number().over(byVec))
-        .filter(col("arnk") <= 2)
+        .filter(col("arnk") <= 3) // mirrors q51's probe-3 dedup candidates
         .select("vec_id", "label", "cid")
       val cand = assign.as("a").join(assign.as("b"),
           col("a.label") === col("b.label") && col("a.cid") === col("b.cid") &&
