@@ -2015,6 +2015,84 @@ object PipelineQueries {
               |FROM bands a JOIN bands b
               |  ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
               | AND a.doc_id < 100000 AND b.doc_id >= 100000""".stripMargin)
+    ),
+    QueryDef(
+      // Incremental EMBEDDING dedup — q100's vector analog and the
+      // arrival path of a production SemDeDup-style index: the corpus
+      // sits in its IVF cells (hard assignment, at scale a PERSISTED
+      // bucketed table the way q100's band index is — the batch never
+      // re-shuffles it), and each NEW vector probes its top-3 cells,
+      // equi-joins the corpus cell lists, and two-phase-verifies the
+      // candidates (codegen'd double prefilter at 1e-6 slack, decimal
+      // exact for the threshold the cross-engine hash pins). Probe-3
+      // matches q51's measured zero-miss recall at the 10× scale point.
+      "q123_incremental_embedding_dedup",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = embDupNorms(s, d)
+        val cents = ivfCentroids(e)
+        val byVec = Window.partitionBy("vec_id")
+          .orderBy(col("csim").desc, col("cid").asc)
+        val ranked = e.select("vec_id", "label", "embedding", "nrm")
+          .crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("label"),
+            (VectorOps.dotDecimal(col("embedding"), col("ce")) /
+              (col("nrm") * col("cn"))).as("csim"),
+            col("cid"))
+          .withColumn("arnk", row_number().over(byVec))
+        val corpusCells = ranked
+          .filter(col("vec_id") < 100000 && col("arnk") === 1)
+          .select(col("vec_id").as("corpus_id"), col("label"), col("cid"))
+        val newCells = ranked
+          .filter(col("vec_id") >= 100000 && col("arnk") <= 3)
+          .select(col("vec_id").as("new_id"), col("label"), col("cid"))
+        val cand = corpusCells.join(newCells, Seq("label", "cid"))
+          .select("corpus_id", "new_id").distinct()
+        val ea = e.select(col("vec_id").as("corpus_id"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        val eb = e.select(col("vec_id").as("new_id"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+        val naNb = col("na") * col("nb")
+        val fastOk = VectorOps.dotFast(col("ea"), col("eb")) >=
+          (lit(0.9) - lit(1e-6)) * naNb
+        val exactCos = VectorOps.dotDecimal(col("ea"), col("eb")) / naNb
+        cand.join(ea, Seq("corpus_id")).join(eb, Seq("new_id"))
+          .filter(when(fastOk, exactCos >= 0.9).otherwise(lit(false)))
+          .select(col("corpus_id"), col("new_id"), round(exactCos, 6).as("cos"))
+      },
+      Some(s"""WITH $emb2Cte,
+              |${normsCte("nrms", "emb2", ", label")},
+              |${centsCteSql("nrms")},
+              |csims AS (
+              |  SELECT n.vec_id, n.label, c.cid, MAX(n.nrm) AS nrm, MAX(c.cn) AS cn,
+              |         ${VectorOps.dotDecimalSql("n.embedding", "c.ce")} AS dot
+              |  FROM nrms n CROSS JOIN cents c, range(1, ${VectorOps.Dim + 1}) t(i)
+              |  GROUP BY n.vec_id, n.label, c.cid),
+              |ranked AS (
+              |  SELECT vec_id, label, cid,
+              |         ROW_NUMBER() OVER (PARTITION BY vec_id
+              |             ORDER BY dot / (nrm * cn) DESC, cid ASC) AS arnk
+              |  FROM csims),
+              |corpuscells AS (
+              |  SELECT vec_id AS corpus_id, label, cid FROM ranked
+              |  WHERE arnk = 1 AND vec_id < 100000),
+              |newcells AS (
+              |  SELECT vec_id AS new_id, label, cid FROM ranked
+              |  WHERE arnk <= 3 AND vec_id >= 100000),
+              |cand AS (
+              |  SELECT DISTINCT c.corpus_id, n.new_id
+              |  FROM corpuscells c JOIN newcells n
+              |    ON c.label = n.label AND c.cid = n.cid),
+              |pairs AS (
+              |  SELECT c.corpus_id, c.new_id, MAX(x.nrm) AS na, MAX(y.nrm) AS nb,
+              |         ${VectorOps.dotDecimalSql("x.embedding", "y.embedding")} AS dot
+              |  FROM cand c
+              |  JOIN nrms x ON c.corpus_id = x.vec_id
+              |  JOIN nrms y ON c.new_id = y.vec_id,
+              |       range(1, ${VectorOps.Dim + 1}) t(i)
+              |  GROUP BY c.corpus_id, c.new_id)
+              |SELECT corpus_id, new_id, round(dot / (na * nb), 6) AS cos
+              |FROM pairs WHERE dot / (na * nb) >= 0.9""".stripMargin)
     )
   )
 }

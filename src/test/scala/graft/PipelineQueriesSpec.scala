@@ -154,6 +154,33 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(plan.contains("cid"), "q51 plan lost the cell-key candidate join")
   }
 
+  test("q123 incremental embedding dedup: every exact cross-boundary pair found") {
+    import graft.operators.VectorOps
+    graft.functions.GraftFunctions.register(spark)
+    val got = byName("q123_incremental_embedding_dedup").query(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Exact reference: corpus (< 100000) × arrivals (>= 100000) within a
+    // label, decimal cosine >= 0.9 — the celled probe must reach every
+    // pair, and must emit ONLY corpus→new pairs (never corpus-corpus).
+    val e = PipelineQueries.embWithDups(spark, sfDir)
+      .withColumn("nrm", VectorOps.norm(col("embedding")))
+    val exactCos =
+      VectorOps.dotDecimal(col("a.embedding"), col("b.embedding")) /
+        (col("a.nrm") * col("b.nrm"))
+    val expected = e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.vec_id") < 100000 && col("b.vec_id") >= 100000 &&
+          exactCos >= 0.9)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "no planted cross-boundary near-dups at this SF")
+    assert(got == expected,
+      s"incremental pair set != exact: missing ${(expected -- got).take(5)}, " +
+        s"extra ${(got -- expected).take(5)}")
+    assert(got.forall { case (c, n) => c < 100000 && n >= 100000 },
+      "q123 emitted a non-incremental pair")
+  }
+
   test("q43 banded candidates reproduce the exact length-bucket pair set") {
     import graft.operators.TextOps
     // Exact reference: the quadratic same-source + |Δn_chars|<=20 join
