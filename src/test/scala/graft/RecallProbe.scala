@@ -8,8 +8,16 @@ import org.apache.spark.sql.functions._
 
 /** Dev harness: candidate recall of the celled q51 scheme vs the exact
   * label-join pair set at a given dir, for probe counts 1..4 — quantifies
-  * the probe-count lever when the 10× parity audit reports misses. Run:
-  * sbt -batch "Test/runMain graft.RecallProbe target/scaledata/x10"
+  * the probe-count lever when the 10× parity audit reports misses, and
+  * whether triangle-inequality candidate pruning (bound via shared-cell
+  * centroid sims) would pay. Measured at 10×: the bound prunes only
+  * ~0.5% of candidates on this geometry — the synthetic vectors all sit
+  * far from the centroids (cell sims cluster in a narrow band), so the
+  * angle-difference bound almost never clears the threshold. That is why
+  * the production q51/q123 DON'T carry the prune: on data with tight
+  * clusters (real embedding corpora) it becomes worthwhile, and the
+  * conservative-bound + exact-decimal-verify pattern keeps it hash-safe.
+  * Run: sbt -batch "Test/runMain graft.RecallProbe target/scaledata/x10"
   */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
@@ -53,19 +61,27 @@ object RecallProbe {
       .filter(col("arnk") <= 4).cache()
     ranked.count()
 
+    def sinc(c: org.apache.spark.sql.Column) =
+      sqrt(greatest(lit(0.0), lit(1.0) - c * c))
     (1 to 4).foreach { p =>
-      val t0 = System.nanoTime()
-      val assign = ranked.filter(col("arnk") <= p).select("vec_id", "label", "cid")
-      val cand = assign.as("a").join(assign.as("b"),
-          col("a.label") === col("b.label") && col("a.cid") === col("b.cid") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-        .distinct().cache()
-      val nc = cand.count()
-      val missed = exact.except(cand).count()
-      println(f"[recall] probes=$p candidates=$nc%8d missed=$missed%4d / $total " +
-        f"(${(System.nanoTime() - t0) / 1e9}%.1f s)")
-      cand.unpersist()
+      Seq(false, true).foreach { prune =>
+        val t0 = System.nanoTime()
+        val assign = ranked.filter(col("arnk") <= p)
+          .select(col("vec_id"), col("label"), col("cid"),
+            col("csim").cast("double").as("cs"))
+        val bound = col("a.cs") * col("b.cs") + sinc(col("a.cs")) * sinc(col("b.cs"))
+        val joinCond = col("a.label") === col("b.label") &&
+          col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id") &&
+          (if (prune) bound >= lit(0.9) - lit(1e-6) else lit(true))
+        val cand = assign.as("a").join(assign.as("b"), joinCond)
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+          .distinct().cache()
+        val nc = cand.count()
+        val missed = exact.except(cand).count()
+        println(f"[recall] probes=$p prune=$prune%-5s candidates=$nc%8d " +
+          f"missed=$missed%4d / $total (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+        cand.unpersist()
+      }
     }
     spark.stop()
   }
