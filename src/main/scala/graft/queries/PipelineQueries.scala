@@ -123,6 +123,112 @@ object PipelineQueries {
        |        FROM $rel) p
        |  WHERE vec_id % stride = 3 % stride)""".stripMargin
 
+  /** q51's verified near-dup pair list (vec_a, vec_b, cos) — also the
+    * edge set of q124's SemDeDup keep-policy. BUCKETED candidates →
+    * exact verify: every vector is assigned to its probe-3 IVF cells over
+    * the corpus-derived centroid set ([[ivfCentroids]]) and candidates
+    * equi-join on (label, cell) over ids only; survivors re-join their
+    * embeddings by id and pay TWO-PHASE scoring — the codegen'd
+    * plain-double dot prefilters at a 1e-6-slack threshold and only
+    * near-threshold survivors pay the decimal-boxed exact dot the
+    * cross-engine hash requires. Probe-3 matches the 10× parity audit's
+    * zero-miss recall (probe-2 measured 9/1000 missed at derived k=165);
+    * the ranking window sees only SLIM (vec_id, label, cid, csim) rows —
+    * attaching the embedding arrays shuffles n×k×Dim floats (the
+    * measured 10× bottleneck).
+    */
+  private def embDedupPairs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = embDupNorms(s, d)
+    val cents = ivfCentroids(e)
+    val byVec = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cid").asc)
+    val assign = e.select("vec_id", "label", "embedding", "nrm")
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"),
+        (VectorOps.dotDecimal(col("embedding"), col("ce")) /
+          (col("nrm") * col("cn"))).as("csim"),
+        col("cid"))
+      .withColumn("arnk", row_number().over(byVec))
+      .filter(col("arnk") <= 3)
+      .select("vec_id", "label", "cid")
+    val cand = assign.as("a").join(assign.as("b"),
+        col("a.label") === col("b.label") && col("a.cid") === col("b.cid") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    val naNb = col("na") * col("nb")
+    val fastOk = VectorOps.dotFast(col("ea"), col("eb")) >=
+      (lit(0.9) - lit(1e-6)) * naNb
+    val exactCos = VectorOps.dotDecimal(col("ea"), col("eb")) / naNb
+    // The when() is load-bearing: a plain `fastOk && exactCos >= 0.9`
+    // filter can be reordered so the decimal dot runs on every candidate
+    // pair; CaseWhen branches stay lazy wherever the optimizer moves the
+    // predicate.
+    cand.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
+      .filter(when(fastOk, exactCos >= 0.9).otherwise(lit(false)))
+      .select(col("vec_a"), col("vec_b"), round(exactCos, 6).as("cos"))
+  }
+
+  /** Each vector's cosine to its ASSIGNED (top-1) centroid — SemDeDup's
+    * keep criterion (the member closest to the cluster centroid is the
+    * cluster's representative).
+    */
+  private def embAffinity(s: SparkSession, d: String): DataFrame = {
+    val e = embDupNorms(s, d)
+    val cents = ivfCentroids(e)
+    val byVec = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cid").asc)
+    e.select("vec_id", "embedding", "nrm")
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        (VectorOps.dotDecimal(col("embedding"), col("ce")) /
+          (col("nrm") * col("cn"))).as("csim"),
+        col("cid"))
+      .withColumn("arnk", row_number().over(byVec))
+      .filter(col("arnk") === 1)
+      .select(col("vec_id").as("node"), col("csim").cast("double").as("aff"))
+  }
+
+  /** CTE chain ending in `epairs(vec_a, vec_b, cos)` ≡ [[embDedupPairs]]
+    * (also leaves nrms/csims in scope for q124's affinity CTE).
+    */
+  private val embPairsCtes: String =
+    s"""$emb2Cte,
+       |${normsCte("nrms", "emb2", ", label")},
+       |${centsCteSql("nrms")},
+       |csims AS (
+       |  SELECT n.vec_id, n.label, c.cid, MAX(n.nrm) AS nrm, MAX(c.cn) AS cn,
+       |         ${VectorOps.dotDecimalSql("n.embedding", "c.ce")} AS dot
+       |  FROM nrms n CROSS JOIN cents c, range(1, ${VectorOps.Dim + 1}) t(i)
+       |  GROUP BY n.vec_id, n.label, c.cid),
+       |assign AS (
+       |  SELECT vec_id, label, cid FROM (
+       |    SELECT vec_id, label, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id
+       |               ORDER BY dot / (nrm * cn) DESC, cid ASC) AS arnk
+       |    FROM csims) r
+       |  WHERE arnk <= 3),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM assign a JOIN assign b
+       |    ON a.label = b.label AND a.cid = b.cid AND a.vec_id < b.vec_id),
+       |vpairs AS (
+       |  SELECT c.vec_a, c.vec_b, MAX(x.nrm) AS na, MAX(y.nrm) AS nb,
+       |         ${VectorOps.dotDecimalSql("x.embedding", "y.embedding")} AS dot
+       |  FROM cand c
+       |  JOIN nrms x ON c.vec_a = x.vec_id
+       |  JOIN nrms y ON c.vec_b = y.vec_id,
+       |       range(1, ${VectorOps.Dim + 1}) t(i)
+       |  GROUP BY c.vec_a, c.vec_b),
+       |epairs AS (
+       |  SELECT vec_a, vec_b, round(dot / (na * nb), 6) AS cos
+       |  FROM vpairs WHERE dot / (na * nb) >= 0.9)""".stripMargin
+
   /** norm CTE over a (vec_id, embedding, ...) relation. */
   private def normsCte(name: String, rel: String, extraCols: String = ""): String =
     s"""$name AS (
@@ -1104,80 +1210,9 @@ object PipelineQueries {
       // celled pair set equals the exact label-join reference, and the
       // oracle mirrors the celled scheme bit-for-bit.
       "q51_embedding_dedup",
-      (s, d) => {
-        graft.functions.GraftFunctions.register(s)
-        val e = embDupNorms(s, d)
-        val cents = ivfCentroids(e)
-        val byVec = Window.partitionBy("vec_id")
-          .orderBy(col("csim").desc, col("cid").asc)
-        // Rank over SLIM (vec_id, label, cid, csim) rows — attaching the
-        // embedding arrays here shuffles n×k×Dim floats through the
-        // window exchange (the measured 10× bottleneck).
-        val assign = e.select("vec_id", "label", "embedding", "nrm")
-          .crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("label"),
-            (VectorOps.dotDecimal(col("embedding"), col("ce")) /
-              (col("nrm") * col("cn"))).as("csim"),
-            col("cid"))
-          .withColumn("arnk", row_number().over(byVec))
-          // probe-3 for the DEDUP candidate stage: the 10× parity audit
-          // (ScaleBench) measured probe-2 missing 9/1000 true pairs at
-          // derived k=165 while probe-3 missed 0 — dedup wants recall, so
-          // it pays the ~2× candidate growth (the double-dot prefilter
-          // keeps verify cheap); the ANN queries (q68/q89) keep probe-2,
-          // their recall is the measured trade q89 reports.
-          .filter(col("arnk") <= 3)
-          .select("vec_id", "label", "cid")
-        val cand = assign.as("a").join(assign.as("b"),
-            col("a.label") === col("b.label") && col("a.cid") === col("b.cid") &&
-              col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-          .distinct()
-        val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-          col("nrm").as("na"))
-        val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-          col("nrm").as("nb"))
-        val naNb = col("na") * col("nb")
-        val fastOk = VectorOps.dotFast(col("ea"), col("eb")) >=
-          (lit(0.9) - lit(1e-6)) * naNb
-        val exactCos = VectorOps.dotDecimal(col("ea"), col("eb")) / naNb
-        // The when() is load-bearing: a plain `fastOk && exactCos >= 0.9`
-        // filter can be reordered so the decimal dot runs on every
-        // candidate pair; CaseWhen branches stay lazy wherever the
-        // optimizer moves the predicate.
-        cand.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
-          .filter(when(fastOk, exactCos >= 0.9).otherwise(lit(false)))
-          .select(col("vec_a"), col("vec_b"), round(exactCos, 6).as("cos"))
-      },
-      Some(s"""WITH $emb2Cte,
-              |${normsCte("nrms", "emb2", ", label")},
-              |${centsCteSql("nrms")},
-              |csims AS (
-              |  SELECT n.vec_id, n.label, c.cid, MAX(n.nrm) AS nrm, MAX(c.cn) AS cn,
-              |         ${VectorOps.dotDecimalSql("n.embedding", "c.ce")} AS dot
-              |  FROM nrms n CROSS JOIN cents c, range(1, ${VectorOps.Dim + 1}) t(i)
-              |  GROUP BY n.vec_id, n.label, c.cid),
-              |assign AS (
-              |  SELECT vec_id, label, cid FROM (
-              |    SELECT vec_id, label, cid,
-              |           ROW_NUMBER() OVER (PARTITION BY vec_id
-              |               ORDER BY dot / (nrm * cn) DESC, cid ASC) AS arnk
-              |    FROM csims) r
-              |  WHERE arnk <= 3),
-              |cand AS (
-              |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-              |  FROM assign a JOIN assign b
-              |    ON a.label = b.label AND a.cid = b.cid AND a.vec_id < b.vec_id),
-              |pairs AS (
-              |  SELECT c.vec_a, c.vec_b, MAX(x.nrm) AS na, MAX(y.nrm) AS nb,
-              |         ${VectorOps.dotDecimalSql("x.embedding", "y.embedding")} AS dot
-              |  FROM cand c
-              |  JOIN nrms x ON c.vec_a = x.vec_id
-              |  JOIN nrms y ON c.vec_b = y.vec_id,
-              |       range(1, ${VectorOps.Dim + 1}) t(i)
-              |  GROUP BY c.vec_a, c.vec_b)
-              |SELECT vec_a, vec_b, round(dot / (na * nb), 6) AS cos
-              |FROM pairs WHERE dot / (na * nb) >= 0.9""".stripMargin)
+      (s, d) => embDedupPairs(s, d),
+      Some(s"""WITH $embPairsCtes
+              |SELECT vec_a, vec_b, cos FROM epairs""".stripMargin)
     ),
     QueryDef(
       // Benchmark decontamination: flag training docs sharing any 5-word
@@ -2093,6 +2128,53 @@ object PipelineQueries {
               |  GROUP BY c.corpus_id, c.new_id)
               |SELECT corpus_id, new_id, round(dot / (na * nb), 6) AS cos
               |FROM pairs WHERE dot / (na * nb) >= 0.9""".stripMargin)
+    ),
+    QueryDef(
+      // SemDeDup's KEEP POLICY: connected components over the verified
+      // embedding near-dup pairs (q51's edge set), then within each
+      // component keep the member CLOSEST TO ITS CLUSTER CENTROID (the
+      // SemDeDup representative rule; ties break on id) and drop the
+      // rest. Shape: the CC loop is the bounded checkpointed min-label
+      // propagation (Components), the keep rule ONE window over the
+      // shuffle on cluster_id. Singletons keep themselves, so the output
+      // is the full keep/drop decision a curation pipeline applies.
+      "q124_semdedup_keep",
+      (s, d) => {
+        val e = embDupNorms(s, d)
+        val edges = embDedupPairs(s, d)
+          .select(col("vec_a").as("a"), col("vec_b").as("b"))
+        val cc = graft.operators.Components.connectedComponents(
+          e.select(col("vec_id").as("node")), edges)
+        val byCluster = Window.partitionBy("cluster_id")
+          .orderBy(col("aff").desc, col("node").asc)
+        cc.join(embAffinity(s, d), Seq("node"))
+          .withColumn("rk", row_number().over(byCluster))
+          .select(col("node").as("vec_id"), col("cluster_id"),
+            (col("rk") === 1).as("is_kept"))
+      },
+      Some(s"""WITH RECURSIVE $embPairsCtes,
+              |sym AS (SELECT vec_a AS a, vec_b AS b FROM epairs
+              |        UNION SELECT vec_b, vec_a FROM epairs),
+              |reach(src, dst) AS (
+              |  SELECT a, b FROM sym
+              |  UNION
+              |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
+              |minreach AS (SELECT src, MIN(dst) AS m FROM reach GROUP BY src),
+              |clusters AS (
+              |  SELECT n.vec_id AS node,
+              |         least(n.vec_id, coalesce(m.m, n.vec_id)) AS cluster_id
+              |  FROM nrms n LEFT JOIN minreach m ON n.vec_id = m.src),
+              |aff AS (
+              |  SELECT vec_id AS node, CAST(dot / (nrm * cn) AS DOUBLE) AS aff FROM (
+              |    SELECT vec_id, dot, nrm, cn,
+              |           ROW_NUMBER() OVER (PARTITION BY vec_id
+              |               ORDER BY dot / (nrm * cn) DESC, cid ASC) AS arnk
+              |    FROM csims) r
+              |  WHERE arnk = 1)
+              |SELECT c.node AS vec_id, c.cluster_id,
+              |       (ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+              |            ORDER BY a.aff DESC, c.node ASC)) = 1 AS is_kept
+              |FROM clusters c JOIN aff a ON c.node = a.node""".stripMargin)
     )
   )
 }

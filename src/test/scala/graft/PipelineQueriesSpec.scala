@@ -181,6 +181,31 @@ class PipelineQueriesSpec extends SparkTestBase {
       "q123 emitted a non-incremental pair")
   }
 
+  test("q124 SemDeDup keep: one representative per cluster, dup members dropped") {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = byName("q124_semdedup_keep").query(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val total = PipelineQueries.embWithDups(spark, sfDir).count()
+    assert(rows.length == total, "q124 must decide every vector")
+    // Exactly one kept member per cluster.
+    rows.groupBy(_._2).foreach { case (cl, members) =>
+      assert(members.count(_._3) == 1, s"cluster $cl kept ${members.count(_._3)}")
+    }
+    // The planted near-dups actually cluster: every q51 pair shares a
+    // cluster and exactly one side of a 2-member cluster is dropped.
+    val cluster = rows.map(t => t._1 -> t._2).toMap
+    val pairs = byName("q51_embedding_dedup").query(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"pair ($a,$b) split across clusters")
+    }
+    val dropped = rows.filter(!_._3).map(_._1).toSet
+    assert(dropped.nonEmpty, "no duplicate member was dropped")
+    assert(dropped.forall(v => pairs.exists(p => p._1 == v || p._2 == v)),
+      "a vector outside any near-dup pair was dropped")
+  }
+
   test("q43 banded candidates reproduce the exact length-bucket pair set") {
     import graft.operators.TextOps
     // Exact reference: the quadratic same-source + |Δn_chars|<=20 join
