@@ -94,7 +94,7 @@ object PipelineQueries {
     * replaces the stride pick with VectorOps.kmeans at the same k; the
     * stride pick is the deterministic stand-in with the same cost shape.
     */
-  private def ivfCentroids(e: DataFrame): DataFrame = {
+  def ivfCentroids(e: DataFrame): DataFrame = {
     val params = e.agg(count(lit(1)).as("n")).select(
       greatest(lit(1L), (col("n") /
         greatest(lit(16L), (col("n") / lit(128)).cast("long"))).cast("long"))
@@ -103,6 +103,52 @@ object PipelineQueries {
       .filter(pmod(col("vec_id"), col("stride")) === pmod(lit(3L), col("stride")))
       .select(col("vec_id").as("cid"), col("embedding").as("ce"),
         col("nrm").as("cn"))
+  }
+
+  /** Probe-cell assignment rows (vec_id, label, cid) of a normed frame
+    * `e` (vec_id, label, embedding, nrm) against `cents`, keeping each
+    * vector's top-`probes` cells by exact decimal cosine (cid tiebreak).
+    * The ranking window sees only SLIM (vec_id, label, cid, csim) rows —
+    * attaching the embedding arrays would shuffle n×k×Dim floats. Shared
+    * by the batch dedup queries and [[graft.streaming.StreamingDedup
+    * .embMatchesBatch]] so streaming and batch assignment cannot drift.
+    */
+  def cellAssignments(e: DataFrame, cents: DataFrame, probes: Int): DataFrame = {
+    val byVec = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cid").asc)
+    e.select("vec_id", "label", "embedding", "nrm")
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"),
+        (VectorOps.dotDecimal(col("embedding"), col("ce")) /
+          (col("nrm") * col("cn"))).as("csim"),
+        col("cid"))
+      .withColumn("arnk", row_number().over(byVec))
+      .filter(col("arnk") <= probes)
+      .select("vec_id", "label", "cid")
+  }
+
+  /** Two-phase exact verify of candidate id pairs against normed frames:
+    * codegen'd double prefilter at 1e-6 slack, decimal exact for the
+    * threshold the cross-engine hash pins. `cand` carries (leftId,
+    * rightId); output (leftId, rightId, cos >= thresh only).
+    */
+  def verifyPairs(cand: DataFrame, left: DataFrame, right: DataFrame,
+      leftId: String, rightId: String, thresh: Double): DataFrame = {
+    val ea = left.select(col("vec_id").as(leftId), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val eb = right.select(col("vec_id").as(rightId), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    val naNb = col("na") * col("nb")
+    val fastOk = VectorOps.dotFast(col("ea"), col("eb")) >=
+      (lit(thresh) - lit(1e-6)) * naNb
+    val exactCos = VectorOps.dotDecimal(col("ea"), col("eb")) / naNb
+    // The when() is load-bearing: a plain `fastOk && exactCos >= thresh`
+    // filter can be reordered so the decimal dot runs on every candidate
+    // pair; CaseWhen branches stay lazy wherever the optimizer moves the
+    // predicate.
+    cand.join(ea, Seq(leftId)).join(eb, Seq(rightId))
+      .filter(when(fastOk, exactCos >= thresh).otherwise(lit(false)))
+      .select(col(leftId), col(rightId), round(exactCos, 6).as("cos"))
   }
 
   /** Driver-side twin of the [[ivfCentroids]] arithmetic for a corpus of
@@ -140,38 +186,13 @@ object PipelineQueries {
   private def embDedupPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = embDupNorms(s, d)
-    val cents = ivfCentroids(e)
-    val byVec = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cid").asc)
-    val assign = e.select("vec_id", "label", "embedding", "nrm")
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("label"),
-        (VectorOps.dotDecimal(col("embedding"), col("ce")) /
-          (col("nrm") * col("cn"))).as("csim"),
-        col("cid"))
-      .withColumn("arnk", row_number().over(byVec))
-      .filter(col("arnk") <= 3)
-      .select("vec_id", "label", "cid")
+    val assign = cellAssignments(e, ivfCentroids(e), probes = 3)
     val cand = assign.as("a").join(assign.as("b"),
         col("a.label") === col("b.label") && col("a.cid") === col("b.cid") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
-    val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-      col("nrm").as("na"))
-    val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-      col("nrm").as("nb"))
-    val naNb = col("na") * col("nb")
-    val fastOk = VectorOps.dotFast(col("ea"), col("eb")) >=
-      (lit(0.9) - lit(1e-6)) * naNb
-    val exactCos = VectorOps.dotDecimal(col("ea"), col("eb")) / naNb
-    // The when() is load-bearing: a plain `fastOk && exactCos >= 0.9`
-    // filter can be reordered so the decimal dot runs on every candidate
-    // pair; CaseWhen branches stay lazy wherever the optimizer moves the
-    // predicate.
-    cand.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
-      .filter(when(fastOk, exactCos >= 0.9).otherwise(lit(false)))
-      .select(col("vec_a"), col("vec_b"), round(exactCos, 6).as("cos"))
+    verifyPairs(cand, e, e, "vec_a", "vec_b", 0.9)
   }
 
   /** Each vector's cosine to its ASSIGNED (top-1) centroid — SemDeDup's
@@ -2066,34 +2087,15 @@ object PipelineQueries {
         graft.functions.GraftFunctions.register(s)
         val e = embDupNorms(s, d)
         val cents = ivfCentroids(e)
-        val byVec = Window.partitionBy("vec_id")
-          .orderBy(col("csim").desc, col("cid").asc)
-        val ranked = e.select("vec_id", "label", "embedding", "nrm")
-          .crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("label"),
-            (VectorOps.dotDecimal(col("embedding"), col("ce")) /
-              (col("nrm") * col("cn"))).as("csim"),
-            col("cid"))
-          .withColumn("arnk", row_number().over(byVec))
-        val corpusCells = ranked
-          .filter(col("vec_id") < 100000 && col("arnk") === 1)
-          .select(col("vec_id").as("corpus_id"), col("label"), col("cid"))
-        val newCells = ranked
-          .filter(col("vec_id") >= 100000 && col("arnk") <= 3)
-          .select(col("vec_id").as("new_id"), col("label"), col("cid"))
+        val corpusCells =
+          cellAssignments(e.filter(col("vec_id") < 100000), cents, probes = 1)
+            .select(col("vec_id").as("corpus_id"), col("label"), col("cid"))
+        val newCells =
+          cellAssignments(e.filter(col("vec_id") >= 100000), cents, probes = 3)
+            .select(col("vec_id").as("new_id"), col("label"), col("cid"))
         val cand = corpusCells.join(newCells, Seq("label", "cid"))
           .select("corpus_id", "new_id").distinct()
-        val ea = e.select(col("vec_id").as("corpus_id"),
-          col("embedding").as("ea"), col("nrm").as("na"))
-        val eb = e.select(col("vec_id").as("new_id"),
-          col("embedding").as("eb"), col("nrm").as("nb"))
-        val naNb = col("na") * col("nb")
-        val fastOk = VectorOps.dotFast(col("ea"), col("eb")) >=
-          (lit(0.9) - lit(1e-6)) * naNb
-        val exactCos = VectorOps.dotDecimal(col("ea"), col("eb")) / naNb
-        cand.join(ea, Seq("corpus_id")).join(eb, Seq("new_id"))
-          .filter(when(fastOk, exactCos >= 0.9).otherwise(lit(false)))
-          .select(col("corpus_id"), col("new_id"), round(exactCos, 6).as("cos"))
+        verifyPairs(cand, e, e, "corpus_id", "new_id", 0.9)
       },
       Some(s"""WITH $emb2Cte,
               |${normsCte("nrms", "emb2", ", label")},

@@ -38,4 +38,27 @@ object StreamingDedup {
       .select(col("a.doc_id").as("corpus_id"), col("b.doc_id").as("new_id"))
       .distinct()
   }
+
+  /** EMBEDDING variant — the streaming deployment of q123's incremental
+    * shape: the corpus IVF index is built once (`cents` = the index's
+    * centroid set, `corpusCells` = its hard (corpus_id, label, cid)
+    * assignments, `corpus` = the normed corpus vectors — at scale a
+    * bucketed table on (label, cid) plus the vector store), and each
+    * arriving micro-batch of (vec_id, label, embedding) rows is normed,
+    * probe-3 cell-assigned with the SAME shared machinery
+    * ([[PipelineQueries.cellAssignments]]) and verified two-phase
+    * ([[PipelineQueries.verifyPairs]]) — so streaming and batch
+    * candidates cannot drift (StreamingSpec asserts equality against the
+    * batch q123). Stateless per batch, like the text variant.
+    */
+  def embMatchesBatch(cents: DataFrame, corpusCells: DataFrame,
+      corpus: DataFrame, arrivals: DataFrame): DataFrame = {
+    val e = arrivals.select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("nrm", graft.operators.VectorOps.norm(col("embedding")))
+    val newCells = PipelineQueries.cellAssignments(e, cents, probes = 3)
+      .select(col("vec_id").as("new_id"), col("label"), col("cid"))
+    val cand = corpusCells.join(newCells, Seq("label", "cid"))
+      .select("corpus_id", "new_id").distinct()
+    PipelineQueries.verifyPairs(cand, corpus, e, "corpus_id", "new_id", 0.9)
+  }
 }

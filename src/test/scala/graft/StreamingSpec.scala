@@ -330,6 +330,61 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
   }
 
+  test("streaming incremental EMBEDDING dedup agrees with the batch q123 probe") {
+    import graft.operators.VectorOps
+    import graft.queries.PipelineQueries
+    import graft.streaming.StreamingDedup
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+
+    // The corpus index: centroids derived like the batch query (over the
+    // full frame, so parity with q123 is exact) and the corpus's hard
+    // cell assignments — at scale a bucketed table on (label, cid).
+    val all = PipelineQueries.embWithDups(spark, sfDir)
+      .withColumn("nrm", VectorOps.norm(col("embedding")))
+    val cents = PipelineQueries.ivfCentroids(all).cache()
+    val corpus = all.filter($"vec_id" < 100000L).cache()
+    val corpusCells = PipelineQueries.cellAssignments(corpus, cents, probes = 1)
+      .select($"vec_id".as("corpus_id"), $"label", $"cid").cache()
+
+    val stream = MemoryStream[(Long, Int, Array[Float])]
+    val arrivals = stream.toDF().toDF("vec_id", "label", "embedding")
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val query = arrivals.writeStream.outputMode("append")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        out ++= StreamingDedup.embMatchesBatch(cents, corpusCells, corpus, df)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        ()
+      }.start()
+    try {
+      val newVecs = all.filter($"vec_id" >= 100000L)
+        .select("vec_id", "label", "embedding")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+        .sortBy(_._1)
+      val (first, second) = newVecs.splitAt(newVecs.length / 2)
+      stream.addData(first.toIndexedSeq)
+      query.processAllAvailable()
+      stream.addData(second.toIndexedSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val batch = PipelineQueries.defs
+      .find(_.name == "q123_incremental_embedding_dedup").get
+      .query(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty)
+    assert(out.toSet == batch,
+      s"streaming vs batch incremental embedding dedup differ: " +
+        s"only-streaming=${(out.toSet -- batch).take(5)} " +
+        s"only-batch=${(batch -- out.toSet).take(5)}")
+    corpusCells.unpersist(); corpus.unpersist(); cents.unpersist()
+    ()
+  }
+
   test("streaming incremental LSH dedup agrees with the batch q100 probe") {
     import graft.queries.PipelineQueries
     import graft.streaming.StreamingDedup
