@@ -50,6 +50,39 @@ class EdgeSpec extends SparkTestBase {
     assert(LinkageCascade.autoSalt(census, emptyInput, cfg.passes) == cfg.passes)
   }
 
+  test("streaming embedding dedup on an empty micro-batch is empty, no failure") {
+    import graft.operators.VectorOps
+    import graft.queries.PipelineQueries
+    GraftFunctions.register(spark)
+    val all = PipelineQueries.embWithDups(spark, sfDir)
+      .withColumn("nrm", VectorOps.norm(col("embedding")))
+    val cents = PipelineQueries.ivfCentroids(all)
+    val corpus = all.filter(col("vec_id") < 100000L)
+    val corpusCells = PipelineQueries.cellAssignments(corpus, cents, probes = 1)
+      .select(col("vec_id").as("corpus_id"), col("label"), col("cid"))
+    val emptyArrivals = all.select("vec_id", "label", "embedding").limit(0)
+    assert(graft.streaming.StreamingDedup
+      .embMatchesBatch(cents, corpusCells, corpus, emptyArrivals).count() == 0L)
+  }
+
+  test("ivfSeedIdsFor twin matches the in-query centroid id derivation") {
+    import graft.queries.PipelineQueries
+    import spark.implicits._
+    // The driver-side arithmetic (specs, ScaleBench) and the in-query
+    // stride pick must select the SAME ids for a dense-id corpus — this
+    // is the contract that keeps harness-side k reporting honest across
+    // sizes, including the k-growth boundary at n = 2048 (n/128 > 16).
+    Seq(5L, 16L, 100L, 500L, 2047L, 2048L, 4096L).foreach { n =>
+      val e = spark.range(n).select(col("id").as("vec_id"))
+        .withColumn("embedding", array(lit(1.0f)))
+        .withColumn("nrm", lit(1.0))
+      val got = PipelineQueries.ivfCentroids(e)
+        .select("cid").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == PipelineQueries.ivfSeedIdsFor(n).sorted,
+        s"centroid id mismatch at n=$n")
+    }
+  }
+
   test("bestLink of an empty scored frame is empty") {
     val empty = spark.createDataFrame(
       Seq.empty[(Long, Long, Double)]).toDF("pik", "rec_id", "match_weight")
