@@ -127,6 +127,74 @@ object PipelineQueries {
       .select("vec_id", "label", "cid")
   }
 
+  /** TWO-LEVEL (hierarchical) probe-cell assignment — the scale ladder
+    * past flat IVF's n×k assignment dots: vectors rank against 16 COARSE
+    * centroids (stride n/16 over the same id arithmetic), then against
+    * only the fine centroids whose own top-1 coarse cell is among the
+    * vector's top-`coarseProbes` — n×(16 + coarseProbes·k/16) expected
+    * dots. Rows stay slim through every shuffle: the per-vector fine
+    * candidate list attaches to the embedding ONCE (join by vec_id),
+    * explodes map-side, scores against the BROADCAST fine set, and only
+    * (vec_id, label, cid, csim) reaches the ranking window. Same output
+    * shape as [[cellAssignments]]; the two can differ on vectors whose
+    * best fine cell hides in a far coarse cell — PipelineQueriesSpec
+    * pins zero pair loss at the test SFs with coarseProbes = 2.
+    *
+    * MEASURED VERDICT (HierProbe at the 10× scale point): coarseProbes
+    * 2/3/4 miss 19/11/7 of 1000 true pairs at 1.4×/1.8×/2.4× the flat
+    * stage's wall time — restricting each vector's fine ranking to its
+    * own coarse probes breaks the shared-cell overlap near-dup pairs
+    * rely on, and the dot savings don't repay the extra join stages at
+    * this n. The production queries therefore keep FLAT assignment with
+    * corpus-derived k; this operator is the measured ladder candidate
+    * for corpora orders of magnitude larger, gated by the same recall
+    * audit.
+    */
+  def hierarchicalCellAssignments(e: DataFrame, fine: DataFrame,
+      coarseProbes: Int, fineProbes: Int): DataFrame = {
+    val coarseParams = e.agg(count(lit(1)).as("n")).select(
+      greatest(lit(1L), (col("n") / lit(16)).cast("long")).as("stride"))
+    val coarse = e.crossJoin(broadcast(coarseParams))
+      .filter(pmod(col("vec_id"), col("stride")) === pmod(lit(3L), col("stride")))
+      .select(col("vec_id").as("ccid"), col("embedding").as("cce"),
+        col("nrm").as("ccn"))
+    def rankAgainstCoarse(v: DataFrame, idCol: String, keep: Int): DataFrame = {
+      val byV = Window.partitionBy(idCol).orderBy(col("csim").desc, col("ccid").asc)
+      v.crossJoin(broadcast(coarse))
+        .select(col(idCol),
+          (VectorOps.dotDecimal(col("embedding"), col("cce")) /
+            (col("nrm") * col("ccn"))).as("csim"),
+          col("ccid"))
+        .withColumn("crnk", row_number().over(byV))
+        .filter(col("crnk") <= keep)
+        .select(idCol, "ccid")
+    }
+    // Each FINE centroid's home coarse cell (k×16 dots, broadcast both).
+    val f2c = rankAgainstCoarse(
+      fine.select(col("cid").as("vec_id"), col("ce").as("embedding"),
+        col("cn").as("nrm")),
+      "vec_id", 1).select(col("vec_id").as("cid"), col("ccid"))
+    // Vector → probed coarse cells (n×16 dots) → candidate fine cids.
+    val candCids = rankAgainstCoarse(
+      e.select("vec_id", "embedding", "nrm"), "vec_id", coarseProbes)
+      .join(f2c, Seq("ccid"))
+      .groupBy("vec_id").agg(collect_set("cid").as("cids"))
+    val byVec = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cid").asc)
+    e.select("vec_id", "label", "embedding", "nrm")
+      .join(candCids, Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
+        explode(col("cids")).as("cid"))
+      .join(broadcast(fine), Seq("cid"))
+      .select(col("vec_id"), col("label"),
+        (VectorOps.dotDecimal(col("embedding"), col("ce")) /
+          (col("nrm") * col("cn"))).as("csim"),
+        col("cid"))
+      .withColumn("arnk", row_number().over(byVec))
+      .filter(col("arnk") <= fineProbes)
+      .select("vec_id", "label", "cid")
+  }
+
   /** Two-phase exact verify of candidate id pairs against normed frames:
     * codegen'd double prefilter at 1e-6 slack, decimal exact for the
     * threshold the cross-engine hash pins. `cand` carries (leftId,

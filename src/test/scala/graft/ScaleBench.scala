@@ -187,6 +187,52 @@ object ScaleBench {
     }
     parityAudit(outDir)
 
+    // Hierarchical vs flat assignment at the scaled dir: wall time of the
+    // probe-3 cell-assignment stage alone (the n·k flat term vs the
+    // two-level n·(16 + k/8) ladder) and the candidate-pair recall of
+    // each against the exact set — the measured evidence for the
+    // "ladder beyond this window" claim in BASELINE.md.
+    def assignSec(dir: String): Unit = {
+      val e = PipelineQueries.embWithDups(spark, dir)
+        .withColumn("nrm", VectorOps.norm(col("embedding"))).cache()
+      e.count()
+      val fine = PipelineQueries.ivfCentroids(e).cache()
+      fine.count()
+      def candPairs(assign: DataFrame): DataFrame =
+        assign.as("a").join(assign.as("b"),
+            col("a.label") === col("b.label") && col("a.cid") === col("b.cid") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+          .distinct()
+      val ea = e.select(col("label"), col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val eb = e.select(col("label"), col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      val exact = ea.join(eb, Seq("label")).filter(col("vec_a") < col("vec_b"))
+        .withColumn("cos",
+          VectorOps.dotFast(col("ea"), col("eb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.9 + 1e-6)
+        .select("vec_a", "vec_b").cache()
+      val nExact = exact.count()
+      Seq(
+        "flat" -> (() => PipelineQueries.cellAssignments(e, fine, 3)),
+        "hier" -> (() => PipelineQueries.hierarchicalCellAssignments(e, fine, 2, 3))
+      ).foreach { case (label, mk) =>
+        val t0 = System.nanoTime()
+        val cand = candPairs(mk()).cache()
+        val n = cand.count()
+        val t = (System.nanoTime() - t0) / 1e9
+        val missed = exact.except(cand).count()
+        println(f"[scale] assign $dir $label candidates=$n%8d " +
+          f"missed=$missed%3d / $nExact $t%6.2f s")
+        cand.unpersist()
+      }
+      exact.unpersist(); fine.unpersist(); e.unpersist()
+    }
+    println(s"\n== flat vs hierarchical assignment (candidate stage only) ==")
+    assignSec(baseDir)
+    assignSec(outDir)
+
     println(s"\n== q51 shape: fixed k=16 vs the in-query derived k ==")
     val nBase = PipelineQueries.embWithDups(spark, baseDir).count()
     val nOut = PipelineQueries.embWithDups(spark, outDir).count()
