@@ -978,6 +978,66 @@ object RefFileQueries {
               |  WHERE p.ssn IS NULL)
               |SELECT 'incorrect' AS kind, in_id, ref_id FROM incorrect
               |UNION ALL SELECT 'missed', in_id, ref_id FROM missed""".stripMargin)
+    ),
+    QueryDef(
+      // The PVS Verification Module (reference 03 cell 81, Wagner & Layne
+      // p. 14: "If the input file has a SSN data field, it first goes
+      // through the verification process"). The reference SKIPS it only
+      // because the CUF carries no SSN — an SSN-carrying input file (tax
+      // filings, admin records) hits it first, so the library offers it:
+      // each filing's reported SSN joins the numident identity for that
+      // SSN, names verify by Jaro-Winkler agreement (the codegen'd
+      // expression with exact DuckDB parity), verified filings take the
+      // SSN's PIK directly and everything else falls through to the
+      // cascade. The wrong-SSN W2 slice is exactly what verification
+      // exists to catch: the reported SSN resolves to the NEIGHBOR's
+      // identity, the names disagree, outcome 'failed'. ITIN filings
+      // ('unknown_ssn') are the coverage gap the ITIN incorporation
+      // (q118) closes. One broadcast-or-shuffle equi-join on ssn.
+      "q125_verification_module",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        import graft.functions.GraftFunctions.jaroWinkler
+        val ident = numident(s, d).filter(col("record_id").startsWith("num0_"))
+          .select(col("ssn"), col("first_name").as("ref_first"),
+            col("last_name").as("ref_last"))
+        val piks = DfOps.addContiguousId(
+          numident(s, d).select("ssn").distinct(), "ssn", "pik")
+          .select("ssn", "pik")
+        val jwF = round(jaroWinkler(col("first_name"), col("ref_first")), 6)
+        val jwL = round(jaroWinkler(col("last_name"), col("ref_last")), 6)
+        val agree = jwF >= 0.85 && jwL >= 0.8
+        refChain(s, d).w2.select("record_id", "ssn", "first_name", "last_name")
+          .join(ident, Seq("ssn"), "left")
+          .join(piks, Seq("ssn"), "left")
+          .select(col("record_id"), col("ssn"),
+            when(col("ref_first").isNull, lit("unknown_ssn"))
+              .when(agree, lit("verified"))
+              .otherwise(lit("failed")).as("outcome"),
+            when(col("ref_first").isNotNull && agree, col("pik"))
+              .otherwise(lit(null).cast("long")).as("pik"))
+      }, {
+        val jwF = "round(jaro_winkler_similarity(w.first_name, i.ref_first), 6)"
+        val jwL = "round(jaro_winkler_similarity(w.last_name, i.ref_last), 6)"
+        Some(s"""$base,
+                |$taxCtes,
+                |ident AS (
+                |  SELECT ssn, first_name AS ref_first, last_name AS ref_last
+                |  FROM numident WHERE record_id LIKE 'num0_%'),
+                |piks AS (
+                |  SELECT ssn, row_number() OVER (ORDER BY ssn) - 1 AS pik
+                |  FROM (SELECT DISTINCT ssn FROM numident) t)
+                |SELECT w.record_id, w.ssn,
+                |       CASE WHEN i.ref_first IS NULL THEN 'unknown_ssn'
+                |            WHEN $jwF >= 0.85 AND $jwL >= 0.8 THEN 'verified'
+                |            ELSE 'failed' END AS outcome,
+                |       CASE WHEN i.ref_first IS NOT NULL
+                |             AND $jwF >= 0.85 AND $jwL >= 0.8 THEN p.pik
+                |            ELSE NULL END AS pik
+                |FROM w2 w
+                |LEFT JOIN ident i ON w.ssn = i.ssn
+                |LEFT JOIN piks p ON w.ssn = p.ssn""".stripMargin)
+      }
     )
   )
 }

@@ -198,6 +198,36 @@ class LineageSpec extends SparkTestBase {
     diag.unpersist()
   }
 
+  test("q125 verification module: wrong-SSN filing fails, clean filings verify, " +
+    "ITINs are unknown") {
+    val v = RefFileQueries.defs.find(_.name == "q125_verification_module").get
+      .query(spark, sfDir).cache()
+    val byRec = v.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    // The planted wrong-SSN 2026 filing resolves to the NEIGHBOR's
+    // identity, the names disagree, verification rejects it (no PIK).
+    val (ssn57, out57, pik57) = byRec("w2_2026_57")
+    assert(ssn57 == 58L && out57 == "failed" && pik57 == -1L,
+      s"wrong-SSN filing not rejected: $ssn57 $out57 $pik57")
+    // The same filer's other years verify under the own SSN and take a PIK.
+    val (ssnOk, outOk, pikOk) = byRec("w2_2025_57")
+    assert(ssnOk == 57L && outOk == "verified" && pikOk >= 0L,
+      s"clean filing not verified: $ssnOk $outOk $pikOk")
+    // ITIN-range SSNs are outside the numident: unknown, to be covered by
+    // the ITIN incorporation path (q118).
+    assert(v.filter(col("ssn") >= 900000000L &&
+      col("outcome") =!= "unknown_ssn").count() == 0)
+    // Verification passes the clean bulk (IRS truncation survives the JW
+    // threshold) and every verified row carries a PIK.
+    val n = v.count().toDouble
+    assert(v.filter(col("outcome") === "verified").count() / n > 0.8,
+      "verification rejected the clean bulk")
+    assert(v.filter(col("outcome") === "verified" && col("pik").isNull).count() == 0)
+    assert(v.filter(col("outcome") =!= "verified" && col("pik").isNotNull).count() == 0)
+    v.unpersist()
+  }
+
   test("ITIN incorporation: ITIN rows are PIKed and carry the IRS truncation") {
     val itinRef = RefFileQueries.defs.find(_.name == "q118_itin_incorporation").get
       .query(spark, sfDir).cache()
