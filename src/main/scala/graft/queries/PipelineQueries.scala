@@ -2245,6 +2245,50 @@ object PipelineQueries {
               |       (ROW_NUMBER() OVER (PARTITION BY c.cluster_id
               |            ORDER BY a.aff DESC, c.node ASC)) = 1 AS is_kept
               |FROM clusters c JOIN aff a ON c.node = a.node""".stripMargin)
+    ),
+    QueryDef(
+      // TEXT dedup keep policy: within each near-dup component (q52's
+      // clusters over the banded Jaccard pairs), keep the copy from the
+      // highest-priority SOURCE, breaking ties by LENGTH (the most
+      // complete copy — the planted near-dup variants drop their first
+      // word, so the original wins) then id. This is the curation rule
+      // real corpus dedup applies when the same document arrives from
+      // several crawls; q52's min-id keep is the arbitrary baseline.
+      // Shape: the CC loop + ONE window over the shuffle on cluster_id.
+      "q126_dedup_keep_policy",
+      (s, d) => {
+        val docs = docsWithDups(s, d)
+          .select(col("doc_id").as("node"), col("n_chars"),
+            regexp_extract(col("source"), "([0-9]+)$", 1)
+              .cast("long").as("priority"))
+        val edges = bandedJaccardPairs(s, d)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        val cc = graft.operators.Components.connectedComponents(
+          docs.select("node"), edges)
+        val byCluster = Window.partitionBy("cluster_id")
+          .orderBy(col("priority").asc, col("n_chars").desc, col("node").asc)
+        cc.join(docs, Seq("node"))
+          .withColumn("rk", row_number().over(byCluster))
+          .select(col("node").as("doc_id"), col("cluster_id"),
+            (col("rk") === 1).as("is_kept"))
+      },
+      Some(s"""WITH RECURSIVE $bandedJaccardPairsCtes,
+              |sym AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+              |        UNION SELECT doc_b, doc_a FROM jpairs),
+              |reach(src, dst) AS (
+              |  SELECT a, b FROM sym
+              |  UNION
+              |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
+              |minreach AS (SELECT src, MIN(dst) AS m FROM reach GROUP BY src),
+              |clusters AS (
+              |  SELECT d.doc_id AS node, d.n_chars,
+              |         CAST(regexp_extract(d.source, '([0-9]+)$$', 1) AS BIGINT) AS priority,
+              |         least(d.doc_id, coalesce(m.m, d.doc_id)) AS cluster_id
+              |  FROM docs2 d LEFT JOIN minreach m ON d.doc_id = m.src)
+              |SELECT node AS doc_id, cluster_id,
+              |       (ROW_NUMBER() OVER (PARTITION BY cluster_id
+              |            ORDER BY priority ASC, n_chars DESC, node ASC)) = 1 AS is_kept
+              |FROM clusters""".stripMargin)
     )
   )
 }

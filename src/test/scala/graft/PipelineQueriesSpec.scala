@@ -208,6 +208,23 @@ class PipelineQueriesSpec extends SparkTestBase {
       s"hierarchical candidates lost pairs: ${(expected -- cand).take(5)}")
   }
 
+  test("q126 dedup keep policy: the most complete copy survives per cluster") {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = byName("q126_dedup_keep_policy").query(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    rows.groupBy(_._2).foreach { case (cl, members) =>
+      assert(members.count(_._3) == 1, s"cluster $cl kept ${members.count(_._3)}")
+      if (members.length > 1) {
+        // The planted variants (+100000 drop their first word, +200000
+        // exact copies tie on length and lose on id) never beat the
+        // original under (priority, length, id).
+        val kept = members.find(_._3).get._1
+        assert(kept < 100000L, s"cluster $cl kept planted copy $kept")
+      }
+    }
+    assert(rows.exists(t => !t._3), "no duplicate copy was dropped")
+  }
+
   test("q124 SemDeDup keep: one representative per cluster, dup members dropped") {
     graft.functions.GraftFunctions.register(spark)
     val rows = byName("q124_semdedup_keep").query(spark, sfDir)
