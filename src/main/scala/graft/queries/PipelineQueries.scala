@@ -251,7 +251,25 @@ object PipelineQueries {
     * attaching the embedding arrays shuffles n×k×Dim floats (the
     * measured 10× bottleneck).
     */
-  private def embDedupPairs(s: SparkSession, d: String): DataFrame = {
+  // Memoized like jaccardPairs: q51 reports the pair list, q124's keep
+  // policy consumes it as its edge set — without the memo q124 re-runs
+  // the whole candidate + verify pipeline (measured 32 s at the 10×
+  // point, exponent 1.09, vs CC-only cost once shared).
+  private val embPairFrames =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def embDedupPairs(s: SparkSession, d: String): DataFrame =
+    embPairFrames.synchronized {
+      embPairFrames.getOrElse((s, d), {
+        embPairFrames.values.foreach(_.unpersist())
+        embPairFrames.clear()
+        val df = embDedupPairsBuild(s, d).cache()
+        embPairFrames.put((s, d), df)
+        df
+      })
+    }
+
+  private def embDedupPairsBuild(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = embDupNorms(s, d)
     val assign = cellAssignments(e, ivfCentroids(e), probes = 3)
@@ -267,21 +285,34 @@ object PipelineQueries {
     * keep criterion (the member closest to the cluster centroid is the
     * cluster's representative).
     */
-  private def embAffinity(s: SparkSession, d: String): DataFrame = {
-    val e = embDupNorms(s, d)
-    val cents = ivfCentroids(e)
-    val byVec = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cid").asc)
-    e.select("vec_id", "embedding", "nrm")
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"),
-        (VectorOps.dotDecimal(col("embedding"), col("ce")) /
-          (col("nrm") * col("cn"))).as("csim"),
-        col("cid"))
-      .withColumn("arnk", row_number().over(byVec))
-      .filter(col("arnk") === 1)
-      .select(col("vec_id").as("node"), col("csim").cast("double").as("aff"))
-  }
+  // Memoized: the affinity pass is its own n×k decimal assignment — q124
+  // must not pay it per invocation on top of the pair memo.
+  private val embAffFrames =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def embAffinity(s: SparkSession, d: String): DataFrame =
+    embAffFrames.synchronized {
+      embAffFrames.getOrElse((s, d), {
+        embAffFrames.values.foreach(_.unpersist())
+        embAffFrames.clear()
+        val e = embDupNorms(s, d)
+        val cents = ivfCentroids(e)
+        val byVec = Window.partitionBy("vec_id")
+          .orderBy(col("csim").desc, col("cid").asc)
+        val df = e.select("vec_id", "embedding", "nrm")
+          .crossJoin(broadcast(cents))
+          .select(col("vec_id"),
+            (VectorOps.dotDecimal(col("embedding"), col("ce")) /
+              (col("nrm") * col("cn"))).as("csim"),
+            col("cid"))
+          .withColumn("arnk", row_number().over(byVec))
+          .filter(col("arnk") === 1)
+          .select(col("vec_id").as("node"), col("csim").cast("double").as("aff"))
+          .cache()
+        embAffFrames.put((s, d), df)
+        df
+      })
+    }
 
   /** CTE chain ending in `epairs(vec_a, vec_b, cos)` ≡ [[embDedupPairs]]
     * (also leaves nrms/csims in scope for q124's affinity CTE).
@@ -567,7 +598,10 @@ object PipelineQueries {
     "minhash_bands" -> ((s: SparkSession, d: String) => { lshBandRows(s, d).count(); () }),
     "shingles" -> ((s: SparkSession, d: String) => { plantedShingles(s, d).count(); () }),
     "ivf_assign" -> ((s: SparkSession, d: String) => { ivfAssign(s, d).count(); () }),
-    "brute_knn" -> ((s: SparkSession, d: String) => { bruteTop5(s, d).count(); () }))
+    "brute_knn" -> ((s: SparkSession, d: String) => { bruteTop5(s, d).count(); () }),
+    "emb_pairs" -> ((s: SparkSession, d: String) => {
+      embDedupPairs(s, d).count(); embAffinity(s, d).count(); ()
+    }))
 
   /** The decontamination family's shared input: the planted-passage corpus
     * exploded to (doc_id, is_bench, n_shingles, shingle) — shingle NULL for
