@@ -2323,6 +2323,77 @@ object PipelineQueries {
               |       (ROW_NUMBER() OVER (PARTITION BY cluster_id
               |            ORDER BY priority ASC, n_chars DESC, node ASC)) = 1 AS is_kept
               |FROM clusters""".stripMargin)
+    ),
+    QueryDef(
+      // SEMANTIC benchmark decontamination — q56's embedding analog: a
+      // FIXED small benchmark/eval vector set broadcasts and every
+      // corpus vector scores against it; vectors above the similarity
+      // threshold are eval-leakage and get dropped before training. The
+      // corpus side streams once with no shuffle (the q44/q56 broadcast
+      // shape — at 100 TB the scan side never moves). Leakage is PLANTED
+      // deterministically: the vec_id%13 corpus slice carries a benchmark
+      // vector's embedding with its first component zeroed (the exact
+      // emb2 perturbation both engines render bit-identically), so the
+      // operator has positives and the oracle reproduces them.
+      "q127_semantic_decontaminate",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val raw = Tables.embeddings(s, d).select("vec_id", "embedding")
+        val isBench = pmod(col("vec_id"), lit(97)) === 0
+        val isPlant = pmod(col("vec_id"), lit(13)) === 0 && !isBench
+        val nb = raw.agg((max(col("vec_id")) / lit(97)).cast("long").as("nb"))
+        val benchEmb = raw.filter(isBench)
+          .select(col("vec_id").as("src_id"), col("embedding").as("src_emb"))
+        val contam = raw.filter(isPlant)
+          .crossJoin(broadcast(nb))
+          .select(col("vec_id"),
+            (pmod(col("vec_id"), col("nb") + 1) * 97).as("src_id"))
+          .join(broadcast(benchEmb), Seq("src_id"))
+          .select(col("vec_id"),
+            transform(col("src_emb"),
+              (x, i) => when(i === 0, lit(0.0f)).otherwise(x)).as("embedding"))
+        val corpus = raw.filter(!isBench && !isPlant)
+          .unionByName(contam)
+          .withColumn("nrm", VectorOps.norm(col("embedding")))
+        val bench = raw.filter(isBench)
+          .withColumn("nrm", VectorOps.norm(col("embedding")))
+          .select(col("vec_id").as("bench_id"), col("embedding").as("be"),
+            col("nrm").as("bn"))
+        corpus.crossJoin(broadcast(bench))
+          .withColumn("cos",
+            VectorOps.dotDecimal(col("embedding"), col("be")) /
+              (col("nrm") * col("bn")))
+          .filter(col("cos") >= 0.95)
+          .select(col("vec_id"), col("bench_id"), round(col("cos"), 6).as("cos"))
+      },
+      Some(s"""WITH nb AS (SELECT CAST(max(vec_id) // 97 AS BIGINT) AS nb FROM embeddings),
+              |benchemb AS (
+              |  SELECT vec_id AS src_id, embedding AS src_emb
+              |  FROM embeddings WHERE vec_id % 97 = 0),
+              |contam AS (
+              |  SELECT e.vec_id,
+              |         [CASE WHEN i = 1 THEN CAST(0 AS FLOAT) ELSE b.src_emb[i] END
+              |          FOR i IN range(1, ${VectorOps.Dim + 1})] AS embedding
+              |  FROM embeddings e CROSS JOIN nb
+              |  JOIN benchemb b ON b.src_id = (e.vec_id % (nb.nb + 1)) * 97
+              |  WHERE e.vec_id % 13 = 0 AND e.vec_id % 97 <> 0),
+              |corpus2 AS (
+              |  SELECT vec_id, embedding FROM embeddings
+              |  WHERE vec_id % 97 <> 0 AND vec_id % 13 <> 0
+              |  UNION ALL SELECT vec_id, embedding FROM contam),
+              |${normsCte("cnorms", "corpus2")},
+              |bnorms AS (
+              |  SELECT vec_id AS bench_id, embedding AS be,
+              |         sqrt(${VectorOps.dotDecimalSql("embedding", "embedding")}) AS bn
+              |  FROM benchemb t(vec_id, embedding), range(1, ${VectorOps.Dim + 1}) t2(i)
+              |  GROUP BY vec_id, embedding),
+              |scored AS (
+              |  SELECT c.vec_id, b.bench_id, MAX(c.nrm) AS nrm, MAX(b.bn) AS bn,
+              |         ${VectorOps.dotDecimalSql("c.embedding", "b.be")} AS dot
+              |  FROM cnorms c CROSS JOIN bnorms b, range(1, ${VectorOps.Dim + 1}) t(i)
+              |  GROUP BY c.vec_id, b.bench_id)
+              |SELECT vec_id, bench_id, round(dot / (nrm * bn), 6) AS cos
+              |FROM scored WHERE dot / (nrm * bn) >= 0.95""".stripMargin)
     )
   )
 }

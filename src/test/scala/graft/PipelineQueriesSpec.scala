@@ -208,6 +208,27 @@ class PipelineQueriesSpec extends SparkTestBase {
       s"hierarchical candidates lost pairs: ${(expected -- cand).take(5)}")
   }
 
+  test("q127 semantic decontamination flags exactly the planted eval leaks") {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = byName("q127_semantic_decontaminate").query(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty, "no leakage flagged")
+    val maxId = Tables.embeddings(spark, sfDir).agg(max("vec_id"))
+      .head.getLong(0)
+    val nb = maxId / 97
+    val planted = (0L to maxId)
+      .filter(v => v % 13 == 0 && v % 97 != 0).toSet
+    // Every planted leak is flagged against its SOURCE benchmark vector
+    // at near-perfect similarity; nothing else crosses the threshold.
+    assert(rows.map(_._1).toSet == planted,
+      s"flag set != planted: missing ${(planted -- rows.map(_._1)).take(5)}")
+    rows.foreach { case (v, b, cos) =>
+      if (b == (v % (nb + 1)) * 97)
+        assert(cos > 0.97, s"planted leak $v scored only $cos vs its source")
+      assert(b % 97 == 0, s"non-benchmark id $b in flags")
+    }
+  }
+
   test("q126 dedup keep policy: the most complete copy survives per cluster") {
     graft.functions.GraftFunctions.register(spark)
     val rows = byName("q126_dedup_keep_policy").query(spark, sfDir)

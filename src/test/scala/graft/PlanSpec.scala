@@ -60,7 +60,7 @@ class PlanSpec extends SparkTestBase {
       "q39_pik_rate", "q53_tfidf", "q66_unigram_logprob", "q68_ann_ivf",
       "q89_ann_recall", "q110_kmeans_step", "q51_embedding_dedup",
       "q120_accuracy_definitions", "q123_incremental_embedding_dedup",
-      "q124_semdedup_keep")
+      "q124_semdedup_keep", "q127_semantic_decontaminate")
     SparkEntry.queries.keys.filterNot(intendedCross).foreach { name =>
       val p = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
