@@ -705,6 +705,9 @@ object LinkageQueries {
     }),
     "linkage_cost_summary" -> ((s: SparkSession, d: String) => {
       costSummary(s, d).count(); ()
+    }),
+    "cascade_links" -> ((s: SparkSession, d: String) => {
+      cascadeLinks(s, d).count(); ()
     }))
 
   // ---- SQL mirrors of the sides ------------------------------------------

@@ -2338,16 +2338,22 @@ object PipelineQueries {
       "q127_semantic_decontaminate",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
+        // The benchmark/eval set is a FIXED id list (vec_id % 97 == 0 below
+        // a fixed cap of 16 ids) — a real decontamination run's eval set
+        // does not grow with the corpus, and pinning it keeps the
+        // corpus×bench scoring linear in corpus size under ScaleBench
+        // replication (round-12 verdict: the unbounded %97 set made the
+        // demo O(n²/97)).
+        val benchCap = 16L
         val raw = Tables.embeddings(s, d).select("vec_id", "embedding")
-        val isBench = pmod(col("vec_id"), lit(97)) === 0
+        val isBench = pmod(col("vec_id"), lit(97)) === 0 &&
+          col("vec_id") < lit(97L * benchCap)
         val isPlant = pmod(col("vec_id"), lit(13)) === 0 && !isBench
-        val nb = raw.agg((max(col("vec_id")) / lit(97)).cast("long").as("nb"))
         val benchEmb = raw.filter(isBench)
           .select(col("vec_id").as("src_id"), col("embedding").as("src_emb"))
         val contam = raw.filter(isPlant)
-          .crossJoin(broadcast(nb))
           .select(col("vec_id"),
-            (pmod(col("vec_id"), col("nb") + 1) * 97).as("src_id"))
+            (pmod(col("vec_id"), lit(benchCap)) * 97).as("src_id"))
           .join(broadcast(benchEmb), Seq("src_id"))
           .select(col("vec_id"),
             transform(col("src_emb"),
@@ -2366,20 +2372,21 @@ object PipelineQueries {
           .filter(col("cos") >= 0.95)
           .select(col("vec_id"), col("bench_id"), round(col("cos"), 6).as("cos"))
       },
-      Some(s"""WITH nb AS (SELECT CAST(max(vec_id) // 97 AS BIGINT) AS nb FROM embeddings),
-              |benchemb AS (
+      Some(s"""WITH benchemb AS (
               |  SELECT vec_id AS src_id, embedding AS src_emb
-              |  FROM embeddings WHERE vec_id % 97 = 0),
+              |  FROM embeddings WHERE vec_id % 97 = 0 AND vec_id < ${97 * 16}),
               |contam AS (
               |  SELECT e.vec_id,
               |         [CASE WHEN i = 1 THEN CAST(0 AS FLOAT) ELSE b.src_emb[i] END
               |          FOR i IN range(1, ${VectorOps.Dim + 1})] AS embedding
-              |  FROM embeddings e CROSS JOIN nb
-              |  JOIN benchemb b ON b.src_id = (e.vec_id % (nb.nb + 1)) * 97
-              |  WHERE e.vec_id % 13 = 0 AND e.vec_id % 97 <> 0),
+              |  FROM embeddings e
+              |  JOIN benchemb b ON b.src_id = (e.vec_id % 16) * 97
+              |  WHERE e.vec_id % 13 = 0
+              |    AND NOT (e.vec_id % 97 = 0 AND e.vec_id < ${97 * 16})),
               |corpus2 AS (
               |  SELECT vec_id, embedding FROM embeddings
-              |  WHERE vec_id % 97 <> 0 AND vec_id % 13 <> 0
+              |  WHERE NOT (vec_id % 97 = 0 AND vec_id < ${97 * 16})
+              |    AND vec_id % 13 <> 0
               |  UNION ALL SELECT vec_id, embedding FROM contam),
               |${normsCte("cnorms", "corpus2")},
               |bnorms AS (

@@ -27,7 +27,7 @@ object ScaleBench {
 
   private val dedupQueries: Seq[String] = Seq(
     "q40", "q41", "q42", "q43", "q44", "q45", "q51", "q52", "q56", "q68",
-    "q104", "q123", "q124")
+    "q104", "q123", "q124", "q127")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
