@@ -158,6 +158,51 @@ object PipelineQueries {
       .filter(pmod(col("vec_id"), col("stride")) === pmod(lit(3L), col("stride")))
       .select(col("vec_id").as("ccid"), col("embedding").as("cce"),
         col("nrm").as("ccn"))
+    twoLevelAssignments(e, fine, coarse, coarseProbes, fineProbes)
+  }
+
+  /** Coarse-level centroids TRAINED with spherical k-means over the fine
+    * centroid set (hierarchical k-means: the coarse level clusters the k
+    * fine centroids, never the n raw vectors, so training costs
+    * iters·k·kc dots — independent of corpus size). kc tracks the fine
+    * count as ceil(sqrt(3k)), the analytic minimizer of the two-level
+    * assignment cost n·(kc + 3k/kc) at coarseProbes = 3. Seeds are the
+    * evenly-strided sorted fine cids (deterministic); empty clusters keep
+    * their seed centroid (VectorOps.kmeans contract), so the output is
+    * reproducible run-to-run and across partitionings.
+    */
+  def trainedCoarseCentroids(fine: DataFrame, iters: Int): DataFrame = {
+    val s = fine.sparkSession
+    val data = fine.select(col("cid").as("vec_id"), col("ce").as("embedding"))
+    val cids = data.select("vec_id").orderBy("vec_id").collect().map(_.getLong(0))
+    val k = cids.length
+    val kc = math.min(k, math.max(4, math.ceil(math.sqrt(3.0 * k)).toInt))
+    val seeds = (0 until kc).map(i => cids((i.toLong * k / kc).toInt))
+    val (_, cents, _) = VectorOps.kmeans(data, seeds, iters)
+    val rows = cents.map { case (ccid, arr) => (ccid, arr.map(_.toFloat)) }
+    s.createDataFrame(rows).toDF("ccid", "cce")
+      .withColumn("ccn", VectorOps.norm(col("cce")))
+  }
+
+  /** Two-level assignment over a kmeans-TRAINED coarse level — the
+    * production-shaped scale ladder past flat IVF (the round-12 stride
+    * rejection used untrained pseudo-centroids, which do not partition
+    * the fine set coherently; trained coarse cells do, so fewer coarse
+    * probes recover the same fine cells). Cost n·(kc + coarseProbes·k/kc)
+    * with kc ≈ √(3k) vs flat's n·k.
+    */
+  def trainedCellAssignments(e: DataFrame, fine: DataFrame,
+      coarseProbes: Int, fineProbes: Int, iters: Int = 5): DataFrame =
+    twoLevelAssignments(e, fine, trainedCoarseCentroids(fine, iters),
+      coarseProbes, fineProbes)
+
+  /** Shared two-level assignment body: rank vectors against the BROADCAST
+    * `coarse(ccid, cce, ccn)` level, keep top-`coarseProbes` coarse cells,
+    * expand to the fine centroids homed (top-1) in those cells, rank the
+    * vector against only that fine candidate set, keep top-`fineProbes`.
+    */
+  def twoLevelAssignments(e: DataFrame, fine: DataFrame, coarse: DataFrame,
+      coarseProbes: Int, fineProbes: Int): DataFrame = {
     def rankAgainstCoarse(v: DataFrame, idCol: String, keep: Int): DataFrame = {
       val byV = Window.partitionBy(idCol).orderBy(col("csim").desc, col("ccid").asc)
       v.crossJoin(broadcast(coarse))
