@@ -19,6 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
+  /** q127's benchmark/eval-set size cap — shared by the Spark plan and the
+    * DuckDB oracle so the two engines can never silently desynchronize on
+    * the planted-leak fixture arithmetic.
+    */
+  private[graft] val Q127BenchCap = 16L
+
   // ---- augmented views (Spark + CTE in lockstep) -------------------------
 
   /** documents ∪ near-dup variants (doc_id+100000, first word dropped, for
@@ -2389,16 +2395,26 @@ object PipelineQueries {
         // corpus×bench scoring linear in corpus size under ScaleBench
         // replication (round-12 verdict: the unbounded %97 set made the
         // demo O(n²/97)).
-        val benchCap = 16L
+        val benchCap = Q127BenchCap
         val raw = Tables.embeddings(s, d).select("vec_id", "embedding")
         val isBench = pmod(col("vec_id"), lit(97)) === 0 &&
           col("vec_id") < lit(97L * benchCap)
         val isPlant = pmod(col("vec_id"), lit(13)) === 0 && !isBench
         val benchEmb = raw.filter(isBench)
           .select(col("vec_id").as("src_id"), col("embedding").as("src_emb"))
+        // Plant modulus derived from the REALIZED bench count, not the cap:
+        // at small SF the %97 set has fewer than benchCap members, and a
+        // fixed %benchCap mapping would send plants to nonexistent bench
+        // ids (silently dropped by the inner join — round-13 regression).
+        // nb = least(cap, floor(max_id/97)+1) guarantees every plant joins
+        // a real bench vector while keeping the bench side O(1) at scale.
+        val nbDf = raw.agg(
+          least(lit(benchCap),
+            (max("vec_id") / 97).cast("long") + 1L).as("nb"))
         val contam = raw.filter(isPlant)
+          .crossJoin(broadcast(nbDf))
           .select(col("vec_id"),
-            (pmod(col("vec_id"), lit(benchCap)) * 97).as("src_id"))
+            (pmod(col("vec_id"), col("nb")) * 97).as("src_id"))
           .join(broadcast(benchEmb), Seq("src_id"))
           .select(col("vec_id"),
             transform(col("src_emb"),
@@ -2419,18 +2435,23 @@ object PipelineQueries {
       },
       Some(s"""WITH benchemb AS (
               |  SELECT vec_id AS src_id, embedding AS src_emb
-              |  FROM embeddings WHERE vec_id % 97 = 0 AND vec_id < ${97 * 16}),
+              |  FROM embeddings
+              |  WHERE vec_id % 97 = 0 AND vec_id < ${97 * Q127BenchCap}),
+              |nb AS (
+              |  SELECT least($Q127BenchCap, max(vec_id) // 97 + 1) AS n
+              |  FROM embeddings),
               |contam AS (
               |  SELECT e.vec_id,
               |         [CASE WHEN i = 1 THEN CAST(0 AS FLOAT) ELSE b.src_emb[i] END
               |          FOR i IN range(1, ${VectorOps.Dim + 1})] AS embedding
               |  FROM embeddings e
-              |  JOIN benchemb b ON b.src_id = (e.vec_id % 16) * 97
+              |  CROSS JOIN nb
+              |  JOIN benchemb b ON b.src_id = (e.vec_id % nb.n) * 97
               |  WHERE e.vec_id % 13 = 0
-              |    AND NOT (e.vec_id % 97 = 0 AND e.vec_id < ${97 * 16})),
+              |    AND NOT (e.vec_id % 97 = 0 AND e.vec_id < ${97 * Q127BenchCap})),
               |corpus2 AS (
               |  SELECT vec_id, embedding FROM embeddings
-              |  WHERE NOT (vec_id % 97 = 0 AND vec_id < ${97 * 16})
+              |  WHERE NOT (vec_id % 97 = 0 AND vec_id < ${97 * Q127BenchCap})
               |    AND vec_id % 13 <> 0
               |  UNION ALL SELECT vec_id, embedding FROM contam),
               |${normsCte("cnorms", "corpus2")},
