@@ -449,6 +449,30 @@ object LinkageCascade {
   def confirm(links: DataFrame, deceasedPiks: DataFrame): DataFrame =
     links.join(broadcast(deceasedPiks.select("pik")), Seq("pik"), "left_anti")
 
+  /** Notebook-04 PIK-rate accounting over a link set (reference
+    * 04_calculate_ground_truth_accuracy.ipynb): link and ground-truth-
+    * correct counts per pass plus an 'all' total row, with pik_rate and
+    * precision over the distinct input record count. Shared by the batch
+    * q39 query and the streaming finalize accounting so the two surfaces
+    * cannot drift (StreamingSpec pins replay parity against this report).
+    * The single-row totals frame is an intended broadcast cross join.
+    */
+  def pikRateReport(links: DataFrame, input: DataFrame): DataFrame = {
+    def correct =
+      sum(when(col("pik") === col("rec_id"), 1L).otherwise(0L)).as("n_correct")
+    val byPass = links.groupBy("pass").agg(count(lit(1)).as("n_piked"), correct)
+    val total = links.agg(count(lit(1)).as("n_piked"), correct)
+      .select(lit("all").as("pass"), col("n_piked"), col("n_correct"))
+    val nRec = input.agg(countDistinct("rec_id").as("n_records"))
+    byPass.unionByName(total)
+      .crossJoin(nRec)
+      .select(col("pass"), col("n_records"), col("n_piked"), col("n_correct"),
+        round(col("n_piked").cast("double") / col("n_records").cast("double"), 6)
+          .as("pik_rate"),
+        round(col("n_correct").cast("double") / col("n_piked").cast("double"), 6)
+          .as("precision_"))
+  }
+
   /** λ (prior match probability over the full cross product), the
     * reference's probability_two_random_records_match estimate
     * (03_link_datasets.ipynb cells 56-57): 5% of input enumerations are

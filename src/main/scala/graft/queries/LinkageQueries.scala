@@ -2059,19 +2059,7 @@ object LinkageQueries {
       "q39_pik_rate",
       (s, d) => {
         reg(s)
-        val links = cascadeLinks(s, d)
-        def correct = sum(when(col("pik") === col("rec_id"), 1L).otherwise(0L)).as("n_correct")
-        val byPass = links.groupBy("pass").agg(count(lit(1)).as("n_piked"), correct)
-        val total = links.agg(count(lit(1)).as("n_piked"), correct)
-          .select(lit("all").as("pass"), col("n_piked"), col("n_correct"))
-        val nRec = input(s, d).agg(countDistinct("rec_id").as("n_records"))
-        byPass.unionByName(total)
-          .crossJoin(nRec)
-          .select(col("pass"), col("n_records"), col("n_piked"), col("n_correct"),
-            round(col("n_piked").cast("double") / col("n_records").cast("double"), 6)
-              .as("pik_rate"),
-            round(col("n_correct").cast("double") / col("n_piked").cast("double"), 6)
-              .as("precision_"))
+        LinkageCascade.pikRateReport(cascadeLinks(s, d), input(s, d))
       },
       Some(pikRateSql)
     ),

@@ -87,4 +87,25 @@ object StreamingLinkage {
   def cascadeFinalize(refs: Map[String, DataFrame], allArrivals: DataFrame,
       accLinks: DataFrame, cfg: LinkageConfig): DataFrame =
     LinkageCascade.hhStage(refs, allArrivals, accLinks, cfg)
+
+  /** Full stream-end finalization contract: hhcomp over the accumulated
+    * links, then the post-search CONFIRM pass (deceased-PIK anti-join,
+    * the batch q37 step) — a continuous-PIK deployment must not end
+    * unconfirmed. Identical Column trees to the batch path
+    * ([[graft.linkage.LinkageCascade.confirm]]), so a replay's confirmed
+    * set equals batch confirm exactly (StreamingSpec pins it).
+    */
+  def cascadeFinalizeConfirmed(refs: Map[String, DataFrame],
+      allArrivals: DataFrame, accLinks: DataFrame, cfg: LinkageConfig,
+      deceasedPiks: DataFrame): DataFrame =
+    LinkageCascade.confirm(
+      cascadeFinalize(refs, allArrivals, accLinks, cfg), deceasedPiks)
+
+  /** q39-style per-pass accounting over the streamed links — the same
+    * report the batch pipeline publishes ([[graft.linkage.LinkageCascade
+    * .pikRateReport]]), produced at stream end so a continuous deployment
+    * ships the notebook-04 accuracy surface alongside its links.
+    */
+  def passAccounting(links: DataFrame, allArrivals: DataFrame): DataFrame =
+    LinkageCascade.pikRateReport(links, allArrivals)
 }

@@ -42,7 +42,9 @@ object HierProbe {
     val nExact = exact.count()
     (Seq("flat" -> (() => PipelineQueries.cellAssignments(e, fine, 3))) ++
       Seq(2, 3, 4).map(cp => s"hier-cp$cp" ->
-        (() => PipelineQueries.hierarchicalCellAssignments(e, fine, cp, 3)))
+        (() => PipelineQueries.hierarchicalCellAssignments(e, fine, cp, 3))) ++
+      Seq(2, 3, 4).map(cp => s"trained-cp$cp" ->
+        (() => PipelineQueries.trainedCellAssignments(e, fine, cp, 3)))
     ).foreach { case (label, mk) =>
       val t0 = System.nanoTime()
       val cand = candPairs(mk()).cache()

@@ -208,6 +208,33 @@ class PipelineQueriesSpec extends SparkTestBase {
       s"hierarchical candidates lost pairs: ${(expected -- cand).take(5)}")
   }
 
+  test("trained two-level cell assignment loses no exact dedup pair") {
+    import graft.operators.VectorOps
+    graft.functions.GraftFunctions.register(spark)
+    val e = PipelineQueries.embWithDups(spark, sfDir)
+      .withColumn("nrm", VectorOps.norm(col("embedding")))
+    val fine = PipelineQueries.ivfCentroids(e)
+    val assign = PipelineQueries.trainedCellAssignments(
+      e, fine, coarseProbes = 2, fineProbes = 3)
+    val cand = assign.as("a").join(assign.as("b"),
+        col("a.label") === col("b.label") && col("a.cid") === col("b.cid") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactCos =
+      VectorOps.dotDecimal(col("a.embedding"), col("b.embedding")) /
+        (col("a.nrm") * col("b.nrm"))
+    val expected = e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id") &&
+          exactCos >= 0.9)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty)
+    assert((expected -- cand).isEmpty,
+      s"trained two-level candidates lost pairs: ${(expected -- cand).take(5)}")
+  }
+
   test("q127 semantic decontamination flags exactly the planted eval leaks") {
     graft.functions.GraftFunctions.register(spark)
     val rows = byName("q127_semantic_decontaminate").query(spark, sfDir)

@@ -267,25 +267,24 @@ class StreamingSpec extends SparkTestBase {
         s"only-batch=${(batch -- out.toSet).take(5)}")
   }
 
-  test("replaying the input in 5 batches yields exactly the batch cascade's links") {
+  /** Accumulated MAIN-stage links from a 5-batch replay of the input —
+    * the streaming cascade contract (per micro-batch: anti-join arrivals
+    * against the accumulated link state, run the 13 main search modules;
+    * hhcomp/confirm defer to finalize because they condition on the
+    * global link set). Built once, shared by the finalize-parity and the
+    * confirm/accounting-parity tests.
+    */
+  private lazy val replayedMainLinks: org.apache.spark.sql.DataFrame = {
     import graft.functions.GraftFunctions
-    import graft.linkage.LinkageCascade
     import graft.queries.LinkageQueries
     import graft.streaming.StreamingLinkage
     import org.apache.spark.sql.DataFrame
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     GraftFunctions.register(spark)
-
     val refs = LinkageQueries.cascadeRefs(spark, sfDir)
     val input = LinkageQueries.input(spark, sfDir)
     val cfg = LinkageQueries.config
-
-    // The streaming cascade contract: per micro-batch, anti-join the
-    // arrivals against the accumulated link state and run the 13 main
-    // search modules; at stream end, run the hhcomp finalization over the
-    // accumulated arrivals + links (the household bridge conditions on
-    // the global link set, so it cannot be per-batch).
     val stream = MemoryStream[Long]
     val arrivals = stream.toDF().withColumnRenamed("value", "rec_id")
     var acc: Option[DataFrame] = None
@@ -306,14 +305,68 @@ class StreamingSpec extends SparkTestBase {
         query.processAllAvailable()
       }
     } finally query.stop()
+    acc.get
+  }
 
-    val streamed = StreamingLinkage.cascadeFinalize(refs, input, acc.get, cfg)
+  test("replaying the input in 5 batches yields exactly the batch cascade's links") {
+    import graft.functions.GraftFunctions
+    import graft.queries.LinkageQueries
+    import graft.streaming.StreamingLinkage
+    GraftFunctions.register(spark)
+    val refs = LinkageQueries.cascadeRefs(spark, sfDir)
+    val input = LinkageQueries.input(spark, sfDir)
+    val streamed = StreamingLinkage
+      .cascadeFinalize(refs, input, replayedMainLinks, LinkageQueries.config)
       .select("pik", "rec_id", "pass")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     val batchSet = cascadeLinks3
     assert(streamed == batchSet,
       s"streaming replay vs batch cascade differ: only-streaming=" +
         s"${(streamed -- batchSet).take(5)} only-batch=${(batchSet -- streamed).take(5)}")
+  }
+
+  test("stream-end confirm + per-pass accounting equal batch q37/q39 exactly") {
+    import graft.functions.GraftFunctions
+    import graft.linkage.LinkageCascade
+    import graft.queries.{LinkageQueries, People}
+    import graft.streaming.StreamingLinkage
+    import org.apache.spark.sql.DataFrame
+    GraftFunctions.register(spark)
+    val refs = LinkageQueries.cascadeRefs(spark, sfDir)
+    val input = LinkageQueries.input(spark, sfDir)
+    val cfg = LinkageQueries.config
+    // q37's deceased exclusion list (k%89), mirrored exactly.
+    val deceased = People.persons(spark, sfDir)
+      .filter(pmod(col("k"), lit(89)) === 0).select(col("k").as("pik"))
+
+    def keyed(df: DataFrame): Set[(Long, Long, String)] =
+      df.select("pik", "rec_id", "pass")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+    val streamConfirmed = StreamingLinkage.cascadeFinalizeConfirmed(
+      refs, input, replayedMainLinks, cfg, deceased).localCheckpoint()
+    val batchAll = LinkageCascade.run(refs, input, cfg).localCheckpoint()
+    val batchConfirmed = LinkageCascade.confirm(batchAll, deceased)
+
+    val sc = keyed(streamConfirmed)
+    val bc = keyed(batchConfirmed)
+    assert(sc == bc,
+      s"streamed confirm vs batch q37 differ: only-stream=${(sc -- bc).take(5)} " +
+        s"only-batch=${(bc -- sc).take(5)}")
+    // The confirm pass must actually drop links at this SF, or the parity
+    // case is vacuous.
+    assert(keyed(batchAll) != bc, "deceased anti-join dropped no links")
+
+    // Per-pass accounting parity: the streamed report over the replay's
+    // finalized links equals the batch q39 report row-for-row.
+    def report(links: DataFrame): Set[(String, Long, Long, Long, Double, Double)] =
+      StreamingLinkage.passAccounting(links, input)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4), r.getDouble(5))).toSet
+    val streamFinalized = StreamingLinkage.cascadeFinalize(
+      refs, input, replayedMainLinks, cfg)
+    assert(report(streamFinalized) == report(batchAll),
+      "streamed per-pass accounting differs from the batch q39 report")
   }
 
   /** The batch cascade's (pik, rec_id, pass) set at sfDir — the parity
