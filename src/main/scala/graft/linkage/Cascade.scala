@@ -449,6 +449,63 @@ object LinkageCascade {
   def confirm(links: DataFrame, deceasedPiks: DataFrame): DataFrame =
     links.join(broadcast(deceasedPiks.select("pik")), Seq("pik"), "left_anti")
 
+  /** The Movers module (reference 03_link_datasets.ipynb cell 99, quoting
+    * Alexander et al. p. 6): input pseudo-households with MORE THAN ONE
+    * member and ZERO members PIKed by the prior passes are searched as a
+    * UNIT — members block against the reference WITHOUT regard for
+    * address (the pass's keys are person attributes only), and a
+    * candidate is kept only when at least two distinct members of the
+    * same input household match at least two distinct PIKs living at the
+    * same reference address. The co-location evidence carries the same
+    * fixed Bayes-factor offset as hhcompsearch (pass.weightOffset).
+    *
+    * Scale shape: eligibility is one hash aggregation over the input;
+    * candidates are a plain equi-join on the pass keys; the unit filter
+    * is a second hash aggregation over the THRESHOLDED candidates (ids
+    * only). No cross products, nothing collected.
+    */
+  def moversStage(census: DataFrame, input: DataFrame, priorLinks: DataFrame,
+      cfg: LinkageConfig, pass: BlockingPass): DataFrame = {
+    val linked = priorLinks.select("rec_id").distinct()
+      .withColumn("is_linked", lit(1L))
+    val eligible = input.filter(col("geokey_blk").isNotNull)
+      .join(linked, Seq("rec_id"), "left")
+      .groupBy("geokey_blk")
+      .agg(count(lit(1)).as("n_members"),
+        sum(coalesce(col("is_linked"), lit(0L))).as("n_linked"))
+      .filter(col("n_members") > 1 && col("n_linked") === 0)
+      .select("geokey_blk")
+    val members = input.join(eligible, Seq("geokey_blk"))
+    val scored = score(pairs(census, members, pass),
+        pass.comparisonsFor(cfg), pass.constGammas)
+      .withColumn("match_weight", col("match_weight") + lit(pass.weightOffset))
+      .filter(col("match_weight") >= cfg.thresholdWeight &&
+        col("l_geokey_blk").isNotNull)
+      .select(col("l_pik").as("pik"), col("r_rec_id").as("rec_id"),
+        col("l_geokey_blk").as("ref_geokey"),
+        col("r_geokey_blk").as("hh_geokey"), col("match_weight"))
+    val units = scored.groupBy("hh_geokey", "ref_geokey")
+      .agg(countDistinct("rec_id").as("nm"), countDistinct("pik").as("np"))
+      .filter(col("nm") >= 2 && col("np") >= 2)
+      .select("hh_geokey", "ref_geokey")
+    bestLink(scored.join(units, Seq("hh_geokey", "ref_geokey"))
+        .select("pik", "rec_id", "match_weight"))
+      .withColumn("pass", lit(pass.name))
+  }
+
+  /** Explode a reference frame's zip3 into its adjacency neighborhood
+    * {z-1, z, z+1} — an arithmetically-derived stand-in for the Census
+    * zip3 adjacency dimension (reference 03 cell 98; the ZIP3 Adjacency
+    * passes of Layne/Wagner/Rothhaas App. A). A pass blocked on the
+    * exploded zip3 equi-joins input records whose zip3 is ADJACENT to the
+    * reference row's — the join stays a plain equi-join; the reference
+    * side grows 3×, map-side only.
+    */
+  def zip3Adjacent(ref: DataFrame): DataFrame =
+    ref.withColumn("zip3",
+      explode(array(Seq(-1, 0, 1).map(o =>
+        lpad((col("zip3").cast("int") + lit(o)).cast("string"), 3, "0")): _*)))
+
   /** Notebook-04 PIK-rate accounting over a link set (reference
     * 04_calculate_ground_truth_accuracy.ipynb): link and ground-truth-
     * correct counts per pass plus an 'all' total row, with pik_rate and

@@ -189,6 +189,37 @@ object LinkageQueries {
   val config: LinkageConfig = LinkageConfig(comparisons, lambda = 0.5,
     thresholdWeight = 9.0, passes = passes, hhPasses = hhPasses)
 
+  /** The Movers module's unit-search pass (reference 03 cell 99): members
+    * of eligible households block on person attributes ONLY ("without
+    * regard for address" — Alexander et al. p. 6), score without the geo
+    * comparison, and carry the hhcomp-style fixed Bayes-factor offset;
+    * the household-as-a-unit constraint lives in
+    * [[graft.linkage.LinkageCascade.moversStage]].
+    */
+  val moversPass: BlockingPass = BlockingPass("p11_movers",
+    Seq("dob_year", "dob_month", "dob_day", "ln1"),
+    excludeComparisons = noGeo, weightOffset = hhWeightOffset)
+
+  /** ZIP3 Adjacency Search (reference 03 cell 98; two passes per Layne/
+    * Wagner/Rothhaas App. A): the geosearch street-soundex passes re-run
+    * with the zip3 cut widened to the adjacency neighborhood (the census
+    * side explodes via [[graft.linkage.LinkageCascade.zip3Adjacent]]).
+    */
+  val zip3AdjPasses: Seq[BlockingPass] = Seq(
+    BlockingPass("z1_street_sdx_zip3adj", Seq("street_num_blk", "sdx_street_blk"),
+      cuts = Seq("zip3"), ref = "geobase"),
+    BlockingPass("z2_street_sdx_switch_zip3adj",
+      Seq("street_num_blk", "sdx_street_blk"),
+      rightRemap = switchNames, cuts = Seq("zip3"), ref = "geobase"))
+
+  /** MAFMatch (reference 03 cell 24, Wagner & Layne p. 11): records match
+    * the Master Address File on the address WITHOUT its zipcode, minting a
+    * MAFID that then serves as a blocking key — two different renderings
+    * (e.g. a zip typo) of one physical address block together even though
+    * their geokeys differ.
+    */
+  val mafPass: BlockingPass = BlockingPass("p12_mafmatch", Seq("mafid"))
+
   val blockPass: BlockingPass = BlockingPass("zip3_block", Seq("zip3"))
 
   /** Block-key column → the comparison it conditions. An EM training
@@ -321,6 +352,29 @@ object LinkageQueries {
 
   private def std(c: Column): Column = Preprocess.standardizeAddressPart(c)
 
+  /** Swap the first two characters (class-Z3 noise): breaks fn1/fn2/fn3,
+    * NYSIIS, and the initial cut while Jaro-Winkler (transposition-
+    * tolerant) keeps the comparison near its close level.
+    */
+  private def swapFirstTwo(c: Column): Column =
+    concat(substring(c, 2, 1), substring(c, 1, 1), substring(c, 3, 64))
+
+  private def swapFirstTwoSql(x: String): String =
+    s"(substr($x, 2, 1) || substr($x, 1, 1) || substr($x, 3))"
+
+  /** Cross a zip3 boundary (+100 on the 5-digit zip; -100 at the top of
+    * the range so the result stays 5 digits) — the class-Z3 planted move:
+    * zip3 shifts by exactly ±1, street/city/state unchanged.
+    */
+  private def zipBumpZip3(z: Column): Column =
+    (z.cast("int") +
+      when(z.cast("int") >= 99900, lit(-100)).otherwise(lit(100)))
+      .cast("string")
+
+  private def zipBumpZip3Sql(x: String): String =
+    s"CAST(CAST($x AS INTEGER) + (CASE WHEN CAST($x AS INTEGER) >= 99900 " +
+      s"THEN -100 ELSE 100 END) AS VARCHAR)"
+
   /** The canonical first names the nickname file can expand back to. */
   private val nickCanonicals: Seq[String] = Preprocess.nicknames.map(_._1)
 
@@ -446,6 +500,36 @@ object LinkageQueries {
       pmod(k, lit(41)) =!= 0 && pmod(k, lit(47)) =!= 0 &&
       pmod(k, lit(31)) =!= 0 && pmod(k, lit(43)) =!= 0 &&
       pmod(k, lit(59)) =!= 0 && pmod(k, lit(13)) =!= 0 && pmod(k, lit(17)) =!= 0
+    // Mv (movers, household-level; reference 03 cell 99 quoting Alexander
+    // et al. p. 6): EVERY member of an hh%52 regular household (52 = 4·13,
+    // so the household is also MOVED — census carries the old address)
+    // arrives with a placeholder FIRST name and clean last/DOB. The
+    // null-out removes the first name, so every first-keyed block misses,
+    // geosearch misses on the stale address, and hhcomp never bridges
+    // (zero members link, so the household contributes no bridge row) —
+    // only a household-as-a-unit search (q128_movers) can recover them.
+    // Takes precedence over every member-level class (branch order).
+    // Every ODD-indexed moved household (regular moved households are
+    // exactly the hh%52 multiples — lcm(4, 13) — so taking them ALL would
+    // leave hhcompsearch nothing to recover; the odd half is movers', the
+    // even half stays hhcomp's).
+    val isMv0 = pmod(col("hh"), lit(52)) === 0 &&
+      pmod(col("hh"), lit(200)) =!= 0 &&
+      pmod((col("hh") / 52).cast("long"), lit(2)) === 1
+    // Z3 (cross-zip3 short-distance mover; reference 03 cell 98, the ZIP3
+    // Adjacency module of Layne/Wagner/Rothhaas App. A): zipcode crosses a
+    // zip3 boundary (+100), first name transposed (first two chars
+    // swapped), DOB day bumped — geokey and the exact-zip3 street cut
+    // miss, every namesearch/dobsearch key or cut is broken, and the
+    // census address is CURRENT (class excludes moved households), so
+    // only a zip3-adjacent street-soundex pass (q129) can block them.
+    // Disjoint from every other class by construction.
+    val isZ30 = pmod(k, lit(61)) === 0 && !isN0 && !isV0 && !hhm && !isMv0 &&
+      pmod(k, lit(23)) =!= 0 && pmod(k, lit(37)) =!= 0 &&
+      pmod(k, lit(41)) =!= 0 && pmod(k, lit(47)) =!= 0 &&
+      pmod(k, lit(31)) =!= 0 && pmod(k, lit(43)) =!= 0 &&
+      pmod(k, lit(59)) =!= 0 && pmod(k, lit(21)) =!= 0 &&
+      pmod(k, lit(17)) =!= 0 && pmod(k, lit(200)) >= 20
     // Census staleness: moved households, the N/V classes, and the
     // K/SwD/L/M classes (stale admin data keeps address passes from
     // recovering them first).
@@ -454,7 +538,8 @@ object LinkageQueries {
       isN0.as("is_n"), isV0.as("is_v"), isF0.as("is_f"), isK0.as("is_k"),
       isHa0.as("is_ha"), isHb0.as("is_hb"), isSw0.as("is_sw"),
       isSwz0.as("is_swz"), isSwd0.as("is_swd"), isL0.as("is_l"),
-      isF20.as("is_f2"), isM0.as("is_m"), stale0.as("is_stale"))
+      isF20.as("is_f2"), isM0.as("is_m"), isMv0.as("is_mv"),
+      isZ30.as("is_z3"), stale0.as("is_stale"))
   }
 
   private def inputPre(flagged: DataFrame): DataFrame = {
@@ -463,10 +548,12 @@ object LinkageQueries {
     val isK = col("is_k"); val isHa = col("is_ha"); val isHb = col("is_hb")
     val isSw = col("is_sw"); val isSwz = col("is_swz")
     val isSwd = col("is_swd"); val isL = col("is_l"); val isF2 = col("is_f2")
-    val isM = col("is_m")
+    val isM = col("is_m"); val isMv = col("is_mv"); val isZ3 = col("is_z3")
     val pre = flagged.select(
       k.as("rec_id"),
-      when(isN, vowelMangle(col("first_name")))
+      when(isMv, lit("UNKNOWN"))
+        .when(isZ3, swapFirstTwo(col("first_name")))
+        .when(isN, vowelMangle(col("first_name")))
         .when(isV, letterMangle(col("first_name")))
         .when(isF || isF2, lit("UNKNOWN"))
         .when(isK, nickOf(col("first_name")))
@@ -476,7 +563,8 @@ object LinkageQueries {
         .when(isSwd, col("last_name"))
         .when(isL || isM, col("first_name"))
         .otherwise(col("messy_first")).as("first_name"),
-      when(isN, vowelMangle(col("last_name")))
+      when(isMv || isZ3, col("last_name"))
+        .when(isN, vowelMangle(col("last_name")))
         .when(isV, letterMangle(col("last_name")))
         .when(isF2, lit("UNKNOWN"))
         .when(isF || isK || isHa || isHb, col("last_name"))
@@ -486,11 +574,15 @@ object LinkageQueries {
         .when(isM, People.marriedLast(k))
         .otherwise(col("messy_last")).as("last_name"),
       col("middle_initial"),
-      when(isHa || isM, col("dob_year") + 1).otherwise(col("dob_year"))
+      when(isMv || isZ3, col("dob_year"))
+        .when(isHa || isM, col("dob_year") + 1).otherwise(col("dob_year"))
         .cast("int").as("dob_year"),
-      when(isHa || isHb || isSw || isSwz || isF, pmod(col("dob_month"), lit(12)) + 1)
+      when(isMv || isZ3, col("dob_month"))
+        .when(isHa || isHb || isSw || isSwz || isF, pmod(col("dob_month"), lit(12)) + 1)
         .otherwise(col("dob_month")).cast("int").as("dob_month"),
-      when(isHb || isSw || isSwz || isF, pmod(col("dob_day"), lit(28)) + 1)
+      when(isMv, col("dob_day"))
+        .when(isZ3, pmod(col("dob_day"), lit(28)) + 1)
+        .when(isHb || isSw || isSwz || isF, pmod(col("dob_day"), lit(28)) + 1)
         .when(isN || isV || isHa || isK || isSwd || isL, col("dob_day"))
         .when(pmod(k, lit(13)) === 0, pmod(col("dob_day"), lit(28)) + 1)
         .otherwise(col("dob_day")).cast("int").as("dob_day"),
@@ -498,8 +590,10 @@ object LinkageQueries {
       std(col("street_raw")).as("street_std"),
       std(col("unit_raw")).as("unit_std"),
       col("city"), col("state"),
-      when(pmod(k, lit(17)) === 0 || isSwz,
-        concat(substring(col("zipcode"), 1, 3), lit("99")))
+      when(isMv, col("zipcode"))
+        .when(isZ3, zipBumpZip3(col("zipcode")))
+        .when(pmod(k, lit(17)) === 0 || isSwz,
+          concat(substring(col("zipcode"), 1, 3), lit("99")))
         .otherwise(col("zipcode")).as("zipcode"),
       col("housing_type"))
     // Fake-name null-out runs FIRST among the preprocessing steps (a
@@ -743,6 +837,12 @@ object LinkageQueries {
     s"(k % 21 = 0 AND $notNV AND NOT $hhmSql AND k % 23 <> 0 AND k % 37 <> 0 " +
       "AND k % 41 <> 0 AND k % 47 <> 0 AND k % 31 <> 0 AND k % 43 <> 0 " +
       "AND k % 59 <> 0 AND k % 13 <> 0 AND k % 17 <> 0)"
+  private val mvSql = "(hh % 52 = 0 AND hh % 200 <> 0 AND (hh // 52) % 2 = 1)"
+  private val z3Sql =
+    s"(k % 61 = 0 AND $notNV AND NOT $hhmSql AND NOT $mvSql AND k % 23 <> 0 " +
+      "AND k % 37 <> 0 AND k % 41 <> 0 AND k % 47 <> 0 AND k % 31 <> 0 " +
+      "AND k % 43 <> 0 AND k % 59 <> 0 AND k % 21 <> 0 AND k % 17 <> 0 " +
+      "AND k % 200 >= 20)"
 
   private def nullPlaceholderSql(x: String): String =
     s"CASE WHEN $x IN (${Preprocess.placeholderNamesSqlList}) THEN NULL ELSE $x END"
@@ -758,7 +858,9 @@ object LinkageQueries {
        |         housing_type
        |  FROM (
        |  SELECT k AS rec_id,
-       |         CASE WHEN $nSql THEN ${vowelMangleSql("first_name")}
+       |         CASE WHEN $mvSql THEN 'UNKNOWN'
+       |              WHEN $z3Sql THEN ${swapFirstTwoSql("first_name")}
+       |              WHEN $nSql THEN ${vowelMangleSql("first_name")}
        |              WHEN $vSql THEN ${letterMangleSql("first_name")}
        |              WHEN $fSql OR $f2Sql THEN 'UNKNOWN'
        |              WHEN $kSql THEN ${nickOfSql("first_name")}
@@ -768,7 +870,8 @@ object LinkageQueries {
        |              WHEN $swdSql THEN last_name
        |              WHEN $lSql OR $mSql THEN first_name
        |              ELSE messy_first END AS first_name,
-       |         CASE WHEN $nSql THEN ${vowelMangleSql("last_name")}
+       |         CASE WHEN $mvSql OR $z3Sql THEN last_name
+       |              WHEN $nSql THEN ${vowelMangleSql("last_name")}
        |              WHEN $vSql THEN ${letterMangleSql("last_name")}
        |              WHEN $f2Sql THEN 'UNKNOWN'
        |              WHEN $fSql OR $kSql OR $haSql OR $hbSql THEN last_name
@@ -778,9 +881,13 @@ object LinkageQueries {
        |              WHEN $mSql THEN ${People.marriedLastSql("k")}
        |              ELSE messy_last END AS last_name,
        |         middle_initial,
-       |         CAST(CASE WHEN $haSql OR $mSql THEN dob_year + 1 ELSE dob_year END AS INTEGER) AS dob_year,
-       |         CAST(CASE WHEN $haSql OR $hbSql OR $swSql OR $swzSql OR $fSql THEN dob_month % 12 + 1 ELSE dob_month END AS INTEGER) AS dob_month,
-       |         CAST(CASE WHEN $hbSql OR $swSql OR $swzSql OR $fSql THEN dob_day % 28 + 1
+       |         CAST(CASE WHEN $mvSql OR $z3Sql THEN dob_year
+       |              WHEN $haSql OR $mSql THEN dob_year + 1 ELSE dob_year END AS INTEGER) AS dob_year,
+       |         CAST(CASE WHEN $mvSql OR $z3Sql THEN dob_month
+       |              WHEN $haSql OR $hbSql OR $swSql OR $swzSql OR $fSql THEN dob_month % 12 + 1 ELSE dob_month END AS INTEGER) AS dob_month,
+       |         CAST(CASE WHEN $mvSql THEN dob_day
+       |              WHEN $z3Sql THEN dob_day % 28 + 1
+       |              WHEN $hbSql OR $swSql OR $swzSql OR $fSql THEN dob_day % 28 + 1
        |              WHEN $nSql OR $vSql OR $haSql OR $kSql OR $swdSql OR $lSql THEN dob_day
        |              WHEN k % 13 = 0 THEN dob_day % 28 + 1
        |              ELSE dob_day END AS INTEGER) AS dob_day,
@@ -788,7 +895,9 @@ object LinkageQueries {
        |         ${stdSql("street_raw")} AS street_std,
        |         ${stdSql("unit_raw")} AS unit_std,
        |         city, state,
-       |         CASE WHEN k % 17 = 0 OR $swzSql THEN substr(zipcode, 1, 3) || '99' ELSE zipcode END AS zipcode,
+       |         CASE WHEN $mvSql THEN zipcode
+       |              WHEN $z3Sql THEN ${zipBumpZip3Sql("zipcode")}
+       |              WHEN k % 17 = 0 OR $swzSql THEN substr(zipcode, 1, 3) || '99' ELSE zipcode END AS zipcode,
        |         housing_type
        |  FROM persons) raw) named
        |  WHERE first_name IS NOT NULL OR last_name IS NOT NULL)""".stripMargin
@@ -1315,6 +1424,114 @@ object LinkageQueries {
        |       round(CAST(SUM(CASE WHEN pik = rec_id THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS precision_,
        |       round(CAST(SUM(CASE WHEN pik = rec_id THEN 1 ELSE 0 END) AS DOUBLE) / CAST((SELECT COUNT(*) FROM census) AS DOUBLE), 6) AS recall_
        |FROM links""".stripMargin
+  }
+
+  /** SQL mirror of [[graft.linkage.LinkageCascade.moversStage]] over the
+    * full cascade's remainder.
+    */
+  private def moversSql: String = {
+    val cmps = moversPass.comparisonsFor(config)
+    val gsel = cmps
+      .map(c => s"${FellegiSunter.gammaSql(c, "c", "i")} AS ${c.gammaName}")
+      .mkString(",\n         ")
+    val weight =
+      s"${FellegiSunter.matchWeightSql(cmps)} + ${moversPass.weightOffset}"
+    val linkedUnions = allPasses.indices
+      .map(i => s"SELECT rec_id FROM best_p${i + 1}").mkString(" UNION ALL ")
+    s"""$cascadeCtes,
+       |mv_linked AS (SELECT DISTINCT rec_id FROM ($linkedUnions) lu),
+       |mv_eligible AS (
+       |  SELECT geokey_blk FROM (
+       |    SELECT i.geokey_blk, COUNT(*) AS n_members,
+       |           SUM(CASE WHEN l.rec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_linked
+       |    FROM input i LEFT JOIN mv_linked l ON i.rec_id = l.rec_id
+       |    WHERE i.geokey_blk IS NOT NULL
+       |    GROUP BY i.geokey_blk) t
+       |  WHERE n_members > 1 AND n_linked = 0),
+       |mv_members AS (
+       |  SELECT i.* FROM input i JOIN mv_eligible e ON i.geokey_blk = e.geokey_blk),
+       |mv_cand AS (
+       |  SELECT c.pik, i.rec_id, c.geokey_blk AS ref_geokey, i.geokey_blk AS hh_geokey,
+       |         $gsel
+       |  FROM census c JOIN mv_members i ON ${keysOn(moversPass.blockKeys)}
+       |  WHERE c.geokey_blk IS NOT NULL),
+       |mv_thr AS MATERIALIZED (
+       |  SELECT pik, rec_id, ref_geokey, hh_geokey, match_weight FROM (
+       |    SELECT pik, rec_id, ref_geokey, hh_geokey, $weight AS match_weight
+       |    FROM mv_cand) s
+       |  WHERE match_weight >= ${config.thresholdWeight}),
+       |mv_units AS (
+       |  SELECT hh_geokey, ref_geokey FROM (
+       |    SELECT hh_geokey, ref_geokey,
+       |           COUNT(DISTINCT rec_id) AS nm, COUNT(DISTINCT pik) AS np
+       |    FROM mv_thr GROUP BY hh_geokey, ref_geokey) u
+       |  WHERE nm >= 2 AND np >= 2),
+       |mv_unit_scored AS (
+       |  SELECT s.pik, s.rec_id, s.match_weight
+       |  FROM mv_thr s JOIN mv_units u
+       |    ON s.hh_geokey = u.hh_geokey AND s.ref_geokey = u.ref_geokey),
+       |mv_best AS (
+       |  SELECT DISTINCT pik, rec_id, match_weight FROM (
+       |    SELECT *, COUNT(DISTINCT pik) OVER (PARTITION BY rec_id) AS n_piks FROM (
+       |      SELECT * FROM (
+       |        SELECT pik, rec_id, match_weight,
+       |               MAX(match_weight) OVER (PARTITION BY rec_id) AS w_max
+       |        FROM mv_unit_scored) t1
+       |      WHERE match_weight = w_max) t2) t3
+       |  WHERE n_piks = 1)
+       |SELECT pik, rec_id, round(match_weight, 6) AS mw, '${moversPass.name}' AS pass
+       |FROM mv_best""".stripMargin
+  }
+
+  /** SQL mirror of the ZIP3 Adjacency passes over the cascade remainder:
+    * the geobase side explodes into the {z-1, z, z+1} neighborhood, then
+    * the two street-soundex passes run in order.
+    */
+  private def zip3AdjSql: String = {
+    val prevBest = allPasses.indices.map(i => s"best_p${i + 1}").toList
+    val z1 = zip3AdjPasses(0)
+    val z2 = zip3AdjPasses(1)
+    val adjCte =
+      """geobase_adj AS (
+        |  SELECT g.* REPLACE (lpad(CAST(CAST(g.zip3 AS INTEGER) + o.off AS VARCHAR), 3, '0') AS zip3)
+        |  FROM geobase g, (VALUES (-1), (0), (1)) o(off))""".stripMargin
+    s"""$cascadeCtes,
+       |$adjCte,
+       |${passSql(z1, remappedRel(remainingRel(prevBest), z1.rightRemap), "z1", censusRel = "geobase_adj")},
+       |${passSql(z2, remappedRel(remainingRel(prevBest :+ "best_z1"), z2.rightRemap), "z2", censusRel = "geobase_adj")}
+       |SELECT pik, rec_id, round(match_weight, 6) AS mw, '${z1.name}' AS pass FROM best_z1
+       |UNION ALL
+       |SELECT pik, rec_id, round(match_weight, 6) AS mw, '${z2.name}' AS pass FROM best_z2""".stripMargin
+  }
+
+  /** SQL mirror of q130: MAF = every distinct sans-zip address rendering
+    * (current + old) in the universe, MAFIDs minted by sorted key; both
+    * sides join the MAF on their geokey stripped of its zip segment, then
+    * one predict pass blocks on mafid.
+    */
+  private def mafSql: String = {
+    val curKey = geokeySql(Seq("street_num", stdSql("street_raw"),
+      stdSql("unit_raw"), "city", "state"))
+    val oldKey = geokeySql(Seq("street_num_old", stdSql("street_raw_old"),
+      "''", "city_old", "state_old"))
+    s"""$base,
+       |maf_addr AS (
+       |  SELECT DISTINCT maf_key FROM (
+       |    SELECT $curKey AS maf_key FROM persons
+       |    UNION ALL
+       |    SELECT $oldKey AS maf_key FROM persons) u),
+       |maf AS MATERIALIZED (
+       |  SELECT maf_key, row_number() OVER (ORDER BY maf_key) - 1 AS mafid
+       |  FROM maf_addr),
+       |input_maf AS (
+       |  SELECT i.*, m.mafid FROM input i
+       |  JOIN maf m ON regexp_replace(i.geokey, '\\|[^|]*$$', '') = m.maf_key),
+       |census_maf AS (
+       |  SELECT c.*, m.mafid FROM census c
+       |  JOIN maf m ON regexp_replace(c.geokey, '\\|[^|]*$$', '') = m.maf_key),
+       |${passSql(mafPass, "input_maf", "mm", censusRel = "census_maf")}
+       |SELECT pik, rec_id, round(match_weight, 6) AS mw, '${mafPass.name}' AS pass
+       |FROM best_mm""".stripMargin
   }
 
   // ---- the queries -------------------------------------------------------
@@ -2556,6 +2773,90 @@ object LinkageQueries {
           "ref_file", "block_keys", "name_switch", "comparison", "scored",
           "const_gamma", "weight_offset"),
       Some(passMatrixSql)
+    ),
+    QueryDef(
+      // The Movers module (reference 03 cell 99): households with >1
+      // member and ZERO PIKs after the full cascade are searched as a
+      // unit — members block on person attributes only, and links need
+      // >=2 distinct members matching >=2 distinct PIKs at one reference
+      // address. Positioned AFTER hhcompsearch: the eligibility anti-set
+      // is the complete 15-pass link set.
+      "q128_movers",
+      (s, d) => {
+        reg(s)
+        LinkageCascade.moversStage(census(s, d), input(s, d),
+            cascadeLinks(s, d), config, moversPass)
+          .select(col("pik"), col("rec_id"),
+            round(col("match_weight"), 6).as("mw"), col("pass"))
+      },
+      Some(moversSql)
+    ),
+    QueryDef(
+      // ZIP3 Adjacency Search (reference 03 cell 98): the two geosearch
+      // street-soundex passes re-run over the cascade remainder with the
+      // zip3 cut widened to {z-1, z, z+1} — recovers short-distance
+      // movers whose new address crosses a zip3 boundary, which the
+      // exact-zip3 cut provably misses.
+      "q129_zip3_adjacency",
+      (s, d) => {
+        reg(s)
+        val links = cascadeLinks(s, d)
+        val rem = input(s, d)
+          .join(links.select("rec_id").distinct(), Seq("rec_id"), "left_anti")
+        val adjRef = LinkageCascade.zip3Adjacent(geobase(s, d))
+        val z1 = zip3AdjPasses(0)
+        val z2 = zip3AdjPasses(1)
+        val l1 = LinkageCascade.predict(adjRef, rem, z1, config)
+          .withColumn("pass", lit(z1.name))
+        val rem2 = rem.join(l1.select("rec_id"), Seq("rec_id"), "left_anti")
+        val l2 = LinkageCascade.predict(adjRef, rem2, z2, config)
+          .withColumn("pass", lit(z2.name))
+        l1.unionByName(l2)
+          .select(col("pik"), col("rec_id"),
+            round(col("match_weight"), 6).as("mw"), col("pass"))
+      },
+      Some(zip3AdjSql)
+    ),
+    QueryDef(
+      // MAFMatch (reference 03 cell 24): both sides resolve their address
+      // sans zipcode against the Master Address File, minting a MAFID
+      // used as a blocking key — records whose zip rendering is broken
+      // (the k%17 zip-typo class) block against their census twin even
+      // though geokey equality (p1/p2) misses them.
+      "q130_mafmatch",
+      (s, d) => {
+        reg(s)
+        val maf = mafFrame(s, d)
+        def withMaf(side: DataFrame): DataFrame =
+          side.join(maf,
+            regexp_replace(side("geokey"), "\\|[^|]*$", "") === maf("maf_key"))
+            .drop("maf_key")
+        LinkageCascade.predict(
+            withMaf(census(s, d)), withMaf(input(s, d)), mafPass, config)
+          .withColumn("pass", lit(mafPass.name))
+          .select(col("pik"), col("rec_id"),
+            round(col("match_weight"), 6).as("mw"), col("pass"))
+      },
+      Some(mafSql)
     )
   )
+
+  /** The Master Address File: every distinct sans-zip rendering of a
+    * current or previous address in the universe, with a MAFID minted by
+    * sorted key (range-partitioned contiguous id — no single-partition
+    * window). Old addresses render with an empty unit, exactly like the
+    * stale census side, so stale records resolve to their old address's
+    * MAFID.
+    */
+  private def mafFrame(s: SparkSession, d: String): DataFrame = {
+    val p = People.persons(s, d)
+    val cur = p.select(Preprocess.geokey(col("street_num"),
+      std(col("street_raw")), std(col("unit_raw")),
+      col("city"), col("state")).as("maf_key"))
+    val old = p.select(Preprocess.geokey(col("street_num_old"),
+      std(col("street_raw_old")), lit(""),
+      col("city_old"), col("state_old")).as("maf_key"))
+    graft.ops.DfOps.addContiguousId(
+      cur.unionByName(old).distinct(), "maf_key", "mafid")
+  }
 }

@@ -18,10 +18,21 @@ class LinkageSpec extends SparkTestBase {
     }
   }
 
-  test("cascade accuracy beats 0.9 precision and recall") {
+  test("pipeline accuracy beats 0.9 precision and recall") {
+    // The full module set — cascade plus the post-cascade movers and
+    // zip3-adjacency modules (their planted classes are unreachable by
+    // the 15 cascade passes BY DESIGN, so grading the cascade alone
+    // would charge the pipeline for records another of its modules
+    // recovers).
     GraftFunctions.register(spark)
     val links = LinkageCascade.run(
-      LinkageQueries.cascadeRefs(spark, sfDir), input, cfg).cache()
+        LinkageQueries.cascadeRefs(spark, sfDir), input, cfg)
+      .select("pik", "rec_id")
+      .unionByName(LinkageQueries.defs.find(_.name == "q128_movers").get
+        .query(spark, sfDir).select("pik", "rec_id"))
+      .unionByName(LinkageQueries.defs.find(_.name == "q129_zip3_adjacency").get
+        .query(spark, sfDir).select("pik", "rec_id"))
+      .cache()
     val nLinks = links.count().toDouble
     val nCorrect = links.filter(col("pik") === col("rec_id")).count().toDouble
     val nTrue = census.count().toDouble
@@ -399,6 +410,86 @@ class LinkageSpec extends SparkTestBase {
     assert(gb.count() == nd.count(), "geobase row count != namedob row count")
     assert(gb.columns.contains("geokey_blk") && gb.columns.contains("zip3"),
       "geobase missing address keys")
+  }
+
+  /** Class-Mv membership (movers household; mirror of flaggedPersons'
+    * isMv): every member of an hh%52 regular household.
+    */
+  private def isMvRec(k: Long): Boolean = {
+    val hh = hhOf(k)
+    hh % 52 == 0 && hh % 200 != 0 && (hh / 52) % 2 == 1
+  }
+
+  /** Class-Z3 membership (cross-zip3 mover; mirror of isZ3). */
+  private def isZ3Rec(k: Long): Boolean =
+    k % 61 == 0 && k % 29 != 0 && k % 19 != 0 && !movedHh(k) && !isMvRec(k) &&
+      k % 23 != 0 && k % 37 != 0 && k % 41 != 0 && k % 47 != 0 &&
+      k % 31 != 0 && k % 43 != 0 && k % 59 != 0 && k % 21 != 0 &&
+      k % 17 != 0 && k % 200 >= 20
+
+  private def queryRows(name: String): Array[(Long, Long, String)] = {
+    GraftFunctions.register(spark)
+    LinkageQueries.defs.find(_.name == name).get.query(spark, sfDir)
+      .select("pik", "rec_id", "pass").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+  }
+
+  test("movers module recovers fully-unlinked moved households as a unit") {
+    // Cascade position: planted Mv members (placeholder first name, stale
+    // census address) are reachable by NO cascade pass — the 15-pass link
+    // set contains none of them, which is exactly the movers eligibility.
+    assert(cascade.filter(t => isMvRec(t._2)).isEmpty,
+      "a cascade pass linked a planted Mv member — fixture broken")
+    val rows = queryRows("q128_movers")
+    val expected = census.select("pik").collect().map(_.getLong(0))
+      .filter(isMvRec).toSet
+    assert(expected.nonEmpty, "no Mv households planted at this SF")
+    rows.foreach { case (pik, rec, _) =>
+      assert(pik == rec, s"movers mislink $pik -> $rec")
+    }
+    assert(rows.map(_._2).toSet == expected,
+      s"movers coverage: got ${rows.map(_._2).toSet}, expected $expected")
+  }
+
+  test("zip3 adjacency recovers cross-zip3 movers the exact-zip3 cut provably misses") {
+    assert(cascade.filter(t => isZ3Rec(t._2)).isEmpty,
+      "a cascade pass linked a planted Z3 record — fixture broken")
+    val rows = queryRows("q129_zip3_adjacency")
+    val expected = census.select("pik").collect().map(_.getLong(0))
+      .filter(isZ3Rec).toSet
+    assert(expected.nonEmpty, "no Z3 records planted at this SF")
+    rows.foreach { case (pik, rec, _) =>
+      assert(pik == rec, s"zip3-adjacency mislink $pik -> $rec")
+    }
+    assert(rows.map(_._2).toSet == expected,
+      s"zip3-adjacency coverage: got ${rows.map(_._2).toSet}, expected $expected")
+  }
+
+  /** Pure zip-typo membership: the k%17 zip noise with no other class, no
+    * move, clean DOB, census-covered, non-GQ — records whose ONLY defect
+    * is the zip rendering.
+    */
+  private def isZipTypoPure(k: Long): Boolean =
+    k % 17 == 0 && k % 29 != 0 && k % 19 != 0 && !movedHh(k) &&
+      k % 23 != 0 && k % 37 != 0 && k % 41 != 0 && k % 47 != 0 &&
+      k % 31 != 0 && k % 43 != 0 && k % 59 != 0 && k % 21 != 0 &&
+      k % 13 != 0 && k % 200 >= 20
+
+  test("mafmatch blocks zip-typo variants that geokey equality misses") {
+    val rows = queryRows("q130_mafmatch")
+    rows.foreach { case (pik, rec, _) =>
+      assert(pik == rec, s"mafmatch mislink $pik -> $rec")
+    }
+    val planted = census.select("pik").collect().map(_.getLong(0))
+      .filter(isZipTypoPure).toSet
+    assert(planted.nonEmpty, "no pure zip-typo records planted at this SF")
+    assert((planted -- rows.map(_._2).toSet).isEmpty,
+      s"mafmatch missed planted zip-typo records: ${(planted -- rows.map(_._2).toSet).toSeq}")
+    // geokey EQUALITY provably misses them: neither geokey pass links any.
+    val viaGeokey = cascade.filter(t => planted.contains(t._2) &&
+      (t._3 == "p1_geokey" || t._3 == "p2_geokey_switch"))
+    assert(viaGeokey.isEmpty,
+      s"zip-typo records linked by geokey equality: ${viaGeokey.toSeq}")
   }
 
   test("GQ records never enter address-blocked passes") {

@@ -51,6 +51,18 @@ object ScaleBench {
     def replicate(table: String, idCol: String): Unit = {
       val base = spark.read.parquet(s"$baseDir/$table.parquet")
       val n = base.count()
+      // Copy stride: documents/embeddings mint planted-variant ids at
+      // +100000/+200000 (docsWithDups/embWithDups), so copy offsets must
+      // clear the variant range too — with the bare count, copy j's base
+      // ids collide with copy i's variants once factor*n > 100000 (x30
+      // surfaced exactly that: duplicate doc_ids doubled the jaccard
+      // intersection counts and zeroed the denominator). Customer keeps
+      // the bare count (a multiple of 200, preserving household/GQ
+      // structure; its only planted offset is q94's +1000000 refiling
+      // range, far above 30x the row count).
+      val stride =
+        if (table == "customer") n
+        else ((n + 300000L + 199L) / 200L) * 200L
       val copies = (0 until factor).map { i =>
         // Embedding copies get a per-copy pseudorandom SIGN FLIP per
         // component: identical vectors across copies would otherwise be
@@ -66,7 +78,7 @@ object ScaleBench {
             transform(col("embedding"), (x, j) =>
               when(pmod((j + 1) * lit(2 * i + 1) * 2654435761L, lit(1000003L)) % 2 === 0,
                 x).otherwise(-x)))
-        c.withColumn(idCol, col(idCol) + lit(i * n))
+        c.withColumn(idCol, col(idCol) + lit(i * stride))
       }
       copies.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
