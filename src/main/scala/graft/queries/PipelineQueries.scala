@@ -133,6 +133,47 @@ object PipelineQueries {
       .select("vec_id", "label", "cid")
   }
 
+  /** Probe count derived from the REALIZED centroid count: a FIXED probe
+    * count loses recall as k grows — HierProbe at the 30× point (k≈484)
+    * measured probes-3 missing 64/4408 true pairs where the 10× point
+    * (k≈160) missed 0, and probes-6 restoring 0/4408 at ~equal assignment
+    * wall (the n·k dots dominate; probes only widen the candidate join).
+    * p = max(3, ceil(3·sqrt(k/160))) pins both measured zero-loss points
+    * and grows sublinearly with cell granularity. One 1-row aggregate
+    * over the (already broadcast-sized) centroid frame, mirrored as a
+    * scalar subquery in the oracle SQL — IEEE sqrt/ceil are identical in
+    * both engines, so the derived integer cannot diverge.
+    */
+  def derivedProbes(cents: DataFrame): DataFrame =
+    cents.agg(greatest(lit(3L),
+      ceil(lit(3.0) * sqrt(count(lit(1)).cast("double") / 160.0)))
+      .cast("int").as("probes"))
+
+  /** SQL scalar-subquery mirror of [[derivedProbes]] over the `cents`
+    * CTE.
+    */
+  val derivedProbesSql: String =
+    "(SELECT greatest(3, CAST(ceil(3 * sqrt(COUNT(*) / 160.0)) AS INTEGER)) FROM cents)"
+
+  /** [[cellAssignments]] with the probe count derived from the centroid
+    * set itself — the production dedup path (q51/q123/q124 and the
+    * streaming twin), so recall holds as the corpus-derived k grows.
+    */
+  def cellAssignmentsDerived(e: DataFrame, cents: DataFrame): DataFrame = {
+    val byVec = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cid").asc)
+    e.select("vec_id", "label", "embedding", "nrm")
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"),
+        (VectorOps.dotDecimal(col("embedding"), col("ce")) /
+          (col("nrm") * col("cn"))).as("csim"),
+        col("cid"))
+      .withColumn("arnk", row_number().over(byVec))
+      .crossJoin(broadcast(derivedProbes(cents)))
+      .filter(col("arnk") <= col("probes"))
+      .select("vec_id", "label", "cid")
+  }
+
   /** TWO-LEVEL (hierarchical) probe-cell assignment — the scale ladder
     * past flat IVF's n×k assignment dots: vectors rank against 16 COARSE
     * centroids (stride n/16 over the same id arithmetic), then against
@@ -323,7 +364,7 @@ object PipelineQueries {
   private def embDedupPairsBuild(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = embDupNorms(s, d)
-    val assign = cellAssignments(e, ivfCentroids(e), probes = 3)
+    val assign = cellAssignmentsDerived(e, ivfCentroids(e))
     val cand = assign.as("a").join(assign.as("b"),
         col("a.label") === col("b.label") && col("a.cid") === col("b.cid") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -383,7 +424,7 @@ object PipelineQueries {
        |           ROW_NUMBER() OVER (PARTITION BY vec_id
        |               ORDER BY dot / (nrm * cn) DESC, cid ASC) AS arnk
        |    FROM csims) r
-       |  WHERE arnk <= 3),
+       |  WHERE arnk <= $derivedProbesSql),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM assign a JOIN assign b
@@ -2244,7 +2285,7 @@ object PipelineQueries {
           cellAssignments(e.filter(col("vec_id") < 100000), cents, probes = 1)
             .select(col("vec_id").as("corpus_id"), col("label"), col("cid"))
         val newCells =
-          cellAssignments(e.filter(col("vec_id") >= 100000), cents, probes = 3)
+          cellAssignmentsDerived(e.filter(col("vec_id") >= 100000), cents)
             .select(col("vec_id").as("new_id"), col("label"), col("cid"))
         val cand = corpusCells.join(newCells, Seq("label", "cid"))
           .select("corpus_id", "new_id").distinct()
@@ -2268,7 +2309,7 @@ object PipelineQueries {
               |  WHERE arnk = 1 AND vec_id < 100000),
               |newcells AS (
               |  SELECT vec_id AS new_id, label, cid FROM ranked
-              |  WHERE arnk <= 3 AND vec_id >= 100000),
+              |  WHERE arnk <= $derivedProbesSql AND vec_id >= 100000),
               |cand AS (
               |  SELECT DISTINCT c.corpus_id, n.new_id
               |  FROM corpuscells c JOIN newcells n

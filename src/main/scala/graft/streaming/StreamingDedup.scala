@@ -55,7 +55,7 @@ object StreamingDedup {
       corpus: DataFrame, arrivals: DataFrame): DataFrame = {
     val e = arrivals.select(col("vec_id"), col("label"), col("embedding"))
       .withColumn("nrm", graft.operators.VectorOps.norm(col("embedding")))
-    val newCells = PipelineQueries.cellAssignments(e, cents, probes = 3)
+    val newCells = PipelineQueries.cellAssignmentsDerived(e, cents)
       .select(col("vec_id").as("new_id"), col("label"), col("cid"))
     val cand = corpusCells.join(newCells, Seq("label", "cid"))
       .select("corpus_id", "new_id").distinct()

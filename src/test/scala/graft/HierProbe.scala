@@ -40,11 +40,14 @@ object HierProbe {
       .filter(col("cos") >= 0.9 + 1e-6)
       .select("vec_a", "vec_b").cache()
     val nExact = exact.count()
-    (Seq("flat" -> (() => PipelineQueries.cellAssignments(e, fine, 3))) ++
+    (Seq(3, 4, 5, 6).map(p => s"flat-p$p" ->
+        (() => PipelineQueries.cellAssignments(e, fine, p))) ++
       Seq(2, 3, 4).map(cp => s"hier-cp$cp" ->
         (() => PipelineQueries.hierarchicalCellAssignments(e, fine, cp, 3))) ++
-      Seq(2, 3, 4).map(cp => s"trained-cp$cp" ->
-        (() => PipelineQueries.trainedCellAssignments(e, fine, cp, 3)))
+      Seq((2, 3), (3, 3), (4, 3), (4, 5), (6, 5), (8, 6)).map { case (cp, fp) =>
+        s"trained-cp$cp-fp$fp" ->
+          (() => PipelineQueries.trainedCellAssignments(e, fine, cp, fp))
+      }
     ).foreach { case (label, mk) =>
       val t0 = System.nanoTime()
       val cand = candPairs(mk()).cache()

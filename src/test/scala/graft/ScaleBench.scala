@@ -51,18 +51,22 @@ object ScaleBench {
     def replicate(table: String, idCol: String): Unit = {
       val base = spark.read.parquet(s"$baseDir/$table.parquet")
       val n = base.count()
-      // Copy stride: documents/embeddings mint planted-variant ids at
-      // +100000/+200000 (docsWithDups/embWithDups), so copy offsets must
-      // clear the variant range too — with the bare count, copy j's base
-      // ids collide with copy i's variants once factor*n > 100000 (x30
-      // surfaced exactly that: duplicate doc_ids doubled the jaccard
-      // intersection counts and zeroed the denominator). Customer keeps
-      // the bare count (a multiple of 200, preserving household/GQ
-      // structure; its only planted offset is q94's +1000000 refiling
-      // range, far above 30x the row count).
+      // Copy stride: documents mint planted-variant ids at +100000 and
+      // +200000 (docsWithDups), so copy offsets must clear the variant
+      // range — with the bare count, copy j's base ids collide with copy
+      // i's variants once factor*n > 100000 (x30 surfaced exactly that:
+      // duplicate doc_ids doubled the jaccard intersection counts and
+      // zeroed the denominator). Embeddings KEEP the bare stride: the
+      // incremental queries' corpus/delta boundary is the +100000 variant
+      // offset itself (vec_id < 100000 = corpus), so base ids must stay
+      // below it — the guard enforces the capacity. Customer keeps the
+      // bare count (a multiple of 200, preserving household/GQ structure;
+      // its only planted offset is q94's +1000000 refiling range).
+      require(table != "embeddings" || factor * n <= 100000,
+        s"embeddings replication capacity: $factor x $n crosses the 100000 variant boundary")
       val stride =
-        if (table == "customer") n
-        else ((n + 300000L + 199L) / 200L) * 200L
+        if (table == "documents") ((n + 300000L + 199L) / 200L) * 200L
+        else n
       val copies = (0 until factor).map { i =>
         // Embedding copies get a per-copy pseudorandom SIGN FLIP per
         // component: identical vectors across copies would otherwise be
@@ -72,12 +76,25 @@ object ScaleBench {
         // copies have cross-copy cosine ~0, so true pair density stays
         // per-universe and the measured exponent reflects the machinery,
         // not the synthetic data's degeneracy.
-        val c =
+        val c0 =
           if (table != "embeddings" || i == 0) base
           else base.withColumn("embedding",
             transform(col("embedding"), (x, j) =>
               when(pmod((j + 1) * lit(2 * i + 1) * 2654435761L, lit(1000003L)) % 2 === 0,
                 x).otherwise(-x)))
+        // Document copies get a per-copy word suffix — the text analog of
+        // the embedding sign flip: identical texts across copies are
+        // GENUINE near-dups (identical shingle sets → same LSH bands), so
+        // bucket occupancy — and the candidate count — would grow with
+        // the copy count and the measured dedup exponents would reflect
+        // the synthetic corpus's degeneracy, not the machinery (x30
+        // measured q41 at exponent 1.19 from exactly this). The suffix is
+        // uniform within a copy, so within-copy near-dup structure (and
+        // every Jaccard value) is preserved bijectively.
+        val c =
+          if (table != "documents" || i == 0) c0
+          else c0.withColumn("text",
+            regexp_replace(col("text"), "(\\S+)", s"$$1_c$i"))
         c.withColumn(idCol, col(idCol) + lit(i * stride))
       }
       copies.reduce(_ unionByName _)
