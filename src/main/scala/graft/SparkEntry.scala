@@ -59,6 +59,7 @@ object SparkEntry {
       "reffile_chain" -> 1,
       "linkage_reffiles" -> 2, "jaccard_banded" -> 2, "ivf_assign" -> 2,
       "brute_knn" -> 2, "reffile_accuracy" -> 2, "emb_pairs" -> 2,
+      "emb_corpus_cells" -> 2,
       "linkage_scored_block" -> 3, "linkage_cost_summary" -> 3,
       "cascade_links" -> 3)
     warmSteps.groupBy { case (n, _) => waveOf.getOrElse(n, 3) }
