@@ -493,16 +493,21 @@ object LinkageCascade {
       .withColumn("pass", lit(pass.name))
   }
 
-  /** Explode a reference frame's zip3 into its adjacency neighborhood
-    * {z-1, z, z+1} — an arithmetically-derived stand-in for the Census
-    * zip3 adjacency dimension (reference 03 cell 98; the ZIP3 Adjacency
+  /** Explode a frame's zip3 into its adjacency neighborhood {z-1, z,
+    * z+1} — an arithmetically-derived stand-in for the Census zip3
+    * adjacency dimension (reference 03 cell 98; the ZIP3 Adjacency
     * passes of Layne/Wagner/Rothhaas App. A). A pass blocked on the
-    * exploded zip3 equi-joins input records whose zip3 is ADJACENT to the
-    * reference row's — the join stays a plain equi-join; the reference
-    * side grows 3×, map-side only.
+    * exploded zip3 equi-joins rows whose zip3 is ADJACENT to the other
+    * side's — the join stays a plain equi-join and adjacency is
+    * symmetric, so EITHER side may carry the explode; apply it to the
+    * SMALLER side (the cascade remainder, not the national reference
+    * file) so the 3× row blow-up — map-side only — lands where it is
+    * cheap. Note the rendering at the range edges (lpad truncates
+    * 999+1 → "100", 000-1 → "0-1") rides with the exploded side, so a
+    * cross-engine mirror must explode the same side.
     */
-  def zip3Adjacent(ref: DataFrame): DataFrame =
-    ref.withColumn("zip3",
+  def zip3Adjacent(df: DataFrame): DataFrame =
+    df.withColumn("zip3",
       explode(array(Seq(-1, 0, 1).map(o =>
         lpad((col("zip3").cast("int") + lit(o)).cast("string"), 3, "0")): _*)))
 

@@ -1491,14 +1491,16 @@ object LinkageQueries {
     val prevBest = allPasses.indices.map(i => s"best_p${i + 1}").toList
     val z1 = zip3AdjPasses(0)
     val z2 = zip3AdjPasses(1)
-    val adjCte =
-      """geobase_adj AS (
-        |  SELECT g.* REPLACE (lpad(CAST(CAST(g.zip3 AS INTEGER) + o.off AS VARCHAR), 3, '0') AS zip3)
-        |  FROM geobase g, (VALUES (-1), (0), (1)) o(off))""".stripMargin
+    // Mirror of the Spark side: the adjacency explode runs on the small
+    // cascade REMAINDER, never the national reference file (and the
+    // lpad-truncation edge rendering must live on the same side in both
+    // engines).
+    def adjRel(rel: String): String =
+      s"""(SELECT r.* REPLACE (lpad(CAST(CAST(r.zip3 AS INTEGER) + o.off AS VARCHAR), 3, '0') AS zip3)
+         | FROM $rel r, (VALUES (-1), (0), (1)) o(off))""".stripMargin
     s"""$cascadeCtes,
-       |$adjCte,
-       |${passSql(z1, remappedRel(remainingRel(prevBest), z1.rightRemap), "z1", censusRel = "geobase_adj")},
-       |${passSql(z2, remappedRel(remainingRel(prevBest :+ "best_z1"), z2.rightRemap), "z2", censusRel = "geobase_adj")}
+       |${passSql(z1, adjRel(remappedRel(remainingRel(prevBest), z1.rightRemap)), "z1", censusRel = "geobase")},
+       |${passSql(z2, adjRel(remappedRel(remainingRel(prevBest :+ "best_z1"), z2.rightRemap)), "z2", censusRel = "geobase")}
        |SELECT pik, rec_id, round(match_weight, 6) AS mw, '${z1.name}' AS pass FROM best_z1
        |UNION ALL
        |SELECT pik, rec_id, round(match_weight, 6) AS mw, '${z2.name}' AS pass FROM best_z2""".stripMargin
@@ -2796,20 +2798,29 @@ object LinkageQueries {
       // street-soundex passes re-run over the cascade remainder with the
       // zip3 cut widened to {z-1, z, z+1} — recovers short-distance
       // movers whose new address crosses a zip3 boundary, which the
-      // exact-zip3 cut provably misses.
+      // exact-zip3 cut provably misses. The adjacency explode runs on
+      // the REMAINDER side (the small post-cascade residue), not the
+      // national GeoBase: the candidate set is identical (z_in adjacent
+      // to z_ref is symmetric) but the 3× row blow-up lands on the side
+      // that is orders of magnitude smaller at scale, and the reference
+      // file shuffles at its natural size. The oracle SQL explodes the
+      // same side so the wrap-edge rendering (lpad truncation at
+      // 999+1/000-1) cannot diverge between engines.
       "q129_zip3_adjacency",
       (s, d) => {
         reg(s)
         val links = cascadeLinks(s, d)
         val rem = input(s, d)
           .join(links.select("rec_id").distinct(), Seq("rec_id"), "left_anti")
-        val adjRef = LinkageCascade.zip3Adjacent(geobase(s, d))
+        val ref = geobase(s, d)
         val z1 = zip3AdjPasses(0)
         val z2 = zip3AdjPasses(1)
-        val l1 = LinkageCascade.predict(adjRef, rem, z1, config)
+        val l1 = LinkageCascade.predict(ref, LinkageCascade.zip3Adjacent(rem),
+            z1, config)
           .withColumn("pass", lit(z1.name))
         val rem2 = rem.join(l1.select("rec_id"), Seq("rec_id"), "left_anti")
-        val l2 = LinkageCascade.predict(adjRef, rem2, z2, config)
+        val l2 = LinkageCascade.predict(ref, LinkageCascade.zip3Adjacent(rem2),
+            z2, config)
           .withColumn("pass", lit(z2.name))
         l1.unionByName(l2)
           .select(col("pik"), col("rec_id"),
