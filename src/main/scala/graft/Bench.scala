@@ -42,12 +42,12 @@ object Bench {
     // Populate the cross-query memo caches (linkage sides, gram frame) and
     // report their build cost as its own metric — otherwise it lands on
     // whichever consumer runs first (q26/q43) and poisons round-over-round
-    // deltas. Waves run their steps concurrently (most builds are 1-2 task
-    // jobs at this scale, so serial warm summed scheduler latencies);
-    // warm_sec is the WALL time of the warm phase, warm_breakdown the
-    // per-step elapsed times measured under that concurrency.
+    // deltas. Steps run as a dependency DAG (each starts when its memo
+    // inputs are built, no wave barriers); warm_sec is the WALL time of
+    // the warm phase, warm_breakdown the per-step elapsed times measured
+    // under that concurrency.
     val warmT0 = System.nanoTime()
-    val warmTimes = SparkEntry.warmWaves.flatMap(w => SparkEntry.runWave(w, spark, sfDir))
+    val warmTimes = SparkEntry.runWarm(spark, sfDir)
     val warmSec = (System.nanoTime() - warmT0) / 1e9
     // SPARK_GRAFT_ONLY=q51,q55 narrows the run for local iteration; unset
     // (driver mode) benches the full inventory.

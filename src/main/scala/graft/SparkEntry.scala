@@ -29,15 +29,19 @@ object SparkEntry {
 
   /** Populates the cross-query memo caches (linkage side frames, dedup
     * gram frame) so benchmarks measure steady-state query time, not
-    * whichever query first pays the one-time cache build. Runs the
-    * dependency waves of [[warmWaves]], each wave's steps CONCURRENTLY:
-    * at bench scale most memo builds are one- or two-task Spark jobs, so
-    * serial warm is a sum of scheduler latencies while the executor
-    * threads idle — concurrent jobs overlap them (Spark job submission is
-    * thread-safe; each memo has its own lock).
+    * whichever query first pays the one-time cache build. Steps run as a
+    * dependency DAG ([[warmDeps]]): each starts the moment its declared
+    * dependencies finish, never at a wave barrier — at bench scale most
+    * memo builds are one- or two-task Spark jobs, so any serialization
+    * beyond the true dependencies is scheduler latency while executor
+    * threads idle (Spark job submission is thread-safe; each memo has its
+    * own lock). The critical path is the longest dependency chain
+    * (linkage_sides → linkage_reffiles → cascade_links), not the sum of
+    * wave maxima.
     */
-  def warm(spark: SparkSession, sfDir: String): Unit =
-    warmWaves.foreach { wave => runWave(wave, spark, sfDir); () }
+  def warm(spark: SparkSession, sfDir: String): Unit = {
+    runWarm(spark, sfDir); ()
+  }
 
   /** Named memo builds — Bench times each and emits the per-step
     * `warm_breakdown` map alongside the `warm_sec` (wall-clock) total.
@@ -47,45 +51,54 @@ object SparkEntry {
       _root_.graft.queries.PipelineQueries.warmSteps ++
       _root_.graft.queries.RefFileQueries.warmSteps
 
-  /** [[warmSteps]] grouped into dependency waves: a step may consume
-    * caches built by an earlier wave (reffiles reads the side frames,
-    * jaccard_banded reads the gram + band frames, ivf/brute read the
-    * norm frames) but never by a step in its own wave.
+  /** Each step's memo-cache dependencies (a step reads frames another
+    * step builds; running them concurrently would serialize on the memo
+    * lock anyway, with the LOSER's timer charged for the winner's build).
+    * linkage_sides/reffiles share one memoized tuple — sides pays the
+    * build, reffiles forces the remaining cached frames. emb_pairs and
+    * emb_corpus_cells each run their own assignment over the
+    * emb_dup_norms frame; ivf/brute read emb_norms; jaccard_banded joins
+    * the gram frame with the minhash band candidates.
     */
-  def warmWaves: Seq[Seq[(String, (SparkSession, String) => Unit)]] = {
-    val waveOf = Map(
-      "linkage_sides" -> 1, "grams" -> 1, "emb_norms" -> 1,
-      "emb_dup_norms" -> 1, "minhash_bands" -> 1, "shingles" -> 1,
-      "reffile_chain" -> 1,
-      "linkage_reffiles" -> 2, "jaccard_banded" -> 2, "ivf_assign" -> 2,
-      "brute_knn" -> 2, "reffile_accuracy" -> 2, "emb_pairs" -> 2,
-      "emb_corpus_cells" -> 2,
-      "linkage_scored_block" -> 3, "linkage_cost_summary" -> 3,
-      "cascade_links" -> 3)
-    warmSteps.groupBy { case (n, _) => waveOf.getOrElse(n, 3) }
-      .toSeq.sortBy(_._1).map(_._2)
-  }
+  def warmDeps: Map[String, Seq[String]] = Map(
+    "linkage_reffiles" -> Seq("linkage_sides"),
+    "linkage_scored_block" -> Seq("linkage_sides"),
+    "linkage_cost_summary" -> Seq("linkage_sides"),
+    "cascade_links" -> Seq("linkage_sides", "linkage_reffiles"),
+    "jaccard_banded" -> Seq("grams", "minhash_bands"),
+    "ivf_assign" -> Seq("emb_norms"),
+    "brute_knn" -> Seq("emb_norms"),
+    "emb_pairs" -> Seq("emb_dup_norms"),
+    "emb_corpus_cells" -> Seq("emb_dup_norms"),
+    "reffile_accuracy" -> Seq("reffile_chain"))
 
-  /** Runs one wave's steps concurrently; returns (step, seconds) — a
-    * failed step reports its elapsed time and swallows the error (warm
-    * is best-effort; the consuming query will surface a real failure).
+  /** Runs [[warmSteps]] as the [[warmDeps]] DAG; returns (step, seconds)
+    * where seconds is the step's own elapsed time (excluding the wait on
+    * its dependencies). A failed step reports its elapsed time and
+    * swallows the error (warm is best-effort; the consuming query will
+    * surface a real failure); its dependents still run.
     */
-  def runWave(wave: Seq[(String, (SparkSession, String) => Unit)],
-      spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+  def runWarm(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val pool = Executors.newFixedThreadPool(math.max(wave.size, 1))
+    val steps = warmSteps
+    val pool = Executors.newFixedThreadPool(math.max(steps.size, 1))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-    val futures = wave.map { case (step, f) =>
-      step -> Future {
-        val t0 = System.nanoTime()
-        try f(spark, sfDir) catch { case _: Throwable => }
-        (System.nanoTime() - t0) / 1e9
-      }
+    val done = scala.collection.mutable.Map.empty[String, Future[Double]]
+    def futureOf(name: String): Future[Double] = done.synchronized {
+      done.getOrElseUpdate(name, {
+        val f = steps.find(_._1 == name)
+          .map(_._2).getOrElse((_: SparkSession, _: String) => ())
+        Future.sequence(warmDeps.getOrElse(name, Nil).map(futureOf)).map { _ =>
+          val t0 = System.nanoTime()
+          try f(spark, sfDir) catch { case _: Throwable => }
+          (System.nanoTime() - t0) / 1e9
+        }
+      })
     }
-    val out = futures.map { case (step, fut) =>
-      (step, Await.result(fut, Duration.Inf))
+    val out = steps.map { case (name, _) =>
+      (name, Await.result(futureOf(name), Duration.Inf))
     }
     pool.shutdown()
     out
