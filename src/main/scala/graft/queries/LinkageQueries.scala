@@ -202,8 +202,10 @@ object LinkageQueries {
 
   /** ZIP3 Adjacency Search (reference 03 cell 98; two passes per Layne/
     * Wagner/Rothhaas App. A): the geosearch street-soundex passes re-run
-    * with the zip3 cut widened to the adjacency neighborhood (the census
-    * side explodes via [[graft.linkage.LinkageCascade.zip3Adjacent]]).
+    * with the zip3 cut widened to the adjacency neighborhood (the small
+    * cascade-remainder side explodes via
+    * [[graft.linkage.LinkageCascade.zip3Adjacent]]; the reference file
+    * keeps its natural size).
     */
   val zip3AdjPasses: Seq[BlockingPass] = Seq(
     BlockingPass("z1_street_sdx_zip3adj", Seq("street_num_blk", "sdx_street_blk"),

@@ -135,9 +135,13 @@ object ScaleBench {
     val embFactor: Int = embCapFactor(
       spark.read.parquet(s"$baseDir/embeddings.parquet").count())
 
+    // Prefix match stops at the id's underscore: a bare startsWith let
+    // "q13" claim q130_mafmatch into the chain family.
+    def matches(name: String, ids: Seq[String]): Boolean =
+      ids.exists(id => name.startsWith(id + "_"))
     val names = (chainQueries ++ dedupQueries)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => names.exists(name.startsWith) }
+      .filter { case (name, _) => matches(name, names) }
 
     def timeAll(dir: String): Map[String, Double] = {
       val w0 = System.nanoTime()
@@ -160,7 +164,7 @@ object ScaleBench {
     // exponents divide by log(embFactor) so a 50×-capped table inside a
     // 100× run is not misread as sublinear.
     def factorFor(q: String): Int =
-      if (embDedupQueries.exists(q.startsWith)) embFactor else factor
+      if (matches(q, embDedupQueries)) embFactor else factor
     println(f"%n== scaling at ${factor}x (emb family at ${embFactor}x; " +
       "exponent = log(tN/t1)/log(realized factor)) ==")
     println(f"${"query"}%-28s ${"t_1x"}%8s ${"t_Nx"}%8s ${"exp"}%6s")
@@ -170,7 +174,7 @@ object ScaleBench {
       println(f"$q%-28s $a%8.2f $b%8.2f $exp%6.2f")
     }
     def sum(m: Map[String, Double], qs: Seq[String]) =
-      m.collect { case (k, v) if qs.exists(k.startsWith) => v }.sum
+      m.collect { case (k, v) if matches(k, qs) => v }.sum
     val chains = Seq(
       ("prep+linkage chain", chainQueries, factor),
       ("doc dedup family", docDedupQueries, factor),
