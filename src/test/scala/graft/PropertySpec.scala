@@ -55,6 +55,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("fast decimal dot is bit-identical to the BigDecimal reference") {
+    // Wide random magnitudes: small products land > 18 fractional digits in
+    // the shortest repr, exercising the HALF_UP integer-division path; large
+    // ones exercise the 128-bit multiply; mixes exercise signed carries.
+    (1 to 2000).foreach { _ =>
+      val n = 1 + rnd.nextInt(33)
+      val sa = math.pow(10.0, rnd.nextInt(14) - 9).toFloat // 1e-9 .. 1e4
+      val sb = math.pow(10.0, rnd.nextInt(14) - 9).toFloat
+      val a = Array.fill(n)((rnd.nextFloat() * 2f - 1f) * sa)
+      val b = Array.fill(n)((rnd.nextFloat() * 2f - 1f) * sb)
+      val fast = VectorDotImpl.dotDecimal(ArrayData.toArrayData(a), ArrayData.toArrayData(b))
+      val ref = VectorDotImpl.dotDecimalRef(ArrayData.toArrayData(a), ArrayData.toArrayData(b))
+      assert(fast == ref, s"fast=$fast ref=$ref a=${a.mkString(",")} b=${b.mkString(",")}")
+    }
+    val directed: Seq[(Array[Float], Array[Float])] = Seq(
+      (Array(0f, -0f, 1f), Array(5f, 3f, 0f)),                    // signed zeros
+      (Array(Float.MinPositiveValue, 1e-30f), Array(Float.MinPositiveValue, 1e-30f)), // rounds to 0E-18
+      (Array(1e18f, -1e18f, 2f), Array(1e18f, 1e18f, 0.5f)),      // m > 18 fallback
+      (Array(1.5f), Array(1e-19f)),                                // boundary division
+      (Array(1f, 2f, 3f), Array(1f, 2f)),                          // mismatched lengths
+      (Array.empty[Float], Array.empty[Float]))
+    directed.foreach { case (a, b) =>
+      val fast = VectorDotImpl.dotDecimal(ArrayData.toArrayData(a), ArrayData.toArrayData(b))
+      val ref = VectorDotImpl.dotDecimalRef(ArrayData.toArrayData(a), ArrayData.toArrayData(b))
+      assert(fast == ref, s"directed: fast=$fast ref=$ref on ${a.mkString(",")} · ${b.mkString(",")}")
+    }
+  }
+
   test("decimal dot is order-independent under reversal") {
     (1 to 500).foreach { _ =>
       val a = randVec(); val b = randVec()
