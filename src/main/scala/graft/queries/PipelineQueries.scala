@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.operators.{Multimodal, TextOps, VectorOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -516,7 +516,9 @@ object PipelineQueries {
   /** Normalized embeddings, cached per (session, dir): q44, q68 and both
     * branches of q89 all start from this frame — one scan + one decimal
     * norm pass instead of four. Latest-key-only eviction like the gram
-    * memo.
+    * memo. Carries `label` so the filtered-search query (q132) can key
+    * its candidate join on it; every other consumer selects its columns
+    * explicitly and ignores it.
     */
   private val normFrames =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
@@ -527,7 +529,7 @@ object PipelineQueries {
         normFrames.values.foreach(_.unpersist())
         normFrames.clear()
         val df = sparkNorm(fanOut(Tables.embeddings(s, d)
-          .select("vec_id", "embedding"))).cache()
+          .select("vec_id", "embedding", "label"))).cache()
         normFrames.put((s, d), df)
         df
       })
@@ -668,10 +670,11 @@ object PipelineQueries {
       .select(col("qid"), col("vec_id"), col("rnk"), round(col("cos"), 6).as("cos"))
   }
 
-  /** SQL tail for ivfTop5 (CTE names cents/csims/assign/ipairs/approx;
-    * expects `nrms` in scope). Shared by q68 and q89.
+  /** SQL CTEs for the IVF assignment (cents/csims/assign; expects `nrms`
+    * in scope) — the shared prefix of every query that searches the q68
+    * probe index (q68, q89, q131).
     */
-  private def ivfTailCtes: String =
+  private def ivfAssignCtes: String =
     s"""${centsCteSql("nrms")},
        |csims AS (
        |  SELECT n.vec_id, c.cid, MAX(n.nrm) AS nrm, MAX(c.cn) AS cn,
@@ -682,7 +685,13 @@ object PipelineQueries {
        |  SELECT vec_id, cid,
        |         ROW_NUMBER() OVER (PARTITION BY vec_id
        |             ORDER BY cdot / (nrm * cn) DESC, cid ASC) AS arnk
-       |  FROM csims),
+       |  FROM csims)""".stripMargin
+
+  /** SQL tail for ivfTop5 (CTE names cents/csims/assign/ipairs/approx;
+    * expects `nrms` in scope). Shared by q68 and q89.
+    */
+  private def ivfTailCtes: String =
+    s"""$ivfAssignCtes,
        |ipairs AS (
        |  SELECT v.vec_id, p.vec_id AS qid, MAX(v.nrm) AS vn, MAX(q.nrm) AS qn,
        |         ${VectorOps.dotDecimalSql("v.embedding", "q.embedding")} AS dot
@@ -702,6 +711,112 @@ object PipelineQueries {
        |               ORDER BY dot / (vn * qn) DESC, vec_id ASC) AS rnk
        |    FROM ipairs) r
        |  WHERE rnk <= 5)""".stripMargin
+
+  // ---- int8 scalar quantization (q131) -----------------------------------
+
+  /** Int8 scalar quantization of an embedding against its own L2 norm:
+    * component i ↦ ⌊127·xᵢ/‖x‖ + 0.5⌋. Unit-normalizing first bounds the
+    * code by ±127 and the integer candidate dot by Dim·127² ≪ 2⁶³. Every
+    * step (float→double cast, ·127, /‖x‖, +0.5, floor) is exactly-rounded
+    * IEEE arithmetic on identical inputs, so Spark and DuckDB mint
+    * bit-identical codes — no decimal machinery on the candidate path.
+    * This is the FAISS-style SQ8 shape: the candidate stage of a float32
+    * embedding corpus scans 4× fewer bytes and does integer MACs; full
+    * precision is paid only for the rerank shortlist.
+    */
+  private def int8Quant(emb: Column, nrm: Column): Column =
+    transform(emb, x =>
+      floor(x.cast("double") * lit(127.0) / nrm + lit(0.5)).cast("long"))
+
+  /** Exact integer dot of two quantized vectors — a codegen'd array fold;
+    * no shuffle, no decimal.
+    */
+  private def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  // ---- DSIR importance selection (q133) ----------------------------------
+
+  /** Hashed-feature space size for [[dsirSelect]] — fixed, so the model
+    * tables are O(DsirBuckets) and broadcast regardless of corpus size.
+    */
+  private[graft] val DsirBuckets = 1024L
+
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): fit two hashed
+    * bag-of-words unigram models — one on the TARGET slice, one on the raw
+    * pool — and keep the raw documents whose importance weight
+    * log p_target(doc) − log p_raw(doc) lands in the top ≈ keepNum/keepDen
+    * of the pool.
+    *
+    * Selection is THRESHOLDED on the integer-floor histogram of the
+    * weights, not ranked: a global top-k needs a full sort of the pool,
+    * while the histogram is one tiny aggregate (O(weight range) rows) and
+    * the selection a broadcast-threshold filter — the 100 TB shape. The
+    * crossing bucket is kept whole, so the realized fraction can slightly
+    * exceed the ask, deterministically in both engines.
+    *
+    * Cross-engine exactness: the two per-bucket log-probabilities truncate
+    * to DECIMAL(28,12) BEFORE the per-doc sum (the q66 idiom — libm vs JVM
+    * ln differ in the last ulp, invisible at 12 dp; the decimal sum is
+    * then order-independent), and the thresholds are integer floors of
+    * exact decimals. Shapes: one conditional-sum aggregate builds both
+    * models in one pass, the O(buckets) model broadcasts into the token
+    * scoring join, and the per-doc re-aggregate gets map-side partials.
+    */
+  def dsirSelect(docs: DataFrame, isTarget: Column,
+      keepNum: Int, keepDen: Int): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("source"), col("lang"),
+        isTarget.as("is_target"),
+        explode(TextOps.words(col("text"))).as("word"))
+      .withColumn("bucket", pmod(TextOps.md5Mod(col("word")), lit(DsirBuckets)))
+      .drop("word")
+    // Both unigram models in ONE aggregate pass (conditional sums); the
+    // totals are a window over the O(buckets) agg output, never the
+    // corpus. The partition key is constant-valued but NOT foldable (the
+    // q59/q66 idiom — EliminateWindowPartitions strips foldable keys and
+    // an empty spec trips WindowExec's single-partition warning).
+    val w0 = Window.partitionBy(col("ct") * lit(0L))
+    val model = toks.groupBy("bucket")
+      .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("is_target"), 0L).otherwise(1L)).as("cr"))
+      .withColumn("tt", sum("ct").over(w0))
+      .withColumn("tr", sum("cr").over(w0))
+      .select(col("bucket"),
+        (log((col("ct") + 1).cast("double") /
+            (col("tt") + DsirBuckets).cast("double")).cast("decimal(28,12)") -
+          log((col("cr") + 1).cast("double") /
+            (col("tr") + DsirBuckets).cast("double")).cast("decimal(28,12)"))
+          .as("term"))
+      // O(buckets) rows whose lineage scans the corpus; both the broadcast
+      // scoring join and nothing else consume it, but Spark would still
+      // recompute the subtree under the broadcast — materialize.
+      .localCheckpoint()
+    val scored = toks.filter(!col("is_target"))
+      .join(broadcast(model), Seq("bucket"))
+      .groupBy("doc_id", "source", "lang")
+      .agg(count(lit(1)).as("n_tokens"), sum("term").as("logw"))
+    // Keyed on fb (nullable sum-derived), not cnt: count(*) is
+    // non-nullable, so cnt*0 folds to a literal and the key is stripped.
+    val wDesc = Window.partitionBy(col("fb") * lit(0L)).orderBy(col("fb").desc)
+    val nPool = scored.agg(count(lit(1)).as("n"))
+    // thr = the highest floor-bucket whose from-the-top cumulative count
+    // reaches k = ceil(n·keepNum/keepDen); the filter keeps that bucket
+    // whole. (n·keepNum + keepDen−1 ≪ 2^53, so the double floor-div is
+    // exact in both engines.)
+    val thr = scored.select(floor(col("logw")).cast("long").as("fb"))
+      .groupBy("fb").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wDesc))
+      .crossJoin(broadcast(nPool))
+      .filter(col("cum") >=
+        floor((col("n") * keepNum + (keepDen - 1)) / lit(keepDen.toDouble))
+          .cast("long"))
+      .agg(max("fb").as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .filter(floor(col("logw")).cast("long") >= col("thr"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+        round(col("logw").cast("double"), 6).as("logw"))
+  }
 
   /** Verified near-dup pairs (doc_a, doc_b, jaccard >= 0.5) — q43's body,
     * shared with q52's clustering. Length-banded candidate join: the
@@ -2560,6 +2675,208 @@ object PipelineQueries {
               |  GROUP BY c.vec_id, b.bench_id)
               |SELECT vec_id, bench_id, round(dot / (nrm * bn), 6) AS cos
               |FROM scored WHERE dot / (nrm * bn) >= 0.95""".stripMargin)
+    ),
+    QueryDef(
+      // Int8 scalar-quantized ANN with full-precision rerank (the FAISS
+      // SQ8 shape): candidates come from the SAME probe-2 IVF index as
+      // q68, but the candidate stage ranks by the exact INTEGER dot of
+      // int8Quant codes — 1 byte/component instead of 4, integer MACs
+      // instead of decimal — and only the top-8 shortlist per query pays
+      // the full-precision decimal rerank that orders the final top-5.
+      // At 100 TB the candidate stage is memory-bandwidth-bound, so the
+      // 4× byte shrink is the win; the shortlist rerank re-joins
+      // embeddings BY ID (slim ranking rows, the q51 discipline). icos
+      // (the quantized estimate) rides along so the quantization error
+      // is observable — the spec bounds |icos − cos|.
+      "q131_int8_rerank",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val assign = ivfAssign(s, d)
+        val data = assign.filter(col("arnk") === 1)
+          .select(col("vec_id"), col("cid"),
+            int8Quant(col("embedding"), col("nrm")).as("qv"))
+        val qprobe = assign
+          .filter(col("vec_id").isin(KnnQueryIds: _*) && col("arnk") <= 2)
+          .select(col("vec_id").as("qid"), col("cid"),
+            int8Quant(col("embedding"), col("nrm")).as("qq"))
+        val byIdot = Window.partitionBy("qid")
+          .orderBy(col("idot").desc, col("vec_id").asc)
+        val short = data.join(qprobe, Seq("cid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), intDot(col("qv"), col("qq")).as("idot"))
+          .withColumn("srnk", row_number().over(byIdot))
+          .filter(col("srnk") <= 8)
+          .drop("srnk")
+        val e = embNorms(s, d)
+        val qemb = e.filter(col("vec_id").isin(KnnQueryIds: _*))
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("nrm").as("qn"))
+        val byCos = Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        short.join(e.select("vec_id", "embedding", "nrm"), Seq("vec_id"))
+          .join(broadcast(qemb), Seq("qid"))
+          .withColumn("cos",
+            VectorOps.dotDecimal(col("embedding"), col("qe")) /
+              (col("nrm") * col("qn")))
+          .withColumn("rnk", row_number().over(byCos))
+          .filter(col("rnk") <= 5)
+          .select(col("qid"), col("vec_id"), col("rnk"),
+            round(col("cos"), 6).as("cos"),
+            round(col("idot").cast("double") / lit(16129.0), 6).as("icos"))
+      },
+      Some(s"""WITH ${normsCte("nrms", "embeddings")},
+              |$ivfAssignCtes,
+              |quant AS (
+              |  SELECT vec_id,
+              |         [CAST(floor(embedding[i] * 127.0 / nrm + 0.5) AS BIGINT)
+              |          FOR i IN range(1, ${VectorOps.Dim + 1})] AS qv
+              |  FROM nrms),
+              |sdots AS (
+              |  SELECT d.vec_id, p.vec_id AS qid,
+              |         CAST(SUM(x.qv[i] * y.qv[i]) AS BIGINT) AS idot
+              |  FROM assign d
+              |  JOIN quant x ON x.vec_id = d.vec_id
+              |  JOIN assign p ON p.cid = d.cid AND p.arnk <= 2
+              |       AND p.vec_id IN (${KnnQueryIds.mkString(", ")})
+              |       AND p.vec_id <> d.vec_id
+              |  JOIN quant y ON y.vec_id = p.vec_id,
+              |       range(1, ${VectorOps.Dim + 1}) t(i)
+              |  WHERE d.arnk = 1
+              |  GROUP BY d.vec_id, p.vec_id),
+              |short AS (
+              |  SELECT qid, vec_id, idot,
+              |         ROW_NUMBER() OVER (PARTITION BY qid
+              |             ORDER BY idot DESC, vec_id ASC) AS srnk
+              |  FROM sdots),
+              |rer AS (
+              |  SELECT s.qid, s.vec_id, MAX(s.idot) AS idot,
+              |         MAX(v.nrm) AS vn, MAX(q.nrm) AS qn,
+              |         ${VectorOps.dotDecimalSql("v.embedding", "q.embedding")} AS dot
+              |  FROM short s
+              |  JOIN nrms v ON v.vec_id = s.vec_id
+              |  JOIN nrms q ON q.vec_id = s.qid,
+              |       range(1, ${VectorOps.Dim + 1}) t(i)
+              |  WHERE s.srnk <= 8
+              |  GROUP BY s.qid, s.vec_id)
+              |SELECT qid, vec_id, rnk, round(cos, 6) AS cos,
+              |       round(CAST(idot AS DOUBLE) / 16129.0, 6) AS icos
+              |FROM (SELECT qid, vec_id, idot, dot / (vn * qn) AS cos,
+              |             ROW_NUMBER() OVER (PARTITION BY qid
+              |                 ORDER BY dot / (vn * qn) DESC, vec_id ASC) AS rnk
+              |      FROM rer) r
+              |WHERE rnk <= 5""".stripMargin)
+    ),
+    QueryDef(
+      // Filtered vector search: ANN where a metadata predicate (here:
+      // the neighbor must carry the query's label) composes INTO the
+      // candidate join key — candidates equi-join on (cell, label), not
+      // on cell with a post-filter, so a selective predicate SHRINKS the
+      // join instead of wasting scored candidates. This is the
+      // filtered-kNN problem every vector store names (pre- vs
+      // post-filtering); the pre-filter shape is the one that survives
+      // 100 TB, where a post-filter after top-k can return < k rows and
+      // a post-filter before top-k scores candidates the predicate
+      // already excluded.
+      "q132_filtered_ann",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val assign = ivfAssign(s, d)
+        val data = assign.filter(col("arnk") === 1)
+          .select(col("vec_id"), col("cid"), col("label"),
+            col("embedding"), col("nrm"))
+        val qprobe = assign
+          .filter(col("vec_id").isin(KnnQueryIds: _*) && col("arnk") <= 2)
+          .select(col("vec_id").as("qid"), col("cid"), col("label"),
+            col("embedding").as("qe"), col("nrm").as("qn"))
+        val byQ = Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        data.join(qprobe, Seq("cid", "label"))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("cos",
+            VectorOps.dotDecimal(col("embedding"), col("qe")) /
+              (col("nrm") * col("qn")))
+          .withColumn("rnk", row_number().over(byQ))
+          .filter(col("rnk") <= 5)
+          .select(col("qid"), col("label"), col("vec_id"), col("rnk"),
+            round(col("cos"), 6).as("cos"))
+      },
+      // The oracle post-filters on label equality after the cell join —
+      // result-identical to the Spark side's (cell, label) join key
+      // (both demand same cell AND same label); only the join ORDER is a
+      // Spark-side scale choice the oracle need not mirror.
+      Some(s"""WITH ${normsCte("nrms", "embeddings", ", label")},
+              |$ivfAssignCtes,
+              |fpairs AS (
+              |  SELECT v.vec_id, MAX(v.label) AS label, p.vec_id AS qid,
+              |         MAX(v.nrm) AS vn, MAX(q.nrm) AS qn,
+              |         ${VectorOps.dotDecimalSql("v.embedding", "q.embedding")} AS dot
+              |  FROM assign d
+              |  JOIN nrms v ON v.vec_id = d.vec_id
+              |  JOIN assign p ON p.cid = d.cid AND p.arnk <= 2
+              |       AND p.vec_id IN (${KnnQueryIds.mkString(", ")})
+              |       AND p.vec_id <> d.vec_id
+              |  JOIN nrms q ON q.vec_id = p.vec_id AND q.label = v.label,
+              |       range(1, ${VectorOps.Dim + 1}) t(i)
+              |  WHERE d.arnk = 1
+              |  GROUP BY v.vec_id, p.vec_id)
+              |SELECT qid, label, vec_id, rnk, round(cos, 6) AS cos
+              |FROM (SELECT qid, label, vec_id, dot / (vn * qn) AS cos,
+              |             ROW_NUMBER() OVER (PARTITION BY qid
+              |                 ORDER BY dot / (vn * qn) DESC, vec_id ASC) AS rnk
+              |      FROM fpairs) r
+              |WHERE rnk <= 5""".stripMargin)
+    ),
+    QueryDef(
+      // DSIR importance selection over the documents corpus: target =
+      // the 'src1' slice (the stand-in for a curated high-quality
+      // domain), pool = everything else, keep the top ~10% of the pool
+      // by hashed-unigram importance weight. See [[dsirSelect]] for the
+      // scale shapes (O(buckets) broadcast models, histogram-thresholded
+      // selection instead of a global sort).
+      "q133_dsir_select",
+      (s, d) => dsirSelect(Tables.documents(s, d)
+        .select("doc_id", "text", "lang", "source"),
+        col("source") === "src1", 1, 10),
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, source, lang, (source = 'src1') AS is_target,
+              |         md5(unnest(string_split(text, ' '))) AS mh
+              |  FROM documents),
+              |tb AS (
+              |  SELECT doc_id, source, lang, is_target,
+              |         (${TextOps.md5ModSql("mh")}) % $DsirBuckets AS bucket
+              |  FROM toks),
+              |model AS (
+              |  SELECT bucket,
+              |         SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+              |         SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS cr
+              |  FROM tb GROUP BY bucket),
+              |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+              |               CAST(SUM(cr) AS BIGINT) AS tr FROM model),
+              |logm AS (
+              |  SELECT bucket,
+              |         CAST(ln(CAST(ct + 1 AS DOUBLE) /
+              |                 CAST(tt + $DsirBuckets AS DOUBLE)) AS DECIMAL(28,12))
+              |       - CAST(ln(CAST(cr + 1 AS DOUBLE) /
+              |                 CAST(tr + $DsirBuckets AS DOUBLE)) AS DECIMAL(28,12)) AS term
+              |  FROM model, tot),
+              |scored AS (
+              |  SELECT t.doc_id, t.source, t.lang,
+              |         COUNT(*) AS n_tokens, SUM(m.term) AS logw
+              |  FROM tb t JOIN logm m ON t.bucket = m.bucket
+              |  WHERE NOT t.is_target
+              |  GROUP BY t.doc_id, t.source, t.lang),
+              |hist AS (SELECT CAST(floor(logw) AS BIGINT) AS fb, COUNT(*) AS cnt
+              |         FROM scored GROUP BY 1),
+              |nn AS (SELECT COUNT(*) AS n FROM scored),
+              |thr AS (
+              |  SELECT MAX(fb) AS thr
+              |  FROM (SELECT fb, SUM(cnt) OVER (ORDER BY fb DESC) AS cum
+              |        FROM hist) h, nn
+              |  WHERE cum >= CAST(floor((n * 1 + 9) / 10.0) AS BIGINT))
+              |SELECT s.doc_id, s.source, s.lang, s.n_tokens,
+              |       round(CAST(s.logw AS DOUBLE), 6) AS logw
+              |FROM scored s, thr
+              |WHERE CAST(floor(s.logw) AS BIGINT) >= thr.thr""".stripMargin)
     )
   )
 }

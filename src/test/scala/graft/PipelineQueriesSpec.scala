@@ -564,4 +564,84 @@ class PipelineQueriesSpec extends SparkTestBase {
       assert(bySplit.values.sum == n, s"$stratum: splits do not partition the stratum")
     }
   }
+
+  test("q131 int8 rerank: exact final cos, bounded quantization error") {
+    val rows = byName("q131_int8_rerank").query(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.length <= 5, s"query $q returned ${rs.length} > 5")
+      val byRank = rs.sortBy(_._3).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"query $q not sorted by the reranked cos")
+    }
+    // The rerank is full precision: any (q, v) pair q131 shares with the
+    // brute-force top-5 must carry the identical cos (quantization prunes
+    // CANDIDATES, it must not change final SCORES).
+    val brute = byName("q44_cosine_knn").query(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    rows.foreach { case (q, v, _, cos, icos) =>
+      brute.get((q, v)).foreach(bcos =>
+        assert(math.abs(cos - bcos) < 1e-9, s"($q,$v): rerank cos $cos != brute $bcos"))
+      // SQ8 error bound for unit vectors: |icos - cos| <=
+      // 2*0.5*sqrt(Dim)/127 + Dim*0.25/127^2 ~= 0.064 at Dim=64.
+      assert(math.abs(icos - cos) < 0.07,
+        s"($q,$v): quantized estimate $icos off from exact $cos by > SQ8 bound")
+    }
+  }
+
+  test("q132 filtered ANN: label constraint holds; same-label q68 hits are kept") {
+    val rows = byName("q132_filtered_ann").query(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val labelOf = Tables.embeddings(spark, sfDir).select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { case (qid, label, v, _, _) =>
+      assert(labelOf(qid) == label && labelOf(v) == label,
+        s"($qid,$v): neighbor label ${labelOf(v)} breaks the filter ${labelOf(qid)}")
+    }
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.length <= 5, s"query $q returned ${rs.length} > 5")
+      val byRank = rs.sortBy(_._4).map(_._5)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"query $q not sorted by cos")
+    }
+    // The filtered candidate set is a subset of the unfiltered one over
+    // the same probe-2 cells, so any q68 top-5 neighbor that already
+    // satisfies the label predicate can only move UP in rank — it must
+    // appear in q132 with the identical cos.
+    val got = rows.map(r => ((r._1, r._3), r._5)).toMap
+    byName("q68_ann_ivf").query(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .filter { case (q, v, _) => labelOf(q) == labelOf(v) }
+      .foreach { case (q, v, cos) =>
+        assert(got.get((q, v)).contains(cos),
+          s"($q,$v): same-label unfiltered hit missing or rescored in q132")
+      }
+  }
+
+  test("q133 DSIR selection equals the locally recomputed histogram threshold") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source")
+    val sel = byName("q133_dsir_select").query(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    // keepNum = keepDen keeps the whole pool: the same scoring path with
+    // the selection disabled, i.e. the full scored pool to recompute from.
+    val pool = PipelineQueries.dsirSelect(docs, col("source") === "src1", 1, 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(sel.nonEmpty && pool.size > sel.size, "selection did not subset the pool")
+    val k = math.ceil(pool.size / 10.0).toLong
+    val thr = pool.values.map(w => math.floor(w).toLong).toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy(-_._1).scanLeft((Long.MaxValue, 0L)) { case ((_, c), (fb, n)) => (fb, c + n) }
+      .collectFirst { case (fb, cum) if cum >= k => fb }.get
+    val expected = pool.filter { case (_, w) => math.floor(w).toLong >= thr }
+    assert(sel.keySet == expected.keySet,
+      s"selected set != histogram-threshold set (thr=$thr, k=$k)")
+    sel.foreach { case (id, w) =>
+      assert(w == expected(id), s"doc $id: selected logw $w != pool logw ${expected(id)}")
+    }
+  }
 }

@@ -60,7 +60,10 @@ class PlanSpec extends SparkTestBase {
       "q39_pik_rate", "q53_tfidf", "q66_unigram_logprob", "q68_ann_ivf",
       "q89_ann_recall", "q110_kmeans_step", "q51_embedding_dedup",
       "q120_accuracy_definitions", "q123_incremental_embedding_dedup",
-      "q124_semdedup_keep", "q127_semantic_decontaminate")
+      "q124_semdedup_keep", "q127_semantic_decontaminate",
+      // q131/q132 ride the ivfAssign broadcast-centroid scorer; q133
+      // attaches two 1-row aggregate frames (pool count, threshold).
+      "q131_int8_rerank", "q132_filtered_ann", "q133_dsir_select")
     SparkEntry.queries.keys.filterNot(intendedCross).foreach { name =>
       val p = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")

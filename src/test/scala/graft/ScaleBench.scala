@@ -27,7 +27,7 @@ object ScaleBench {
 
   /** Document-table dedup family — replicates at the full factor. */
   private val docDedupQueries: Seq[String] = Seq(
-    "q40", "q41", "q42", "q43", "q52", "q56", "q104")
+    "q40", "q41", "q42", "q43", "q52", "q56", "q104", "q133")
 
   /** Embedding-table family — replication caps at the corpus/delta id
     * boundary (base ids must stay under the +100000 variant offset the
@@ -36,7 +36,7 @@ object ScaleBench {
     * factor, not the requested one.
     */
   private val embDedupQueries: Seq[String] = Seq(
-    "q44", "q45", "q51", "q68", "q123", "q124", "q127")
+    "q44", "q45", "q51", "q68", "q123", "q124", "q127", "q131", "q132")
 
   private val dedupQueries: Seq[String] = docDedupQueries ++ embDedupQueries
 
