@@ -765,19 +765,33 @@ object PipelineQueries {
     */
   def dsirSelect(docs: DataFrame, isTarget: Column,
       keepNum: Int, keepDen: Int): DataFrame = {
-    val toks = docs
+    val toks = dsirTokens(docs, isTarget)
+    val scored = dsirScore(toks.filter(!col("is_target")), dsirModel(toks))
+    dsirKeep(scored, dsirThreshold(scored, keepNum, keepDen))
+  }
+
+  /** Hash-bucketed tokens (doc_id, source, lang, is_target, bucket) —
+    * the shared tokenize step of [[dsirSelect]] and the streaming scorer.
+    */
+  private[graft] def dsirTokens(docs: DataFrame, isTarget: Column): DataFrame =
+    docs
       .select(col("doc_id"), col("source"), col("lang"),
         isTarget.as("is_target"),
         explode(TextOps.words(col("text"))).as("word"))
       .withColumn("bucket", pmod(TextOps.md5Mod(col("word")), lit(DsirBuckets)))
       .drop("word")
-    // Both unigram models in ONE aggregate pass (conditional sums); the
-    // totals are a window over the O(buckets) agg output, never the
-    // corpus. The partition key is constant-valued but NOT foldable (the
-    // q59/q66 idiom — EliminateWindowPartitions strips foldable keys and
-    // an empty spec trips WindowExec's single-partition warning).
+
+  /** The fitted (bucket, term) importance model, term = log p_target −
+    * log p_raw at DECIMAL(28,12). Both unigram models in ONE aggregate
+    * pass (conditional sums); the totals are a window over the
+    * O(buckets) agg output, never the corpus. The partition key is
+    * constant-valued but NOT foldable (the q59/q66 idiom —
+    * EliminateWindowPartitions strips foldable keys and an empty spec
+    * trips WindowExec's single-partition warning).
+    */
+  private[graft] def dsirModel(toks: DataFrame): DataFrame = {
     val w0 = Window.partitionBy(col("ct") * lit(0L))
-    val model = toks.groupBy("bucket")
+    toks.groupBy("bucket")
       .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
         sum(when(col("is_target"), 0L).otherwise(1L)).as("cr"))
       .withColumn("tt", sum("ct").over(w0))
@@ -788,23 +802,34 @@ object PipelineQueries {
           log((col("cr") + 1).cast("double") /
             (col("tr") + DsirBuckets).cast("double")).cast("decimal(28,12)"))
           .as("term"))
-      // O(buckets) rows whose lineage scans the corpus; both the broadcast
-      // scoring join and nothing else consume it, but Spark would still
-      // recompute the subtree under the broadcast — materialize.
+      // O(buckets) rows whose lineage scans the corpus; only the broadcast
+      // scoring join consumes it, but Spark would still recompute the
+      // subtree under the broadcast — materialize.
       .localCheckpoint()
-    val scored = toks.filter(!col("is_target"))
-      .join(broadcast(model), Seq("bucket"))
+  }
+
+  /** Per-doc importance weights (doc_id, source, lang, n_tokens, logw):
+    * the O(buckets) model broadcasts into the token scoring join and the
+    * per-doc re-aggregate gets map-side partials.
+    */
+  private[graft] def dsirScore(toks: DataFrame, model: DataFrame): DataFrame =
+    toks.join(broadcast(model), Seq("bucket"))
       .groupBy("doc_id", "source", "lang")
       .agg(count(lit(1)).as("n_tokens"), sum("term").as("logw"))
-    // Keyed on fb (nullable sum-derived), not cnt: count(*) is
-    // non-nullable, so cnt*0 folds to a literal and the key is stripped.
+
+  /** The fitted keep threshold (1-row frame): the highest floor-bucket
+    * whose from-the-top cumulative count reaches k =
+    * ceil(n·keepNum/keepDen); keeping the crossing bucket whole. (n·
+    * keepNum + keepDen−1 ≪ 2^53, so the double floor-div is exact in
+    * both engines.) Keyed on fb (nullable sum-derived), not cnt:
+    * count(*) is non-nullable, so cnt*0 folds to a literal and the key
+    * is stripped.
+    */
+  private[graft] def dsirThreshold(scored: DataFrame,
+      keepNum: Int, keepDen: Int): DataFrame = {
     val wDesc = Window.partitionBy(col("fb") * lit(0L)).orderBy(col("fb").desc)
     val nPool = scored.agg(count(lit(1)).as("n"))
-    // thr = the highest floor-bucket whose from-the-top cumulative count
-    // reaches k = ceil(n·keepNum/keepDen); the filter keeps that bucket
-    // whole. (n·keepNum + keepDen−1 ≪ 2^53, so the double floor-div is
-    // exact in both engines.)
-    val thr = scored.select(floor(col("logw")).cast("long").as("fb"))
+    scored.select(floor(col("logw")).cast("long").as("fb"))
       .groupBy("fb").agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum("cnt").over(wDesc))
       .crossJoin(broadcast(nPool))
@@ -812,11 +837,17 @@ object PipelineQueries {
         floor((col("n") * keepNum + (keepDen - 1)) / lit(keepDen.toDouble))
           .cast("long"))
       .agg(max("fb").as("thr"))
+  }
+
+  /** Threshold filter + output projection, shared by [[dsirSelect]] and
+    * the streaming scorer (so batch and stream keep decisions cannot
+    * drift).
+    */
+  private[graft] def dsirKeep(scored: DataFrame, thr: DataFrame): DataFrame =
     scored.crossJoin(broadcast(thr))
       .filter(floor(col("logw")).cast("long") >= col("thr"))
       .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
         round(col("logw").cast("double"), 6).as("logw"))
-  }
 
   /** Verified near-dup pairs (doc_a, doc_b, jaccard >= 0.5) — q43's body,
     * shared with q52's clustering. Length-banded candidate join: the

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.queries.PipelineQueries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming DSIR importance selection — the deployment shape of q133:
+  * the hashed-unigram importance model and the keep threshold are FITTED
+  * once on the reference corpus (target slice vs raw pool), then each
+  * arriving micro-batch of documents is scored against the broadcast
+  * model and kept or dropped by the fitted threshold — the
+  * stream-filter-the-crawl loop of Xie et al. 2023's importance
+  * resampling, where refitting per batch would both cost a corpus pass
+  * and drift the selection boundary batch-to-batch.
+  *
+  * Reuses the batch machinery verbatim ([[PipelineQueries.dsirTokens]] /
+  * `dsirScore` / `dsirKeep` — same md5 bucketing, same decimal term
+  * truncation, same floor-threshold rule), so streaming and batch keep
+  * decisions cannot drift (StreamingSpec asserts equality against the
+  * batch q133 selection when the pool is replayed as micro-batches).
+  *
+  * State shape: NONE. A document arrives whole in one micro-batch and
+  * its weight depends only on its own tokens plus the fitted O(1024)-row
+  * broadcast model — no streaming aggregation, no watermark, no state
+  * store. At scale the model/threshold pair is a few KB republished to
+  * executors per fit, and each micro-batch pays one map-side token
+  * explode + a broadcast join.
+  */
+object StreamingSelect {
+
+  /** Fit the DSIR artifacts on the reference corpus: the (bucket, term)
+    * model over target + pool and the 1-row keep-threshold frame over
+    * the pool's weight histogram. Both are O(buckets)-bounded frames —
+    * materialize/broadcast once per fit.
+    */
+  def dsirFit(corpus: DataFrame, isTarget: org.apache.spark.sql.Column,
+      keepNum: Int, keepDen: Int): (DataFrame, DataFrame) = {
+    val toks = PipelineQueries.dsirTokens(corpus, isTarget)
+    val model = PipelineQueries.dsirModel(toks)
+    val scored = PipelineQueries.dsirScore(toks.filter(!col("is_target")), model)
+    (model, PipelineQueries.dsirThreshold(scored, keepNum, keepDen)
+      .localCheckpoint())
+  }
+
+  /** Score one arriving micro-batch of (doc_id, text, lang, source) rows
+    * against the fitted model and keep the rows at/above the fitted
+    * floor threshold. Call from a foreachBatch sink; per-batch keeps are
+    * globally correct because a doc's weight is batch-independent.
+    */
+  def keepBatch(model: DataFrame, thr: DataFrame,
+      arrivals: DataFrame): DataFrame = {
+    val toks = PipelineQueries.dsirTokens(arrivals, lit(false))
+    PipelineQueries.dsirKeep(PipelineQueries.dsirScore(toks, model), thr)
+  }
+}

@@ -148,4 +148,32 @@ class EdgeSpec extends SparkTestBase {
     assert(out(2L).isEmpty, "null string materialized")
     assert(out(3L).exists(_.length == 3), "length not preserved")
   }
+
+  test("DSIR with an empty target slice still selects ~keep-rate of the pool") {
+    // A fresh tenant has no curated target yet: ct = 0 in every bucket,
+    // so term = log(1/(B)) - log((cr+1)/(tr+B)) — the weights degenerate
+    // to (negated) pool frequency, but the threshold machinery must
+    // still keep ≈ the asked fraction without NaN or empty output.
+    import graft.queries.PipelineQueries
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source")
+    val n = docs.count()
+    val sel = PipelineQueries.dsirSelect(docs, lit(false), 1, 10).collect()
+    assert(sel.nonEmpty, "empty selection on an empty target slice")
+    // The floor-histogram rule keeps at least k = ceil(n/10) (crossing
+    // bucket kept whole), and a spread weight distribution keeps far
+    // fewer than everything.
+    assert(sel.length >= (n + 9) / 10 && sel.length < n,
+      s"selected ${sel.length} of $n — not a sane keep fraction")
+    sel.foreach(r => assert(!r.getDouble(4).isNaN, "NaN importance weight"))
+  }
+
+  test("DSIR streaming keep of an empty micro-batch is empty, no failure") {
+    import graft.streaming.StreamingSelect
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source")
+    val (model, thr) =
+      StreamingSelect.dsirFit(docs, col("source") === "src1", 1, 10)
+    assert(StreamingSelect.keepBatch(model, thr, docs.limit(0)).count() == 0L)
+  }
 }

@@ -12,6 +12,9 @@ import org.apache.spark.sql.functions._
 object HierProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("target/scaledata/x10")
+    // Optional second arg: comma-separated label substrings — run only
+    // the matching arms (a full sweep at 30× is ~20 min/arm-set).
+    val armFilter = args.lift(1).map(_.split(",").map(_.trim).toSeq)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -44,11 +47,14 @@ object HierProbe {
         (() => PipelineQueries.cellAssignments(e, fine, p))) ++
       Seq(2, 3, 4).map(cp => s"hier-cp$cp" ->
         (() => PipelineQueries.hierarchicalCellAssignments(e, fine, cp, 3))) ++
-      Seq((2, 3), (3, 3), (4, 3), (4, 5), (6, 5), (8, 6)).map { case (cp, fp) =>
-        s"trained-cp$cp-fp$fp" ->
-          (() => PipelineQueries.trainedCellAssignments(e, fine, cp, fp))
-      }
-    ).foreach { case (label, mk) =>
+      Seq((2, 3), (3, 3), (4, 3), (4, 5), (6, 5), (8, 6), (8, 7), (8, 8),
+          (4, 8), (6, 8))
+        .map { case (cp, fp) =>
+          s"trained-cp$cp-fp$fp" ->
+            (() => PipelineQueries.trainedCellAssignments(e, fine, cp, fp))
+        }
+    ).filter { case (label, _) => armFilter.forall(_.exists(label.contains)) }
+      .foreach { case (label, mk) =>
       val t0 = System.nanoTime()
       val cand = candPairs(mk()).cache()
       val n = cand.count()

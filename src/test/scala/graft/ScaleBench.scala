@@ -285,9 +285,22 @@ object ScaleBench {
         .filter(col("cos") >= 0.9 + 1e-6)
         .select("vec_a", "vec_b").cache()
       val nExact = exact.count()
+      // Trained-ladder probes from the realized counts: kc = ceil(√(3k))
+      // (trainedCoarseCentroids' own rule), coarse probes ≈ kc/5 (the
+      // binding recall knob — HierProbe 30×: cp4/6/8-fp8 miss 6/2/0),
+      // fine probes = the flat derived-probe rule. Auditing this arm
+      // every run makes the ladder's residual-loss distribution visible
+      // (kmeans means are float sums in shuffle order, so its recall
+      // jitters a few pairs run-to-run; flat stays the config of record).
+      val k = fine.count().toInt
+      val kc = math.ceil(math.sqrt(3.0 * k)).toInt
+      val cp = math.max(3, math.ceil(kc / 5.0).toInt)
+      val fp = math.max(3, math.ceil(3 * math.sqrt(k / 160.0)).toInt + 1)
       Seq(
         "flat" -> (() => PipelineQueries.cellAssignments(e, fine, 3)),
-        "hier" -> (() => PipelineQueries.hierarchicalCellAssignments(e, fine, 2, 3))
+        "hier" -> (() => PipelineQueries.hierarchicalCellAssignments(e, fine, 2, 3)),
+        s"trained-cp$cp-fp$fp" ->
+          (() => PipelineQueries.trainedCellAssignments(e, fine, cp, fp))
       ).foreach { case (label, mk) =>
         val t0 = System.nanoTime()
         val cand = candPairs(mk()).cache()

@@ -482,6 +482,56 @@ class StreamingSpec extends SparkTestBase {
     ()
   }
 
+  test("streaming DSIR keep decisions agree with the batch q133 selection") {
+    import graft.queries.PipelineQueries
+    import graft.streaming.StreamingSelect
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source")
+    // Fit once on the reference corpus — the same (target, pool,
+    // keep-rate) configuration the batch q133 uses.
+    val (model, thr) =
+      StreamingSelect.dsirFit(docs, col("source") === "src1", 1, 10)
+
+    val stream = MemoryStream[(Long, String, String, String)]
+    val arrivals = stream.toDF().toDF("doc_id", "text", "lang", "source")
+
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long, Double)]
+    val query = arrivals.writeStream.outputMode("append")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        out ++= StreamingSelect.keepBatch(model, thr, df)
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+            r.getLong(3), r.getDouble(4)))
+        ()
+      }.start()
+    try {
+      val pool = docs.filter(col("source") =!= "src1")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+        .sortBy(_._1)
+      val (first, second) = pool.splitAt(pool.length / 2)
+      stream.addData(first.toIndexedSeq)
+      query.processAllAvailable()
+      stream.addData(second.toIndexedSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val batch = PipelineQueries.defs.find(_.name == "q133_dsir_select").get
+      .query(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(batch.nonEmpty)
+    assert(out.toSet == batch,
+      s"streaming vs batch DSIR selection differ: " +
+        s"only-streaming=${(out.toSet -- batch).take(3)} " +
+        s"only-batch=${(batch -- out.toSet).take(3)}")
+    ()
+  }
+
   test("stream-stream attribution join agrees with the batch q103") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
