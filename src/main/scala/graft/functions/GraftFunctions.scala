@@ -24,6 +24,7 @@ object GraftFunctions {
     "nys_key" -> (es => NysKey(es.head)),
     "vec_dot_decimal" -> (es => VectorDotDecimal(es(0), es(1))),
     "vec_dot" -> (es => VectorDotDouble(es(0), es(1))),
+    "vec_dot_long" -> (es => VectorDotLong(es(0), es(1))),
     "topk_by_score" -> (es => {
       val k = es(2) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
@@ -90,6 +91,9 @@ object GraftFunctions {
 
   /** Plain-double float-vector dot product — the fast production path. */
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** Exact integer long-vector dot — the quantized-candidate kernel. */
+  def vecDotLong(a: Column, b: Column): Column = call_function("vec_dot_long", a, b)
 
   /** Top-k (score desc, id asc) aggregate → array<struct<score,id>>. */
   def topKByScore(score: Column, id: Column, k: Int): Column =

@@ -5,7 +5,7 @@ import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Decimal-exact dot product of two float vectors, replicating EXACTLY the
   * semantics of the declarative fold in operators.VectorOps:
@@ -28,6 +28,21 @@ object VectorDotImpl {
     var i = 0
     while (i < n) {
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  /** Integer dot of two long vectors — the quantized-candidate kernel
+    * (q131's SQ8 codes are bounded by ±127, so the sum is ≤ Dim·127²
+    * ≪ 2⁶³: plain long MACs, exact, no overflow handling needed).
+    */
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a.getLong(i) * b.getLong(i)
       i += 1
     }
     acc
@@ -160,6 +175,24 @@ case class VectorDotDecimal(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression,
       newRight: Expression): VectorDotDecimal =
+    copy(left = newLeft, right = newRight)
+}
+
+case class VectorDotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_dot_long"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VectorDotImpl.dotLong(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorDotImpl.dotLong($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression): VectorDotLong =
     copy(left = newLeft, right = newRight)
 }
 

@@ -728,11 +728,15 @@ object PipelineQueries {
     transform(emb, x =>
       floor(x.cast("double") * lit(127.0) / nrm + lit(0.5)).cast("long"))
 
-  /** Exact integer dot of two quantized vectors — a codegen'd array fold;
-    * no shuffle, no decimal.
+  /** Exact integer dot of two quantized vectors — the native
+    * `vec_dot_long` Catalyst expression (functions/VectorExprs.scala):
+    * one codegen'd long-MAC loop inside whole-stage codegen, vs the
+    * zip_with+aggregate HOF form whose per-element lambda evaluation is
+    * CodegenFallback. The candidate stage is the hot path the SQ8 shape
+    * exists to cheapen, so it must stay inside codegen.
     */
   private def intDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.vecDotLong(a, b)
 
   // ---- DSIR importance selection (q133) ----------------------------------
 

@@ -32,6 +32,32 @@ class VectorOpsSpec extends SparkTestBase {
     assert(line.contains("*("), s"vec_dot_decimal not codegen'd:\n$plan")
   }
 
+  test("native vec_dot_long equals the HOF fold and stays inside codegen") {
+    GraftFunctions.register(spark)
+    // Deterministic pseudo-random long vectors in the SQ8 code range.
+    val vecs = spark.range(200).select(col("id").as("vid"),
+      transform(sequence(lit(1), lit(64)),
+        j => pmod(xxhash64(col("id") * lit(64) + j), lit(255)) - 127).as("v"))
+    val pairs = vecs.select(col("vid").as("a_id"), col("v").as("a"))
+      .crossJoin(vecs.select(col("vid").as("b_id"), col("v").as("b")))
+      .filter(col("a_id") < col("b_id")).limit(2000)
+    val scored = pairs.select(
+      GraftFunctions.vecDotLong(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x).as("fold"))
+    assert(scored.filter(col("native") =!= col("fold")).count() == 0,
+      "native long dot diverges from the HOF fold")
+    // Codegen check on a projection with ONLY the native expression: a
+    // CodegenFallback HOF in the same projection (like `fold` above)
+    // would knock the whole stage out of codegen — which is exactly why
+    // the native kernel exists.
+    val nat = pairs.select(GraftFunctions.vecDotLong(col("a"), col("b")).as("d"))
+    nat.collect()
+    val plan = nat.queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("vec_dot_long")).getOrElse("")
+    assert(line.contains("*("), s"vec_dot_long not codegen'd:\n$plan")
+  }
+
   test("lshBandKeysExact band 0 equals the 8-plane bucket; keys bounded by band width") {
     GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, sfDir).limit(100)
