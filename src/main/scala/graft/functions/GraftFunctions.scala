@@ -38,6 +38,9 @@ object GraftFunctions {
       BloomBuildAgg(es(0), litNum(es(1), "bloom_build numBits").intValue(),
         litNum(es(2), "bloom_build numHashes").intValue()).toAggregateExpression()),
     "bloom_might_contain" -> (es => BloomMightContain(es(0), es(1))),
+    "winnow_keys" -> (es =>
+      WinnowKeys(es(0), litNum(es(1), "winnow_keys k").intValue(),
+        litNum(es(2), "winnow_keys w").intValue())),
     "typo_noise" -> (es =>
       TypoNoiseExpr(es(0), es(1), litNum(es(2), "typo_noise token ppm").longValue(),
         litNum(es(3), "typo_noise seed").intValue())),
@@ -94,6 +97,12 @@ object GraftFunctions {
 
   /** Exact integer long-vector dot — the quantized-candidate kernel. */
   def vecDotLong(a: Column, b: Column): Column = call_function("vec_dot_long", a, b)
+
+  /** MOSS winnowing fingerprints: sorted distinct packed (hash·2³³ + pos)
+    * keys of the k-gram/window-w document fingerprint (see WinnowImpl).
+    */
+  def winnowKeys(text: Column, k: Int, w: Int): Column =
+    call_function("winnow_keys", text, lit(k), lit(w))
 
   /** Top-k (score desc, id asc) aggregate → array<struct<score,id>>. */
   def topKByScore(score: Column, id: Column, k: Int): Column =

@@ -745,6 +745,12 @@ object PipelineQueries {
     */
   private[graft] val DsirBuckets = 1024L
 
+  /** Winnowing gram length / window (q134): guarantee = detect every
+    * shared substring ≥ k + w − 1 = 60 chars, match nothing < 40.
+    */
+  private[graft] val WinnowK = 40
+  private[graft] val WinnowW = 21
+
   /** DSIR-style importance selection (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): fit two hashed
     * bag-of-words unigram models — one on the TARGET slice, one on the raw
@@ -2912,6 +2918,96 @@ object PipelineQueries {
               |       round(CAST(s.logw AS DOUBLE), 6) AS logw
               |FROM scored s, thr
               |WHERE CAST(floor(s.logw) AS BIGINT) >= thr.thr""".stripMargin)
+    ),
+    QueryDef(
+      // MOSS winnowing overlap detection (Schleimer et al. SIGMOD'03):
+      // exact-substring contamination at a DETECTION GUARANTEE — every
+      // cross-document substring of length >= w + k - 1 = 60 chars is
+      // found, nothing shorter than k = 40 is matched — the floor that
+      // MinHash (set similarity) and q102 (fixed word-chunk boundaries)
+      // can't give, at fingerprint density 2/(w+1) per char (linear
+      // index, one equi-join). Candidates verify by actual substring
+      // equality, so polynomial-hash collisions can't surface. Fixture:
+      // doc_id % 51 < 3 append a per-group ~100-char verbatim quote —
+      // planted groups of <= 3 docs sharing an exact passage.
+      "q134_winnow_dedup",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(51)) < 3,
+              concat(lit(" >> shared verbatim quotation block number "),
+                (col("doc_id") / lit(51)).cast("long").cast("string"),
+                lit(": the exact duplicated passage retained across documents <<")))
+              .otherwise(lit(""))).as("text2"))
+        val shift = graft.functions.WinnowImpl.PosShift
+        val fp = docs.select(col("doc_id"),
+            explode(graft.functions.GraftFunctions
+              .winnowKeys(col("text2"), WinnowK, WinnowW)).as("key"))
+          .select(col("doc_id"), shiftright(col("key"), 33).as("h"),
+            col("key").bitwiseAND(lit(shift - 1)).as("pos"))
+        // Slim candidate rows (ids, positions, hash) through the joins;
+        // texts re-attach BY ID only for the bounded verify set.
+        val cand = fp.as("a").join(fp.as("b"), col("a.h") === col("b.h") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.h").as("h"), col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
+        cand
+          .join(docs.select(col("doc_id").as("doc_a"), col("text2").as("ta")),
+            Seq("doc_a"))
+          .join(docs.select(col("doc_id").as("doc_b"), col("text2").as("tb")),
+            Seq("doc_b"))
+          .filter(col("ta").substr(col("pos_a").cast("int"), lit(WinnowK)) ===
+            col("tb").substr(col("pos_b").cast("int"), lit(WinnowK)))
+          .groupBy("doc_a", "doc_b")
+          .agg(countDistinct("h").as("n_grams"),
+            min("pos_a").as("first_a"), min("pos_b").as("first_b"))
+      },
+      Some(s"""WITH docs2 AS (
+              |  SELECT doc_id,
+              |         text || CASE WHEN doc_id % 51 < 3
+              |           THEN ' >> shared verbatim quotation block number ' ||
+              |                CAST(doc_id // 51 AS VARCHAR) ||
+              |                ': the exact duplicated passage retained across documents <<'
+              |           ELSE '' END AS text2
+              |  FROM documents),
+              |grams AS (
+              |  SELECT doc_id, unnest([
+              |    struct_pack(pos := CAST(i AS BIGINT),
+              |      h := list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |             [CAST(ascii(text2[j:j]) AS BIGINT)
+              |              FOR j IN range(i, i + $WinnowK)]),
+              |           (acc, x) -> (acc * 131 + x) % 1000000007))
+              |    FOR i IN range(1, len(text2) - $WinnowK + 2)], recursive := true)
+              |  FROM docs2 WHERE len(text2) >= $WinnowK),
+              |keys AS (
+              |  SELECT doc_id, pos, h * 8589934592 + pos AS key,
+              |         count(*) OVER (PARTITION BY doc_id) AS m
+              |  FROM grams),
+              |sel AS (
+              |  SELECT DISTINCT doc_id, mink AS key
+              |  FROM (SELECT doc_id, pos, m,
+              |               min(key) OVER (PARTITION BY doc_id ORDER BY pos
+              |                 ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS mink
+              |        FROM keys) s
+              |  WHERE pos <= greatest(1, m - $WinnowW + 1)),
+              |fp AS (
+              |  SELECT doc_id, key // 8589934592 AS h, key % 8589934592 AS pos
+              |  FROM sel),
+              |cand AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.h,
+              |         a.pos AS pos_a, b.pos AS pos_b
+              |  FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id),
+              |ver AS (
+              |  SELECT c.doc_a, c.doc_b, c.h, c.pos_a, c.pos_b
+              |  FROM cand c
+              |  JOIN docs2 ta ON ta.doc_id = c.doc_a
+              |  JOIN docs2 tb ON tb.doc_id = c.doc_b
+              |  WHERE substring(ta.text2, CAST(c.pos_a AS INTEGER), $WinnowK) =
+              |        substring(tb.text2, CAST(c.pos_b AS INTEGER), $WinnowK))
+              |SELECT doc_a, doc_b, CAST(count(DISTINCT h) AS BIGINT) AS n_grams,
+              |       min(pos_a) AS first_a, min(pos_b) AS first_b
+              |FROM ver GROUP BY doc_a, doc_b""".stripMargin)
     )
   )
 }

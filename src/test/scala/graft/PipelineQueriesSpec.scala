@@ -622,6 +622,70 @@ class PipelineQueriesSpec extends SparkTestBase {
       }
   }
 
+  test("winnow_keys equals a brute-force reference winnow on real texts") {
+    import graft.functions.{GraftFunctions, WinnowImpl}
+    GraftFunctions.register(spark)
+    val k = PipelineQueries.WinnowK
+    val w = PipelineQueries.WinnowW
+    def reference(t: String): Seq[Long] = {
+      val m = t.length - k + 1
+      if (m <= 0) return Seq.empty
+      val hashes = (0 until m).map { i =>
+        t.substring(i, i + k).foldLeft(0L)((a, c) => (a * 131 + c) % 1000000007L)
+      }
+      val keys = hashes.zipWithIndex.map { case (h, i) =>
+        h * WinnowImpl.PosShift + (i + 1)
+      }
+      val starts = if (m <= w) Seq(0) else 0 to (m - w)
+      starts.map(j => keys.slice(j, j + w).min).distinct.sorted
+    }
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val got = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), GraftFunctions.winnowKeys(col("text"), k, w).as("ks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    texts.foreach { case (id, t) =>
+      assert(got(id) == reference(t), s"doc $id: expression diverges from reference")
+    }
+  }
+
+  test("q134 winnowing finds every planted >= 60-char shared passage; matches verify") {
+    val rows = byName("q134_winnow_dedup").query(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.nonEmpty)
+    // Planted groups: doc_id % 51 < 3 share a per-group verbatim quote
+    // (~100 chars >= the w + k - 1 = 60 guarantee) — every within-group
+    // pair must be detected.
+    val ids = Tables.documents(spark, sfDir).select("doc_id")
+      .collect().map(_.getLong(0)).filter(_ % 51 < 3)
+    val expectedPairs = ids.groupBy(_ / 51).values.flatMap { g =>
+      for (a <- g.toSeq; b <- g.toSeq if a < b) yield (a, b)
+    }.toSet
+    assert(expectedPairs.nonEmpty)
+    expectedPairs.foreach { p =>
+      assert(rows.contains(p), s"planted shared-passage pair $p not detected")
+    }
+    // Soundness: every reported first-match pair is a REAL k-char-exact
+    // overlap of the (quote-planted) texts.
+    val k = PipelineQueries.WinnowK
+    val text2 = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map { r =>
+        val id = r.getLong(0)
+        val quote = if (id % 51 < 3)
+          s" >> shared verbatim quotation block number ${id / 51}" +
+            ": the exact duplicated passage retained across documents <<"
+        else ""
+        id -> (r.getString(1) + quote)
+      }.toMap
+    rows.foreach { case ((a, b), (n, fa, fb)) =>
+      assert(n >= 1)
+      val sa = text2(a).substring(fa.toInt - 1, fa.toInt - 1 + k)
+      val sb = text2(b).substring(fb.toInt - 1, fb.toInt - 1 + k)
+      assert(sa == sb, s"pair ($a,$b): reported match positions do not align")
+    }
+  }
+
   test("q133 DSIR selection equals the locally recomputed histogram threshold") {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text", "lang", "source")
