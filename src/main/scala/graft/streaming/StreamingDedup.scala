@@ -39,6 +39,53 @@ object StreamingDedup {
       .distinct()
   }
 
+  /** WINNOWING variant — the streaming deployment of q134's
+    * exact-substring overlap detection: the corpus fingerprint index is
+    * built once (`corpusFps` = (doc_id, h, pos) winnow fingerprints — at
+    * scale a bucketed table on h), and each arriving micro-batch of
+    * (doc_id, text) rows is fingerprinted with the SAME native
+    * expression, probed by hash equi-join, and verified by substring
+    * equality against the corpus texts — so streaming and batch matches
+    * cannot drift, and the ≥ w+k−1-char detection guarantee carries
+    * over. Stateless per batch, like the other variants.
+    *
+    * Output: (corpus_id, new_id, n_grams) — verified overlap pairs.
+    */
+  def winnowMatchesBatch(corpusFps: DataFrame, corpusTexts: DataFrame,
+      arrivals: DataFrame): DataFrame = {
+    import graft.functions.{GraftFunctions, WinnowImpl}
+    val shift = WinnowImpl.PosShift
+    val fps = arrivals.select(col("doc_id"),
+        explode(GraftFunctions.winnowKeys(col("text"),
+          PipelineQueries.WinnowK, PipelineQueries.WinnowW)).as("key"))
+      .select(col("doc_id").as("new_id"), shiftright(col("key"), 33).as("h"),
+        col("key").bitwiseAND(lit(shift - 1)).as("pos_b"))
+    corpusFps
+      .select(col("doc_id").as("corpus_id"), col("h"), col("pos").as("pos_a"))
+      .join(fps, Seq("h"))
+      .join(corpusTexts.select(col("doc_id").as("corpus_id"),
+        col("text").as("ta")), Seq("corpus_id"))
+      .join(arrivals.select(col("doc_id").as("new_id"), col("text").as("tb")),
+        Seq("new_id"))
+      .filter(col("ta").substr(col("pos_a").cast("int"),
+          lit(PipelineQueries.WinnowK)) ===
+        col("tb").substr(col("pos_b").cast("int"), lit(PipelineQueries.WinnowK)))
+      .groupBy("corpus_id", "new_id")
+      .agg(countDistinct("h").as("n_grams"))
+  }
+
+  /** The (doc_id, h, pos) corpus fingerprint index [[winnowMatchesBatch]]
+    * probes — decode of the packed winnow keys.
+    */
+  def winnowIndex(docs: DataFrame): DataFrame = {
+    import graft.functions.{GraftFunctions, WinnowImpl}
+    docs.select(col("doc_id"),
+        explode(GraftFunctions.winnowKeys(col("text"),
+          PipelineQueries.WinnowK, PipelineQueries.WinnowW)).as("key"))
+      .select(col("doc_id"), shiftright(col("key"), 33).as("h"),
+        col("key").bitwiseAND(lit(WinnowImpl.PosShift - 1)).as("pos"))
+  }
+
   /** EMBEDDING variant — the streaming deployment of q123's incremental
     * shape: the corpus IVF index is built once (`cents` = the index's
     * centroid set, `corpusCells` = its hard (corpus_id, label, cid)

@@ -482,6 +482,59 @@ class StreamingSpec extends SparkTestBase {
     ()
   }
 
+  test("streaming winnow overlap detection agrees with the batch q134 cross pairs") {
+    import graft.queries.PipelineQueries
+    import graft.streaming.StreamingDedup
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+
+    // The same quote-planted texts q134 fingerprints, split at the median
+    // id into a static corpus and an arriving stream.
+    val docs2 = Tables.documents(spark, sfDir).select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(51)) < 3,
+          concat(lit(" >> shared verbatim quotation block number "),
+            (col("doc_id") / lit(51)).cast("long").cast("string"),
+            lit(": the exact duplicated passage retained across documents <<")))
+          .otherwise(lit(""))).as("text"))
+    val boundary = docs2.agg(expr("percentile(doc_id, 0.5)")).head.getDouble(0)
+    val corpus = docs2.filter(col("doc_id") < boundary).cache()
+    val fpsIdx = StreamingDedup.winnowIndex(corpus).cache()
+
+    val stream = MemoryStream[(Long, String)]
+    val arrivals = stream.toDF().toDF("doc_id", "text")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val query = arrivals.writeStream.outputMode("append")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        out ++= StreamingDedup.winnowMatchesBatch(fpsIdx, corpus, df)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        ()
+      }.start()
+    try {
+      val newDocs = docs2.filter(col("doc_id") >= boundary)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val (first, second) = newDocs.splitAt(newDocs.length / 2)
+      stream.addData(first.toIndexedSeq)
+      query.processAllAvailable()
+      stream.addData(second.toIndexedSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val batch = PipelineQueries.defs.find(_.name == "q134_winnow_dedup").get
+      .query(spark, sfDir)
+      .filter(col("doc_a") < boundary && col("doc_b") >= boundary)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty)
+    assert(out.toSet == batch,
+      s"streaming vs batch winnow overlap differ: " +
+        s"only-streaming=${(out.toSet -- batch).take(3)} " +
+        s"only-batch=${(batch -- out.toSet).take(3)}")
+    fpsIdx.unpersist(); corpus.unpersist()
+    ()
+  }
+
   test("streaming DSIR keep decisions agree with the batch q133 selection") {
     import graft.queries.PipelineQueries
     import graft.streaming.StreamingSelect
