@@ -751,6 +751,32 @@ object PipelineQueries {
   private[graft] val WinnowK = 40
   private[graft] val WinnowW = 21
 
+  /** q134's planted passage for doc_id % 51 < 3: the group id is embedded
+    * every ~12 chars, so every 40-char gram of the quote is GROUP-specific
+    * — distinct groups share no k-gram (two distinct repeated units of
+    * period < 13 cannot share a 40-char substring), and the planted pair
+    * set stays 3-per-group LINEAR in the corpus. The first fixture had a
+    * constant ≥ 60-char tail shared by every planted doc — a corpus-wide
+    * clique that measured exponent 1.04 at 30× (39M pairs at 150k docs).
+    */
+  private[graft] def winnowQuote(docId: Column): Column =
+    when(pmod(docId, lit(51)) < 3,
+      concat(lit(" >> "),
+        repeat(concat(lit("quote"),
+          (docId / lit(51)).cast("long").cast("string"), lit("block ")), 6),
+        lit("<<")))
+      .otherwise(lit(""))
+
+  /** SQL mirror of [[winnowQuote]]. */
+  private[graft] def winnowQuoteSql: String =
+    """CASE WHEN doc_id % 51 < 3
+      |  THEN ' >> ' || repeat('quote' || CAST(doc_id // 51 AS VARCHAR) || 'block ', 6) || '<<'
+      |  ELSE '' END""".stripMargin
+
+  /** Driver-side twin for specs. */
+  private[graft] def winnowQuoteStr(id: Long): String =
+    if (id % 51 < 3) " >> " + (s"quote${id / 51}block " * 6) + "<<" else ""
+
   /** DSIR-style importance selection (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): fit two hashed
     * bag-of-words unigram models — one on the TARGET slice, one on the raw
@@ -2934,12 +2960,7 @@ object PipelineQueries {
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         val docs = Tables.documents(s, d).select(col("doc_id"),
-          concat(col("text"),
-            when(pmod(col("doc_id"), lit(51)) < 3,
-              concat(lit(" >> shared verbatim quotation block number "),
-                (col("doc_id") / lit(51)).cast("long").cast("string"),
-                lit(": the exact duplicated passage retained across documents <<")))
-              .otherwise(lit(""))).as("text2"))
+          concat(col("text"), winnowQuote(col("doc_id"))).as("text2"))
         val shift = graft.functions.WinnowImpl.PosShift
         val fp = docs.select(col("doc_id"),
             explode(graft.functions.GraftFunctions
@@ -2964,12 +2985,7 @@ object PipelineQueries {
             min("pos_a").as("first_a"), min("pos_b").as("first_b"))
       },
       Some(s"""WITH docs2 AS (
-              |  SELECT doc_id,
-              |         text || CASE WHEN doc_id % 51 < 3
-              |           THEN ' >> shared verbatim quotation block number ' ||
-              |                CAST(doc_id // 51 AS VARCHAR) ||
-              |                ': the exact duplicated passage retained across documents <<'
-              |           ELSE '' END AS text2
+              |  SELECT doc_id, text || $winnowQuoteSql AS text2
               |  FROM documents),
               |grams AS (
               |  SELECT doc_id, unnest([

@@ -672,11 +672,7 @@ class PipelineQueriesSpec extends SparkTestBase {
     val text2 = Tables.documents(spark, sfDir).select("doc_id", "text")
       .collect().map { r =>
         val id = r.getLong(0)
-        val quote = if (id % 51 < 3)
-          s" >> shared verbatim quotation block number ${id / 51}" +
-            ": the exact duplicated passage retained across documents <<"
-        else ""
-        id -> (r.getString(1) + quote)
+        id -> (r.getString(1) + PipelineQueries.winnowQuoteStr(id))
       }.toMap
     rows.foreach { case ((a, b), (n, fa, fb)) =>
       assert(n >= 1)

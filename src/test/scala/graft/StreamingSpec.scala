@@ -494,11 +494,7 @@ class StreamingSpec extends SparkTestBase {
     // id into a static corpus and an arriving stream.
     val docs2 = Tables.documents(spark, sfDir).select(col("doc_id"),
       concat(col("text"),
-        when(pmod(col("doc_id"), lit(51)) < 3,
-          concat(lit(" >> shared verbatim quotation block number "),
-            (col("doc_id") / lit(51)).cast("long").cast("string"),
-            lit(": the exact duplicated passage retained across documents <<")))
-          .otherwise(lit(""))).as("text"))
+        PipelineQueries.winnowQuote(col("doc_id"))).as("text"))
     val boundary = docs2.agg(expr("percentile(doc_id, 0.5)")).head.getDouble(0)
     val corpus = docs2.filter(col("doc_id") < boundary).cache()
     val fpsIdx = StreamingDedup.winnowIndex(corpus).cache()
