@@ -751,6 +751,14 @@ object PipelineQueries {
   private[graft] val WinnowK = 40
   private[graft] val WinnowW = 21
 
+  /** Bucket-occupancy cap for winnow fingerprints: a hash carried by more
+    * docs than this is boilerplate (license headers, templates), not
+    * duplication — its bucket's pairs would grow quadratically in hub
+    * size at web scale. Far above any test-SF bucket, so the oracle
+    * mirror keeps hashes exact.
+    */
+  private[graft] val WinnowHubCap = 1000L
+
   /** q134's planted passage for doc_id % 51 < 3: the group id is embedded
     * every ~12 chars, so every 40-char gram of the quote is GROUP-specific
     * — distinct groups share no k-gram (two distinct repeated units of
@@ -2962,11 +2970,23 @@ object PipelineQueries {
         val docs = Tables.documents(s, d).select(col("doc_id"),
           concat(col("text"), winnowQuote(col("doc_id"))).as("text2"))
         val shift = graft.functions.WinnowImpl.PosShift
-        val fp = docs.select(col("doc_id"),
+        val fpAll = docs.select(col("doc_id"),
             explode(graft.functions.GraftFunctions
               .winnowKeys(col("text2"), WinnowK, WinnowW)).as("key"))
           .select(col("doc_id"), shiftright(col("key"), 33).as("h"),
             col("key").bitwiseAND(lit(shift - 1)).as("pos"))
+        // Hub cap: a fingerprint occurring in > WinnowHubCap docs (web
+        // scale: license headers, templated boilerplate) would make its
+        // bucket's candidate pairs quadratic in the hub size; such
+        // substrings are BOILERPLATE, not duplication, and are excluded
+        // by design (the bucket-occupancy cap every LSH-family candidate
+        // stage here applies). The cap is far above any test-SF bucket,
+        // so the oracle mirror keeps the hash exact.
+        val hubs = fpAll.groupBy("h")
+          .agg(countDistinct("doc_id").as("nd"))
+          .filter(col("nd") <= WinnowHubCap)
+          .select("h")
+        val fp = fpAll.join(hubs, Seq("h"))
         // Slim candidate rows (ids, positions, hash) through the joins;
         // texts re-attach BY ID only for the bounded verify set.
         val cand = fp.as("a").join(fp.as("b"), col("a.h") === col("b.h") &&
@@ -3007,9 +3027,14 @@ object PipelineQueries {
               |                 ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS mink
               |        FROM keys) s
               |  WHERE pos <= greatest(1, m - $WinnowW + 1)),
-              |fp AS (
+              |fp0 AS (
               |  SELECT doc_id, key // 8589934592 AS h, key % 8589934592 AS pos
               |  FROM sel),
+              |fp AS (
+              |  SELECT f.* FROM fp0 f
+              |  JOIN (SELECT h FROM fp0 GROUP BY h
+              |        HAVING COUNT(DISTINCT doc_id) <= $WinnowHubCap) ok
+              |    ON f.h = ok.h),
               |cand AS (
               |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.h,
               |         a.pos AS pos_a, b.pos AS pos_b

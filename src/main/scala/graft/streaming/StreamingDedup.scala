@@ -75,15 +75,22 @@ object StreamingDedup {
   }
 
   /** The (doc_id, h, pos) corpus fingerprint index [[winnowMatchesBatch]]
-    * probes — decode of the packed winnow keys.
+    * probes — decode of the packed winnow keys, with q134's hub cap
+    * applied at BUILD time over the corpus occupancy (arrivals can't be
+    * pre-counted in a stream, so the deployment form measures the cap on
+    * the index side — the batch query's whole-corpus cap and this one
+    * agree wherever no bucket is near the cap, which the parity spec
+    * exercises at test SF).
     */
   def winnowIndex(docs: DataFrame): DataFrame = {
     import graft.functions.{GraftFunctions, WinnowImpl}
-    docs.select(col("doc_id"),
+    val fp = docs.select(col("doc_id"),
         explode(GraftFunctions.winnowKeys(col("text"),
           PipelineQueries.WinnowK, PipelineQueries.WinnowW)).as("key"))
       .select(col("doc_id"), shiftright(col("key"), 33).as("h"),
         col("key").bitwiseAND(lit(WinnowImpl.PosShift - 1)).as("pos"))
+    fp.join(fp.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") <= PipelineQueries.WinnowHubCap).select("h"), Seq("h"))
   }
 
   /** EMBEDDING variant — the streaming deployment of q123's incremental
