@@ -647,6 +647,20 @@ class PipelineQueriesSpec extends SparkTestBase {
     texts.foreach { case (id, t) =>
       assert(got(id) == reference(t), s"doc $id: expression diverges from reference")
     }
+    // Boundary lengths the corpus (min 48 chars) never exercises: below
+    // the gram floor (empty set), exactly one gram, the single-window
+    // regime (m <= w), its edge (m = w), and the first deque window
+    // (m = w + 1).
+    val alpha = "abcdefghijklmnopqrstuvwxyz0123456789 .,;!?-"
+    val crafted = Seq("", "x", alpha.take(k - 1), alpha.take(k),
+      (alpha * 3).take(k + w - 2), (alpha * 3).take(k + w - 1),
+      (alpha * 3).take(k + w), ("ab" * 60).take(k + 2 * w))
+    crafted.foreach { t =>
+      val g = spark.range(1)
+        .select(GraftFunctions.winnowKeys(lit(t), k, w).as("ks"))
+        .head().getSeq[Long](0)
+      assert(g == reference(t), s"crafted len ${t.length}: diverges from reference")
+    }
   }
 
   test("q134 winnowing finds every planted >= 60-char shared passage; matches verify") {
