@@ -759,6 +759,27 @@ object PipelineQueries {
     */
   private[graft] val WinnowHubCap = 1000L
 
+  /** Hub-capped winnow fingerprints (doc_id, h, pos) of `docs` — THE
+    * fingerprint builder q134 and the streaming corpus index share (one
+    * place for the shift/mask/cap arithmetic). localCheckpoint'd: the
+    * frame feeds both the hub-count aggregate and its consumer's join,
+    * and without materialization the O(len) fingerprint pass would run
+    * once per consumer.
+    */
+  private[graft] def winnowFingerprints(docs: DataFrame,
+      textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val fpAll = docs.select(col("doc_id"),
+        explode(graft.functions.GraftFunctions
+          .winnowKeys(col(textCol), WinnowK, WinnowW)).as("key"))
+      .select(col("doc_id"), shiftright(col("key"), 33).as("h"),
+        col("key").bitwiseAND(lit(graft.functions.WinnowImpl.PosShift - 1))
+          .as("pos"))
+      .localCheckpoint()
+    fpAll.join(fpAll.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") <= WinnowHubCap).select("h"), Seq("h"))
+  }
+
   /** q134's planted passage for doc_id % 51 < 3: the group id is embedded
     * every ~12 chars, so every 40-char gram of the quote is GROUP-specific
     * — distinct groups share no k-gram (two distinct repeated units of
@@ -810,7 +831,11 @@ object PipelineQueries {
   def dsirSelect(docs: DataFrame, isTarget: Column,
       keepNum: Int, keepDen: Int): DataFrame = {
     val toks = dsirTokens(docs, isTarget)
+    // Materialized: the histogram threshold and the keep filter both
+    // consume the pool scoring — without it, the token explode +
+    // broadcast join + per-doc aggregate would re-run per consumer.
     val scored = dsirScore(toks.filter(!col("is_target")), dsirModel(toks))
+      .localCheckpoint()
     dsirKeep(scored, dsirThreshold(scored, keepNum, keepDen))
   }
 
@@ -827,29 +852,35 @@ object PipelineQueries {
 
   /** The fitted (bucket, term) importance model, term = log p_target −
     * log p_raw at DECIMAL(28,12). Both unigram models in ONE aggregate
-    * pass (conditional sums); the totals are a window over the
-    * O(buckets) agg output, never the corpus. The partition key is
-    * constant-valued but NOT foldable (the q59/q66 idiom —
-    * EliminateWindowPartitions strips foldable keys and an empty spec
-    * trips WindowExec's single-partition warning).
+    * pass (conditional sums) over the corpus, densified to ALL
+    * DsirBuckets buckets: a bucket absent from the fit corpus still has
+    * its defined smoothed term (+1 smoothing gives log((tr+B)/(tt+B))),
+    * so the streaming scorer's inner join cannot drop novel-vocabulary
+    * tokens of an arriving crawl batch (fit-corpus scoring can't hit the
+    * gap — its own tokens built the model — which is why only the
+    * deployment shape would have seen it). Terms for observed buckets
+    * and the totals are unchanged, so the batch q133 output and its
+    * oracle are identical. Totals attach as a broadcast 1-row aggregate
+    * over the materialized O(buckets) count frame — one corpus pass.
     */
   private[graft] def dsirModel(toks: DataFrame): DataFrame = {
-    val w0 = Window.partitionBy(col("ct") * lit(0L))
-    toks.groupBy("bucket")
-      .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
-        sum(when(col("is_target"), 0L).otherwise(1L)).as("cr"))
-      .withColumn("tt", sum("ct").over(w0))
-      .withColumn("tr", sum("cr").over(w0))
+    val counts = toks.sparkSession.range(DsirBuckets)
+      .select(col("id").as("bucket"))
+      .join(toks.groupBy("bucket")
+        .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("ct0"),
+          sum(when(col("is_target"), 0L).otherwise(1L)).as("cr0")),
+        Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("ct0"), lit(0L)).as("ct"),
+        coalesce(col("cr0"), lit(0L)).as("cr"))
+      .localCheckpoint()
+    val tot = counts.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    counts.crossJoin(broadcast(tot))
       .select(col("bucket"),
         (log((col("ct") + 1).cast("double") /
             (col("tt") + DsirBuckets).cast("double")).cast("decimal(28,12)") -
           log((col("cr") + 1).cast("double") /
             (col("tr") + DsirBuckets).cast("double")).cast("decimal(28,12)"))
           .as("term"))
-      // O(buckets) rows whose lineage scans the corpus; only the broadcast
-      // scoring join consumes it, but Spark would still recompute the
-      // subtree under the broadcast — materialize.
-      .localCheckpoint()
   }
 
   /** Per-doc importance weights (doc_id, source, lang, n_tokens, logw):
@@ -871,10 +902,15 @@ object PipelineQueries {
     */
   private[graft] def dsirThreshold(scored: DataFrame,
       keepNum: Int, keepDen: Int): DataFrame = {
+    // Window keyed on fb (nullable sum-derived), not cnt: count(*) is
+    // non-nullable, so cnt*0 folds to a literal and the key is stripped.
     val wDesc = Window.partitionBy(col("fb") * lit(0L)).orderBy(col("fb").desc)
-    val nPool = scored.agg(count(lit(1)).as("n"))
-    scored.select(floor(col("logw")).cast("long").as("fb"))
+    val hist = scored.select(floor(col("logw")).cast("long").as("fb"))
       .groupBy("fb").agg(count(lit(1)).as("cnt"))
+    // n derives from the O(weight-range) histogram — no extra pass over
+    // the pool scoring (every scored row lands in exactly one bucket).
+    val nPool = hist.agg(sum("cnt").as("n"))
+    hist
       .withColumn("cum", sum("cnt").over(wDesc))
       .crossJoin(broadcast(nPool))
       .filter(col("cum") >=
@@ -2969,24 +3005,15 @@ object PipelineQueries {
         graft.functions.GraftFunctions.register(s)
         val docs = Tables.documents(s, d).select(col("doc_id"),
           concat(col("text"), winnowQuote(col("doc_id"))).as("text2"))
-        val shift = graft.functions.WinnowImpl.PosShift
-        val fpAll = docs.select(col("doc_id"),
-            explode(graft.functions.GraftFunctions
-              .winnowKeys(col("text2"), WinnowK, WinnowW)).as("key"))
-          .select(col("doc_id"), shiftright(col("key"), 33).as("h"),
-            col("key").bitwiseAND(lit(shift - 1)).as("pos"))
-        // Hub cap: a fingerprint occurring in > WinnowHubCap docs (web
-        // scale: license headers, templated boilerplate) would make its
-        // bucket's candidate pairs quadratic in the hub size; such
-        // substrings are BOILERPLATE, not duplication, and are excluded
-        // by design (the bucket-occupancy cap every LSH-family candidate
-        // stage here applies). The cap is far above any test-SF bucket,
-        // so the oracle mirror keeps the hash exact.
-        val hubs = fpAll.groupBy("h")
-          .agg(countDistinct("doc_id").as("nd"))
-          .filter(col("nd") <= WinnowHubCap)
-          .select("h")
-        val fp = fpAll.join(hubs, Seq("h"))
+        // Hub cap inside the shared builder: a fingerprint occurring in
+        // > WinnowHubCap docs (web scale: license headers, templated
+        // boilerplate) would make its bucket's candidate pairs quadratic
+        // in the hub size; such substrings are BOILERPLATE, not
+        // duplication, and are excluded by design (the bucket-occupancy
+        // cap every LSH-family candidate stage here applies). The cap is
+        // far above any test-SF bucket, so the oracle mirror keeps the
+        // hash exact.
+        val fp = winnowFingerprints(docs, "text2")
         // Slim candidate rows (ids, positions, hash) through the joins;
         // texts re-attach BY ID only for the bounded verify set.
         val cand = fp.as("a").join(fp.as("b"), col("a.h") === col("b.h") &&
@@ -3001,8 +3028,17 @@ object PipelineQueries {
           .filter(col("ta").substr(col("pos_a").cast("int"), lit(WinnowK)) ===
             col("tb").substr(col("pos_b").cast("int"), lit(WinnowK)))
           .groupBy("doc_a", "doc_b")
+          // first_a/first_b must come from ONE verified row (independent
+          // column mins could pair P-in-A with Q-in-B when two passages
+          // appear in opposite orders — a non-match position pair both
+          // engines would agree on): min over the packed (pos_a, pos_b)
+          // key, then decode. pos < 2³¹ (the int substr bound) keeps the
+          // pack exact.
           .agg(countDistinct("h").as("n_grams"),
-            min("pos_a").as("first_a"), min("pos_b").as("first_b"))
+            min(col("pos_a") * lit(1L << 31) + col("pos_b")).as("first"))
+          .select(col("doc_a"), col("doc_b"), col("n_grams"),
+            shiftright(col("first"), 31).as("first_a"),
+            col("first").bitwiseAND(lit((1L << 31) - 1)).as("first_b"))
       },
       Some(s"""WITH docs2 AS (
               |  SELECT doc_id, text || $winnowQuoteSql AS text2
@@ -3047,7 +3083,8 @@ object PipelineQueries {
               |  WHERE substring(ta.text2, CAST(c.pos_a AS INTEGER), $WinnowK) =
               |        substring(tb.text2, CAST(c.pos_b AS INTEGER), $WinnowK))
               |SELECT doc_a, doc_b, CAST(count(DISTINCT h) AS BIGINT) AS n_grams,
-              |       min(pos_a) AS first_a, min(pos_b) AS first_b
+              |       min(pos_a * ${1L << 31} + pos_b) // ${1L << 31} AS first_a,
+              |       min(pos_a * ${1L << 31} + pos_b) % ${1L << 31} AS first_b
               |FROM ver GROUP BY doc_a, doc_b""".stripMargin)
     )
   )

@@ -82,16 +82,8 @@ object StreamingDedup {
     * agree wherever no bucket is near the cap, which the parity spec
     * exercises at test SF).
     */
-  def winnowIndex(docs: DataFrame): DataFrame = {
-    import graft.functions.{GraftFunctions, WinnowImpl}
-    val fp = docs.select(col("doc_id"),
-        explode(GraftFunctions.winnowKeys(col("text"),
-          PipelineQueries.WinnowK, PipelineQueries.WinnowW)).as("key"))
-      .select(col("doc_id"), shiftright(col("key"), 33).as("h"),
-        col("key").bitwiseAND(lit(WinnowImpl.PosShift - 1)).as("pos"))
-    fp.join(fp.groupBy("h").agg(countDistinct("doc_id").as("nd"))
-      .filter(col("nd") <= PipelineQueries.WinnowHubCap).select("h"), Seq("h"))
-  }
+  def winnowIndex(docs: DataFrame): DataFrame =
+    PipelineQueries.winnowFingerprints(docs, "text")
 
   /** EMBEDDING variant — the streaming deployment of q123's incremental
     * shape: the corpus IVF index is built once (`cents` = the index's

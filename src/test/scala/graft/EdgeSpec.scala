@@ -168,6 +168,30 @@ class EdgeSpec extends SparkTestBase {
     sel.foreach(r => assert(!r.getDouble(4).isNaN, "NaN importance weight"))
   }
 
+  test("DSIR scores novel-vocabulary arrivals: no token drops on unseen buckets") {
+    // Fit on a tiny corpus (a handful of distinct words -> few occupied
+    // buckets); an arriving doc of gibberish words lands almost entirely
+    // in buckets the fit never saw. The dense model still defines every
+    // bucket's smoothed term, so the doc scores over ALL its tokens — an
+    // inner join against a sparse model would silently drop them.
+    import graft.queries.PipelineQueries
+    import graft.streaming.StreamingSelect
+    val corpus = spark.range(4).select(col("id").as("doc_id"),
+      concat(lit("alpha beta gamma delta epsilon zeta eta theta iota kappa doc"),
+        col("id").cast("string")).as("text"),
+      lit("en").as("lang"),
+      when(col("id") < 2, "src1").otherwise("src2").as("source"))
+    val (model, _) = StreamingSelect.dsirFit(corpus, col("source") === "src1", 1, 2)
+    val novel = spark.range(1).select(lit(900L).as("doc_id"),
+      lit((1 to 20).map(i => s"zzqx${i}novel").mkString(" ")).as("text"),
+      lit("xx").as("lang"), lit("crawl").as("source"))
+    val scored = PipelineQueries.dsirScore(
+      PipelineQueries.dsirTokens(novel, lit(false)), model).collect()
+    assert(scored.length == 1, "novel-vocabulary doc vanished from scoring")
+    assert(scored.head.getLong(3) == 20,
+      s"scored ${scored.head.getLong(3)} of 20 novel tokens — unseen buckets dropped")
+  }
+
   test("DSIR streaming keep of an empty micro-batch is empty, no failure") {
     import graft.streaming.StreamingSelect
     val docs = Tables.documents(spark, sfDir)

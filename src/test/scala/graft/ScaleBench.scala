@@ -65,7 +65,11 @@ object ScaleBench {
       * sf0.1 base of 2000). The realized factor is logged and the
       * embedding-family exponents are computed against it.
       */
-    def embCapFactor(n: Long): Int = math.min(factor.toLong, 100000L / n).toInt
+    // max(1, ...): a base table already past the id boundary caps at one
+    // copy (no replication) instead of zero copies, which would make
+    // copies.reduce throw on empty and the exponent divide by log(0).
+    def embCapFactor(n: Long): Int =
+      math.max(1L, math.min(factor.toLong, 100000L / n)).toInt
 
     def replicate(table: String, idCol: String): Int = {
       val base = spark.read.parquet(s"$baseDir/$table.parquet")
