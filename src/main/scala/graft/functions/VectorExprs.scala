@@ -3,9 +3,9 @@ package graft.functions
 import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Decimal-exact dot product of two float vectors, replicating EXACTLY the
   * semantics of the declarative fold in operators.VectorOps:
@@ -161,8 +161,12 @@ object VectorDotImpl {
 }
 
 case class VectorDotDecimal(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
+  // Declared input types: mistyped SQL calls fail at analysis with a clean
+  // type error instead of a runtime ClassCastException inside codegen.
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot_decimal"
 
@@ -179,8 +183,10 @@ case class VectorDotDecimal(left: Expression, right: Expression)
 }
 
 case class VectorDotLong(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = LongType
   override def prettyName: String = "vec_dot_long"
 
@@ -197,8 +203,10 @@ case class VectorDotLong(left: Expression, right: Expression)
 }
 
 case class VectorDotDouble(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 

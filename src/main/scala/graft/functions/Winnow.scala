@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken,
@@ -88,8 +88,12 @@ object WinnowImpl {
 }
 
 case class WinnowKeys(child: Expression, k: Int, w: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
 
+  // Declared input type: a mistyped call (winnow_keys(doc_id, ...)) fails
+  // at ANALYSIS with a clean error instead of a ClassCastException inside
+  // generated code.
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "winnow_keys"
 

@@ -493,23 +493,52 @@ object LinkageCascade {
       .withColumn("pass", lit(pass.name))
   }
 
-  /** Explode a frame's zip3 into its adjacency neighborhood {z-1, z,
-    * z+1} — an arithmetically-derived stand-in for the Census zip3
-    * adjacency dimension (reference 03 cell 98; the ZIP3 Adjacency
-    * passes of Layne/Wagner/Rothhaas App. A). A pass blocked on the
-    * exploded zip3 equi-joins rows whose zip3 is ADJACENT to the other
-    * side's — the join stays a plain equi-join and adjacency is
-    * symmetric, so EITHER side may carry the explode; apply it to the
-    * SMALLER side (the cascade remainder, not the national reference
-    * file) so the 3× row blow-up — map-side only — lands where it is
-    * cheap. Note the rendering at the range edges (lpad truncates
+  /** Explode a frame's zip3 into its adjacency neighborhood — by default
+    * the arithmetic {z-1, z, z+1}, an arithmetically-derived stand-in
+    * for the Census zip3 adjacency dimension (reference 03 cell 98; the
+    * ZIP3 Adjacency passes of Layne/Wagner/Rothhaas App. A). A pass
+    * blocked on the exploded zip3 equi-joins rows whose zip3 is ADJACENT
+    * to the other side's — the join stays a plain equi-join and
+    * adjacency is symmetric, so EITHER side may carry the explode; apply
+    * it to the SMALLER side (the cascade remainder, not the national
+    * reference file) so the 3× row blow-up — map-side only — lands where
+    * it is cheap. Note the rendering at the range edges (lpad truncates
     * 999+1 → "100", 000-1 → "0-1") rides with the exploded side, so a
-    * cross-engine mirror must explode the same side.
+    * cross-engine mirror must explode the same side; neither artifact
+    * key can join (no reference zip3 renders as "0-1", and a real
+    * deployment passes the real adjacency table as `dim` instead of
+    * relying on the arithmetic edges).
+    *
+    * `dim`: optional broadcast adjacency dimension (zip3, adj_zip3) — a
+    * real Census adjacency file drops in without touching the pass. The
+    * dim must carry the identity edges (z, z) for every zip3 it covers
+    * (an adjacency table without self-edges would silently drop the
+    * exact-zip3 candidates); rows whose zip3 is absent from the dim are
+    * dropped, like rows with an unknown blocking key.
     */
-  def zip3Adjacent(df: DataFrame): DataFrame =
-    df.withColumn("zip3",
-      explode(array(Seq(-1, 0, 1).map(o =>
-        lpad((col("zip3").cast("int") + lit(o)).cast("string"), 3, "0")): _*)))
+  def zip3Adjacent(df: DataFrame, dim: Option[DataFrame] = None): DataFrame =
+    dim match {
+      case Some(d) =>
+        df.join(broadcast(d.select(col("zip3"), col("adj_zip3"))), Seq("zip3"))
+          .withColumn("zip3", col("adj_zip3")).drop("adj_zip3")
+      case None =>
+        df.withColumn("zip3",
+          explode(array(Seq(-1, 0, 1).map(o =>
+            lpad((col("zip3").cast("int") + lit(o)).cast("string"), 3, "0")): _*)))
+    }
+
+  /** The default arithmetic neighborhood as an EXPLICIT dim table over a
+    * set of zip3 keys — (zip3, adj_zip3) rows for {z-1, z, z+1} with the
+    * same edge rendering as the inline explode. Feeding this to
+    * [[zip3Adjacent]] reproduces the default output for any frame whose
+    * zip3s are all covered (the spec pins that equivalence), and shows
+    * the drop-in shape a real Census adjacency file takes.
+    */
+  def arithmeticZip3Dim(zip3s: DataFrame): DataFrame =
+    zip3s.select("zip3").distinct()
+      .select(col("zip3"), explode(array(Seq(-1, 0, 1).map(o =>
+        lpad((col("zip3").cast("int") + lit(o)).cast("string"), 3, "0")): _*))
+        .as("adj_zip3"))
 
   /** Notebook-04 PIK-rate accounting over a link set (reference
     * 04_calculate_ground_truth_accuracy.ipynb): link and ground-truth-

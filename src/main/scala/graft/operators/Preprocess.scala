@@ -119,4 +119,87 @@ object Preprocess {
 
   def placeholderNamesSqlList: String =
     placeholderNames.map(n => s"'$n'").mkString(", ")
+
+  // ---- free-text name parsing (q137) -------------------------------------
+  // The real PVS parses free-text names into components before
+  // standardization (reference 03_link_datasets.ipynb cell 16 skips it
+  // because the CUF arrives pre-parsed; Wagner & Layne p. 9 list the
+  // edits). Rule-based: tokenize on whitespace with periods stripped,
+  // peel a leading courtesy/honorific prefix and a trailing generational
+  // suffix, standardize the suffix spelling, and read first/middle/last
+  // from the remaining core tokens. Pure codegen'd scalar work; the SQL
+  // renderer derives from the SAME rule tables.
+
+  val namePrefixes: Seq[String] = Seq("MR", "MRS", "MS", "DR", "MISS", "REV")
+
+  /** Recognized raw generational-suffix spellings. */
+  val nameSuffixes: Seq[String] =
+    Seq("JR", "JUNIOR", "SR", "SENIOR", "II", "2ND", "III", "3RD", "IV", "4TH")
+
+  /** Raw suffix spelling → canonical form (identity where not listed). */
+  val suffixStdRules: Seq[(String, String)] = Seq(
+    "JUNIOR" -> "JR", "SENIOR" -> "SR", "2ND" -> "II", "3RD" -> "III",
+    "4TH" -> "IV")
+
+  /** Canonical generational suffix: JUNIOR→JR, 2ND→II, … identity on
+    * already-canonical spellings.
+    */
+  def standardizeSuffix(c: Column): Column =
+    suffixStdRules.foldLeft(Option.empty[Column]) { case (acc, (from, to)) =>
+      Some(acc.fold(when(c === from, to))(_.when(c === from, to)))
+    }.get.otherwise(c)
+
+  def standardizeSuffixSql(x: String): String =
+    s"CASE $x " + suffixStdRules
+      .map { case (from, to) => s"WHEN '$from' THEN '$to'" }
+      .mkString(" ") + s" ELSE $x END"
+
+  /** Parse a free-text name into its five components. Returns columns
+    * (name_prefix, first_p, middle_p, last_p, suffix_std); prefix/middle/
+    * suffix are NULL when absent. A trailing suffix token is only peeled
+    * when at least one core token remains ("MR JR" parses JR as the bare
+    * last name, not as a suffix of nothing).
+    */
+  def parseName(full: Column): Seq[(String, Column)] = {
+    val toks = split(trim(regexp_replace(upper(full), "\\.", "")), " +")
+    val n = size(toks)
+    val hasPre = element_at(toks, 1).isin(namePrefixes: _*)
+    val startI = when(hasPre, lit(2)).otherwise(lit(1))
+    val hasSuf = element_at(toks, n).isin(nameSuffixes: _*) && n > startI
+    val endI = when(hasSuf, n - 1).otherwise(n)
+    Seq(
+      "name_prefix" -> when(hasPre, element_at(toks, 1)),
+      "first_p" -> element_at(toks, startI),
+      "middle_p" -> when(endI - startI >= 2,
+        array_join(slice(toks, startI + 1, endI - startI - 1), " ")),
+      "last_p" -> element_at(toks, endI),
+      "suffix_std" -> when(hasSuf, standardizeSuffix(element_at(toks, n))))
+  }
+
+  /** DuckDB CTE chain `<rel>_parsed` with identical semantics to
+    * [[parseName]] over `rel(…, full_name)`: carries every column of
+    * `rel` plus the five parsed components.
+    */
+  def parseNameSqlCte(rel: String): String = {
+    val pre = namePrefixes.map(p => s"'$p'").mkString(", ")
+    val suf = nameSuffixes.map(s0 => s"'$s0'").mkString(", ")
+    s"""${rel}_tok AS (
+       |  SELECT *, regexp_split_to_array(trim(replace(upper(full_name), '.', '')), ' +') AS toks
+       |  FROM $rel),
+       |${rel}_dim AS (
+       |  SELECT *, len(toks) AS n,
+       |         CASE WHEN toks[1] IN ($pre) THEN 2 ELSE 1 END AS si
+       |  FROM ${rel}_tok),
+       |${rel}_dim2 AS (
+       |  SELECT *, CASE WHEN toks[n] IN ($suf) AND n > si THEN n - 1 ELSE n END AS ei
+       |  FROM ${rel}_dim),
+       |${rel}_parsed AS (
+       |  SELECT * EXCLUDE (toks, n, si, ei),
+       |         CASE WHEN si = 2 THEN toks[1] END AS name_prefix,
+       |         toks[si] AS first_p,
+       |         CASE WHEN ei - si >= 2 THEN array_to_string(toks[si+1:ei-1], ' ') END AS middle_p,
+       |         toks[ei] AS last_p,
+       |         CASE WHEN ei = n - 1 THEN ${standardizeSuffixSql("toks[n]")} END AS suffix_std
+       |  FROM ${rel}_dim2)""".stripMargin
+  }
 }

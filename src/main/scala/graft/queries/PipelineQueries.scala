@@ -227,18 +227,29 @@ object PipelineQueries {
     * their seed centroid (VectorOps.kmeans contract), so the output is
     * reproducible run-to-run and across partitionings.
     *
-    * Driver-side bound: the seed pick collects the fine cid LIST (ids
-    * only, not vectors) — linear in k. Fine for k up to ~10⁶ (8 MB of
-    * longs); at k ~ 10⁷ (n ~ 10⁹ corpus) replace with a distributed
-    * stride-sample before adopting this ladder at that scale.
+    * Driver-side bound: the seed pick is DISTRIBUTED — cids are ranked
+    * contiguously (DfOps.addContiguousId: range-partition + per-partition
+    * numbering, no single-partition window) and only the kc ≈ √(3k) rows
+    * at the evenly-strided rank positions come back to the driver, the
+    * same O(kc) driver state the kmeans loop itself holds. (Previously
+    * this collected the full k-long cid list — the one linear-in-k
+    * driver collect on the ladder path.)
     */
   def trainedCoarseCentroids(fine: DataFrame, iters: Int): DataFrame = {
     val s = fine.sparkSession
     val data = fine.select(col("cid").as("vec_id"), col("ce").as("embedding"))
-    val cids = data.select("vec_id").orderBy("vec_id").collect().map(_.getLong(0))
-    val k = cids.length
-    val kc = math.min(k, math.max(4, math.ceil(math.sqrt(3.0 * k)).toInt))
-    val seeds = (0 until kc).map(i => cids((i.toLong * k / kc).toInt))
+    val k = data.count()
+    val kc = math.min(k,
+      math.max(4L, math.ceil(math.sqrt(3.0 * k)).toLong)).toInt
+    // Rank positions i·k/kc, i < kc — identical to indexing the sorted
+    // cid array at those positions, so the seed set (and therefore the
+    // trained centroids) is unchanged by the distributed rewrite.
+    val positions = (0 until kc).map(i => Tuple1(i.toLong * k / kc))
+    val ranked = graft.ops.DfOps.addContiguousId(
+      data.select("vec_id"), "vec_id", "rnk")
+    val seeds = ranked
+      .join(broadcast(s.createDataFrame(positions).toDF("rnk")), Seq("rnk"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
     val (_, cents, _) = VectorOps.kmeans(data, seeds, iters)
     val rows = cents.map { case (ccid, arr) => (ccid, arr.map(_.toFloat)) }
     s.createDataFrame(rows).toDF("ccid", "cce")
@@ -265,6 +276,29 @@ object PipelineQueries {
       coarseProbes: Int, fineProbes: Int, iters: Int = 5): DataFrame =
     twoLevelAssignments(e, fine, trainedCoarseCentroids(fine, iters),
       coarseProbes, fineProbes)
+
+  /** [[trainedCellAssignments]] with BOTH probe counts derived from the
+    * realized index geometry — the PINNED ladder configuration. kc
+    * follows trainedCoarseCentroids' own rule (ceil(√(3k))); the COARSE
+    * probe count — the knob that binds recall (HierProbe 30×: cp4/6/8 at
+    * fp8 miss 6/2/0) — derives as cp = max(3, ceil(kc/5)); the fine
+    * probe count follows the flat derived-probe rule ([[derivedProbes]]).
+    * Round-15 determinism audit: two 30× HierProbe sessions on the same
+    * data reproduce the trained arms BITWISE (identical candidate and
+    * missed counts, 0/4408 at cp8-fp≥6) — the whole ladder is
+    * deterministic (decimal-summed kmeans means, id tiebreaks), so the
+    * derived rule is pinnable and re-gated by ScaleBench's parity audit
+    * at every scale point.
+    */
+  def trainedCellAssignmentsDerived(e: DataFrame, fine: DataFrame,
+      iters: Int = 5): DataFrame = {
+    val k = fine.count()
+    val kc = math.min(k,
+      math.max(4L, math.ceil(math.sqrt(3.0 * k)).toLong)).toInt
+    val cp = math.max(3, math.ceil(kc / 5.0).toInt)
+    val fp = math.max(3, math.ceil(3 * math.sqrt(k / 160.0)).toInt + 1)
+    trainedCellAssignments(e, fine, cp, fp, iters)
+  }
 
   /** Shared two-level assignment body: rank vectors against the BROADCAST
     * `coarse(ccid, cce, ccn)` level, keep top-`coarseProbes` coarse cells,

@@ -177,6 +177,71 @@ object PrepQueries {
               |GROUP BY geokey
               |HAVING SUM(reported_gq) >= 3
               |   AND round(CAST(SUM(reported_gq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) >= 0.7""".stripMargin)
+    ),
+    QueryDef(
+      // Free-text name parsing (reference 03 cell 16 — skipped there only
+      // because the CUF arrives pre-parsed; Wagner & Layne p. 9 edit
+      // list): synthesize a mixed-format free-text rendering per person
+      // (courtesy prefixes, spelled-out vs abbreviated generational
+      // suffixes, optional middle tokens), parse it back into
+      // prefix/first/middle/last/suffix with the shared rule tables,
+      // standardize the suffix (JUNIOR→JR, 2ND→II, …), and feed the
+      // PARSED first name through q18's alternate-name expansion — one
+      // 'orig' row plus one 'nick' row per nickname hit. Pure codegen'd
+      // scalar work plus one broadcast join; PrepQueriesSpec pins the
+      // namesearch win (parsed keys recover suffix-variant records that
+      // exact full-name keys miss).
+      "q137_name_parse",
+      (s, d) => {
+        val p = People.persons(s, d)
+          .select("k", "first_name", "middle_name", "middle_initial", "last_name")
+        val k = col("k")
+        val full = when(pmod(k, lit(5)) === 0,
+            concat_ws(" ", lit("MR."), col("first_name"), col("middle_name"),
+              col("last_name"), lit("JR.")))
+          .when(pmod(k, lit(5)) === 1,
+            concat_ws(" ", col("first_name"), col("middle_initial"),
+              col("last_name"), lit("SENIOR")))
+          .when(pmod(k, lit(5)) === 2,
+            concat_ws(" ", lit("DR"), col("first_name"), col("last_name"),
+              lit("III")))
+          .when(pmod(k, lit(5)) === 3,
+            concat_ws(" ", col("first_name"), col("last_name")))
+          .otherwise(concat_ws(" ", lit("MS"), col("first_name"),
+            col("last_name"), lit("2ND")))
+        val named = p.select(col("k"), full.as("full_name"))
+        val base = named.select(
+          col("k") +: col("full_name") +:
+            Preprocess.parseName(col("full_name")).map { case (nm, c) => c.as(nm) }: _*)
+        val nick = broadcast(
+          s.createDataFrame(Preprocess.nicknames).toDF("name", "alt"))
+        val orig = base
+          .withColumn("name_variant", col("first_p"))
+          .withColumn("variant_type", lit("orig"))
+        val alts = base.join(nick, col("first_p") === col("name"))
+          .select(base.columns.map(col) :+ col("alt").as("name_variant")
+            :+ lit("nick").as("variant_type"): _*)
+        orig.unionByName(alts)
+      },
+      Some {
+        val fullSql =
+          """CASE WHEN k % 5 = 0 THEN 'MR. ' || first_name || ' ' || middle_name || ' ' || last_name || ' JR.'
+            |     WHEN k % 5 = 1 THEN first_name || ' ' || middle_initial || ' ' || last_name || ' SENIOR'
+            |     WHEN k % 5 = 2 THEN 'DR ' || first_name || ' ' || last_name || ' III'
+            |     WHEN k % 5 = 3 THEN first_name || ' ' || last_name
+            |     ELSE 'MS ' || first_name || ' ' || last_name || ' 2ND' END""".stripMargin
+        s"""$withPersons,
+           |named AS (SELECT k, $fullSql AS full_name FROM persons),
+           |${Preprocess.parseNameSqlCte("named")},
+           |nick AS (SELECT * FROM (VALUES ${Preprocess.nicknamesSqlValues}) t(name, alt))
+           |SELECT k, full_name, name_prefix, first_p, middle_p, last_p, suffix_std,
+           |       first_p AS name_variant, 'orig' AS variant_type
+           |FROM named_parsed
+           |UNION ALL
+           |SELECT k, full_name, name_prefix, first_p, middle_p, last_p, suffix_std,
+           |       alt AS name_variant, 'nick' AS variant_type
+           |FROM named_parsed JOIN nick ON first_p = nick.name""".stripMargin
+      }
     )
   )
 }

@@ -60,9 +60,23 @@ object StreamingDedup {
           PipelineQueries.WinnowK, PipelineQueries.WinnowW)).as("key"))
       .select(col("doc_id").as("new_id"), shiftright(col("key"), 33).as("h"),
         col("key").bitwiseAND(lit(shift - 1)).as("pos_b"))
+    // Hub cap on COMBINED occupancy: the index build ([[winnowIndex]])
+    // caps buckets at corpus occupancy, but a boilerplate bucket can
+    // cross the cap only once arrivals pile onto it — so each batch
+    // re-checks corpus + batch occupancy per hash and drops buckets the
+    // batch pushes over, exactly the batch query's cap rule when the
+    // whole corpus arrives in one batch. Residual divergence from batch
+    // q134 is bounded to buckets whose occupancy crosses the cap only
+    // across SEPARATE micro-batches (each batch under-counts the other
+    // batches' arrivals) — the deployment form degrades predictably near
+    // the cap instead of letting a hub bucket explode the candidate join.
+    val occC = corpusFps.groupBy("h").agg(countDistinct("doc_id").as("nd_c"))
+    val occB = fps.groupBy("h").agg(countDistinct("new_id").as("nd_b"))
     corpusFps
       .select(col("doc_id").as("corpus_id"), col("h"), col("pos").as("pos_a"))
       .join(fps, Seq("h"))
+      .join(occC, Seq("h")).join(occB, Seq("h"))
+      .filter(col("nd_c") + col("nd_b") <= PipelineQueries.WinnowHubCap)
       .join(corpusTexts.select(col("doc_id").as("corpus_id"),
         col("text").as("ta")), Seq("corpus_id"))
       .join(arrivals.select(col("doc_id").as("new_id"), col("text").as("tb")),
@@ -77,10 +91,10 @@ object StreamingDedup {
   /** The (doc_id, h, pos) corpus fingerprint index [[winnowMatchesBatch]]
     * probes — decode of the packed winnow keys, with q134's hub cap
     * applied at BUILD time over the corpus occupancy (arrivals can't be
-    * pre-counted in a stream, so the deployment form measures the cap on
-    * the index side — the batch query's whole-corpus cap and this one
-    * agree wherever no bucket is near the cap, which the parity spec
-    * exercises at test SF).
+    * pre-counted in a stream; [[winnowMatchesBatch]] re-checks corpus +
+    * batch occupancy per probe so buckets a batch pushes over the cap
+    * are dropped the way the batch query drops them — see the bound
+    * documented there).
     */
   def winnowIndex(docs: DataFrame): DataFrame =
     PipelineQueries.winnowFingerprints(docs, "text")

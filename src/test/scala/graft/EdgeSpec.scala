@@ -157,7 +157,11 @@ class EdgeSpec extends SparkTestBase {
     import graft.queries.PipelineQueries
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text", "lang", "source")
-    val n = docs.count()
+    // The keep guarantee is relative to the SCORED pool (docs with ≥ 1
+    // token), not the raw document count — keepNum = keepDen selects
+    // exactly that pool, so the bound stays sound even if a fixture doc
+    // has no tokens.
+    val n = PipelineQueries.dsirSelect(docs, lit(false), 1, 1).count()
     val sel = PipelineQueries.dsirSelect(docs, lit(false), 1, 10).collect()
     assert(sel.nonEmpty, "empty selection on an empty target slice")
     // The floor-histogram rule keeps at least k = ceil(n/10) (crossing

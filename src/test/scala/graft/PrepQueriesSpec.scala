@@ -60,4 +60,53 @@ class PrepQueriesSpec extends SparkTestBase {
     byName("q20_gq_threshold").query(spark, sfDir).select("n_people").collect()
       .foreach(r => assert(r.getLong(0) >= 3))
   }
+
+  test("q137 parse rules: prefix/suffix peeling, standardization, guards") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "MR. JOHN Q SMITH JR."),
+      (2L, "JOHN SMITH JUNIOR"),
+      (3L, "DR MARY ANN LOPEZ 2ND"),
+      (4L, "MARY LOPEZ"),
+      (5L, "MR JR"), // suffix token with no core left: JR is the last name
+      (6L, "miss sarah o brien iv"))).toDF("k", "full_name")
+    val parsed = df.select(col("k") +:
+      Preprocess.parseName(col("full_name")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) ->
+        (0 to 4).map(i => Option(r.getString(i + 1))).toList).toMap
+    assert(parsed(1L) == List(Some("MR"), Some("JOHN"), Some("Q"), Some("SMITH"), Some("JR")))
+    assert(parsed(2L) == List(None, Some("JOHN"), None, Some("SMITH"), Some("JR")))
+    assert(parsed(3L) == List(Some("DR"), Some("MARY"), Some("ANN"), Some("LOPEZ"), Some("II")))
+    assert(parsed(4L) == List(None, Some("MARY"), None, Some("LOPEZ"), None))
+    assert(parsed(5L) == List(Some("MR"), Some("JR"), None, Some("JR"), None))
+    assert(parsed(6L) == List(Some("MISS"), Some("SARAH"), Some("O"), Some("BRIEN"), Some("IV")))
+  }
+
+  test("q137 namesearch: parsed keys recover suffix variants exact keys miss") {
+    // The reference file renders a person "FIRST MIDDLE LAST JR."; the
+    // input file renders the SAME person "MR FIRST LAST JUNIOR". Exact
+    // full-name keys recover nobody; blocking on the PARSED
+    // (first, last, standardized-suffix) key recovers every planted
+    // record — the Wagner & Layne p. 9 motivation for parsing names
+    // before the namesearch module.
+    val cohort = graft.queries.People.persons(spark, sfDir)
+      .select("k", "first_name", "middle_name", "last_name")
+      .filter(pmod(col("k"), lit(5)) === 0)
+    val n = cohort.count()
+    val ref = cohort.select(col("k").as("ref_k"),
+      concat_ws(" ", col("first_name"), col("middle_name"), col("last_name"),
+        lit("JR.")).as("full_name"))
+    val inp = cohort.select(col("k").as("in_k"),
+      concat_ws(" ", lit("MR"), col("first_name"), col("last_name"),
+        lit("JUNIOR")).as("full_name"))
+    assert(inp.join(ref, Seq("full_name")).count() == 0,
+      "exact full-name keys should miss every suffix variant")
+    def withParsed(df: org.apache.spark.sql.DataFrame) = df.select(
+      df.columns.map(col) ++
+        Preprocess.parseName(col("full_name")).map { case (nm, c) => c.as(nm) }: _*)
+    val recovered = withParsed(inp)
+      .join(withParsed(ref), Seq("first_p", "last_p", "suffix_std"))
+      .filter(col("in_k") === col("ref_k")).count()
+    assert(recovered == n,
+      s"parsed keys recovered $recovered of $n planted suffix variants")
+  }
 }

@@ -289,13 +289,16 @@ object ScaleBench {
         .filter(col("cos") >= 0.9 + 1e-6)
         .select("vec_a", "vec_b").cache()
       val nExact = exact.count()
-      // Trained-ladder probes from the realized counts: kc = ceil(√(3k))
-      // (trainedCoarseCentroids' own rule), coarse probes ≈ kc/5 (the
-      // binding recall knob — HierProbe 30×: cp4/6/8-fp8 miss 6/2/0),
-      // fine probes = the flat derived-probe rule. Auditing this arm
-      // every run makes the ladder's residual-loss distribution visible
-      // (kmeans means are float sums in shuffle order, so its recall
-      // jitters a few pairs run-to-run; flat stays the config of record).
+      // Trained-ladder probes from the realized counts — the PINNED
+      // derived rule (PipelineQueries.trainedCellAssignmentsDerived):
+      // kc = ceil(√(3k)), cp = max(3, ceil(kc/5)) (the binding recall
+      // knob — HierProbe 30×: cp4/6/8-fp8 miss 6/2/0), fine probes =
+      // the flat derived-probe rule. The ladder is DETERMINISTIC
+      // (round-15 audit: two 30× sessions reproduce candidates and
+      // misses bitwise — kmeans means are decimal sums, assignment
+      // tiebreaks on ids), so auditing this arm every run re-gates the
+      // derived rule at each new scale point rather than sampling a
+      // jitter distribution.
       val k = fine.count().toInt
       val kc = math.ceil(math.sqrt(3.0 * k)).toInt
       val cp = math.max(3, math.ceil(kc / 5.0).toInt)
@@ -304,7 +307,7 @@ object ScaleBench {
         "flat" -> (() => PipelineQueries.cellAssignments(e, fine, 3)),
         "hier" -> (() => PipelineQueries.hierarchicalCellAssignments(e, fine, 2, 3)),
         s"trained-cp$cp-fp$fp" ->
-          (() => PipelineQueries.trainedCellAssignments(e, fine, cp, fp))
+          (() => PipelineQueries.trainedCellAssignmentsDerived(e, fine))
       ).foreach { case (label, mk) =>
         val t0 = System.nanoTime()
         val cand = candPairs(mk()).cache()

@@ -107,4 +107,29 @@ class VectorOpsSpec extends SparkTestBase {
     val (obj2, cents2, _) = VectorOps.kmeans(data, seeds, iterations = 3)
     assert(obj == obj2 && cents.map(_._2.toSeq) == cents2.map(_._2.toSeq))
   }
+
+  test("kmeans centroids are bitwise partitioning-independent") {
+    // The trained-ladder gate: centroid means accumulate as exact
+    // decimals and assignment tiebreaks on ids, so re-partitioning the
+    // input (different shuffle order, different partial-agg grouping)
+    // must reproduce every centroid component BIT FOR BIT — this is what
+    // makes the derived coarse-probe rule pinnable instead of a jitter
+    // distribution (two 30× HierProbe sessions reproduced candidate and
+    // missed counts exactly).
+    GraftFunctions.register(spark)
+    val data = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val seeds = graft.queries.PipelineQueries.ivfSeedIdsFor(data.count())
+    val (objA, centsA, _) = VectorOps.kmeans(data.repartition(3), seeds, 2)
+    val (objB, centsB, _) =
+      VectorOps.kmeans(data.repartition(17, col("vec_id")), seeds, 2)
+    assert(objA == objB, s"objective differs across partitionings")
+    centsA.zip(centsB).foreach { case ((ca, va), (cb, vb)) =>
+      assert(ca == cb)
+      va.zip(vb).foreach { case (x, y) =>
+        assert(java.lang.Double.doubleToRawLongBits(x) ==
+          java.lang.Double.doubleToRawLongBits(y),
+          s"centroid $ca component differs: $x vs $y")
+      }
+    }
+  }
 }
