@@ -2861,7 +2861,7 @@ object LinkageQueries {
     * stale census side, so stale records resolve to their old address's
     * MAFID.
     */
-  private def mafFrame(s: SparkSession, d: String): DataFrame = {
+  private[graft] def mafFrame(s: SparkSession, d: String): DataFrame = {
     val p = People.persons(s, d)
     val cur = p.select(Preprocess.geokey(col("street_num"),
       std(col("street_raw")), std(col("unit_raw")),

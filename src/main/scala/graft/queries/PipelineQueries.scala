@@ -814,6 +814,146 @@ object PipelineQueries {
       .filter(col("nd") <= WinnowHubCap).select("h"), Seq("h"))
   }
 
+  /** Verified winnow gram matches of a corpus against itself: hub-capped
+    * fingerprints ([[winnowFingerprints]]), hash-equi-join candidates
+    * (slim id/pos rows only), then SUBSTRING-EQUALITY verification so
+    * polynomial-hash collisions can't surface. One row per verified
+    * matching fingerprint: (doc_a, doc_b, h, pos_a, pos_b), doc_a <
+    * doc_b. Shared by q134 (which aggregates it to overlap pairs) and
+    * q136 (which excises the matched spans).
+    */
+  private[graft] def winnowVerifiedGrams(docs: DataFrame): DataFrame = {
+    val fp = winnowFingerprints(docs, "text2")
+    val cand = fp.as("a").join(fp.as("b"), col("a.h") === col("b.h") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.h").as("h"), col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("text2").as("ta")),
+        Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("text2").as("tb")),
+        Seq("doc_b"))
+      .filter(col("ta").substr(col("pos_a").cast("int"), lit(WinnowK)) ===
+        col("tb").substr(col("pos_b").cast("int"), lit(WinnowK)))
+      .select("doc_a", "doc_b", "h", "pos_a", "pos_b")
+  }
+
+  /** Exact-span dedup REMOVAL (the Lee et al. 2022 "deduplicating
+    * training data" shape, built on q134's verified positions): for every
+    * verified overlap pair the LOWER-priority doc (q126's keep rule:
+    * source priority asc, n_chars desc, doc_id asc — the winner keeps
+    * its text) has the matched fingerprint grams excised. Matched grams
+    * within one shared passage sit ≤ w grams apart (winnowing selects
+    * one per window) and each spans k chars, so their [pos, pos+k−1]
+    * intervals overlap and MERGE into one contiguous span covering the
+    * detected core of the passage (up to w grams of slack at each edge
+    * — the detection guarantee is ≥ w+k−1-char substrings, and removal
+    * covers everything the guarantee detects). Interval merge is the
+    * gaps-and-islands window (the q90 idiom); reassembly concatenates
+    * the per-island kept segments — all shuffles carry slim (doc, pos)
+    * rows, texts re-attach by id.
+    *
+    * `docs` must carry (doc_id, text2, priority, n_chars). Output: one
+    * row per EXCISED doc — (doc_id, n_spans, chars_removed, text_clean);
+    * untouched docs (every pair's winner, matchless docs) don't appear.
+    */
+  private[graft] def winnowSpanDedup(docs: DataFrame): DataFrame = {
+    val ver = winnowVerifiedGrams(docs)
+    val aAttr = docs.select(col("doc_id").as("doc_a"),
+      col("priority").as("p_a"), col("n_chars").as("nc_a"))
+    val bAttr = docs.select(col("doc_id").as("doc_b"),
+      col("priority").as("p_b"), col("n_chars").as("nc_b"))
+    val aWins = col("p_a") < col("p_b") ||
+      (col("p_a") === col("p_b") && (col("nc_a") > col("nc_b") ||
+        (col("nc_a") === col("nc_b") && col("doc_a") < col("doc_b"))))
+    val spans = ver.join(aAttr, Seq("doc_a")).join(bAttr, Seq("doc_b"))
+      .select(
+        when(aWins, col("doc_b")).otherwise(col("doc_a")).as("doc_id"),
+        when(aWins, col("pos_b")).otherwise(col("pos_a")).as("pos"))
+      .distinct()
+    val byDoc = Window.partitionBy("doc_id").orderBy("st")
+    val iv = spans
+      .select(col("doc_id"), col("pos").as("st"),
+        (col("pos") + lit(WinnowK - 1)).as("en"))
+      .withColumn("pmax", max("en").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("pmax").isNull || col("st") > col("pmax") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum("brk").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    val islands = iv.groupBy("doc_id", "island")
+      .agg(min("st").as("st"), max("en").as("en"))
+    val byDocSt = Window.partitionBy("doc_id").orderBy("st")
+    val segs = islands
+      .withColumn("seg_start",
+        coalesce(lag("en", 1).over(byDocSt) + 1, lit(1L)))
+      .join(docs.select("doc_id", "text2"), Seq("doc_id"))
+      .select(col("doc_id"), col("st"), col("en"),
+        col("text2").substr(col("seg_start").cast("int"),
+          (col("st") - col("seg_start")).cast("int")).as("seg"))
+    segs.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("en") - col("st") + 1).as("chars_removed"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("st"), col("seg")))),
+          x => x.getField("seg")), "").as("head"),
+        max("en").as("laste"))
+      .join(docs.select("doc_id", "text2"), Seq("doc_id"))
+      .select(col("doc_id"), col("n_spans"), col("chars_removed"),
+        concat(col("head"),
+          col("text2").substr((col("laste") + 1).cast("int"),
+            lit(1 << 30))).as("text_clean"))
+  }
+
+  /** DuckDB mirror of [[winnowVerifiedGrams]]: CTE chain `grams` → `ver`
+    * over a `docs2(doc_id, text2, …)` CTE the caller defines. `ver` has
+    * (doc_a, doc_b, h, pos_a, pos_b). Shared by the q134 and q136
+    * oracles so the fingerprint/verify arithmetic cannot drift between
+    * them.
+    */
+  private[graft] val winnowVerSqlCtes: String =
+    s"""grams AS (
+       |  SELECT doc_id, unnest([
+       |    struct_pack(pos := CAST(i AS BIGINT),
+       |      h := list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |             [CAST(ascii(text2[j:j]) AS BIGINT)
+       |              FOR j IN range(i, i + $WinnowK)]),
+       |           (acc, x) -> (acc * 131 + x) % 1000000007))
+       |    FOR i IN range(1, len(text2) - $WinnowK + 2)], recursive := true)
+       |  FROM docs2 WHERE len(text2) >= $WinnowK),
+       |keys AS (
+       |  SELECT doc_id, pos, h * 8589934592 + pos AS key,
+       |         count(*) OVER (PARTITION BY doc_id) AS m
+       |  FROM grams),
+       |sel AS (
+       |  SELECT DISTINCT doc_id, mink AS key
+       |  FROM (SELECT doc_id, pos, m,
+       |               min(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |                 ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS mink
+       |        FROM keys) s
+       |  WHERE pos <= greatest(1, m - $WinnowW + 1)),
+       |fp0 AS (
+       |  SELECT doc_id, key // 8589934592 AS h, key % 8589934592 AS pos
+       |  FROM sel),
+       |fp AS (
+       |  SELECT f.* FROM fp0 f
+       |  JOIN (SELECT h FROM fp0 GROUP BY h
+       |        HAVING COUNT(DISTINCT doc_id) <= $WinnowHubCap) ok
+       |    ON f.h = ok.h),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.h,
+       |         a.pos AS pos_a, b.pos AS pos_b
+       |  FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |ver AS (
+       |  SELECT c.doc_a, c.doc_b, c.h, c.pos_a, c.pos_b
+       |  FROM cand c
+       |  JOIN docs2 ta ON ta.doc_id = c.doc_a
+       |  JOIN docs2 tb ON tb.doc_id = c.doc_b
+       |  WHERE substring(ta.text2, CAST(c.pos_a AS INTEGER), $WinnowK) =
+       |        substring(tb.text2, CAST(c.pos_b AS INTEGER), $WinnowK))""".stripMargin
+
   /** q134's planted passage for doc_id % 51 < 3: the group id is embedded
     * every ~12 chars, so every 40-char gram of the quote is GROUP-specific
     * — distinct groups share no k-gram (two distinct repeated units of
@@ -2267,30 +2407,47 @@ object PipelineQueries {
       // no global single-partition window exists; at 100 TB raise the
       // shard count, not the partition size. Deterministic in both
       // engines (integer arithmetic only).
+      // Greedy token-budget sequence packing, with the budget counted in
+      // REAL subword tokens: the in-corpus BPE tokenizer (q135 /
+      // operators.Bpe) supplies per-doc counts — a training-data
+      // pipeline budgets sequences in tokenizer tokens, not the
+      // char-proxy this query used through round 14. Wordless docs pack
+      // at 0 tokens (kept — packing decides placement, not curation).
       "q82_sequence_pack",
       (s, d) => {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("source", "shard").orderBy("doc_id")
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-        Tables.documents(s, d)
+        val docs = Tables.documents(s, d)
+        val counts = graft.operators.Bpe.docTokenCounts(
+            docs.select("doc_id", "text"), graft.operators.Bpe.mergesFor(s, d))
+          .select(col("doc_id"), col("n_bpe_tokens"))
+        docs
           .select(col("doc_id"), col("source"),
-            pmod(col("doc_id"), lit(8)).as("shard"),
-            expr("(length(text) + 3) div 4").cast("long").as("n_tokens"))
+            pmod(col("doc_id"), lit(8)).as("shard"))
+          .join(counts, Seq("doc_id"), "left")
+          .withColumn("n_tokens", coalesce(col("n_bpe_tokens"), lit(0L)))
+          .drop("n_bpe_tokens")
           .withColumn("cum_tokens", sum("n_tokens").over(w))
           .withColumn("pack_id",
             floor((col("cum_tokens") - col("n_tokens")) / lit(4096)).cast("long"))
       },
-      Some("""SELECT doc_id, source, doc_id % 8 AS shard,
-             |       CAST((length(text) + 3) // 4 AS BIGINT) AS n_tokens,
-             |       CAST(SUM((length(text) + 3) // 4) OVER (
-             |              PARTITION BY source, doc_id % 8 ORDER BY doc_id
-             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-             |         AS cum_tokens,
-             |       CAST(floor((CAST(SUM((length(text) + 3) // 4) OVER (
-             |              PARTITION BY source, doc_id % 8 ORDER BY doc_id
-             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-             |            - (length(text) + 3) // 4) / 4096) AS BIGINT) AS pack_id
-             |FROM documents""".stripMargin)
+      Some(s"""WITH ${graft.operators.Bpe.sqlTrainCtes()},
+              |${graft.operators.Bpe.sqlDocCountsCte},
+              |base AS (
+              |  SELECT d.doc_id, d.source, d.doc_id % 8 AS shard,
+              |         CAST(coalesce(b.n_bpe_tokens, 0) AS BIGINT) AS n_tokens
+              |  FROM documents d LEFT JOIN bpe_docs b ON d.doc_id = b.doc_id)
+              |SELECT doc_id, source, shard, n_tokens,
+              |       CAST(SUM(n_tokens) OVER (
+              |              PARTITION BY source, shard ORDER BY doc_id
+              |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              |         AS cum_tokens,
+              |       CAST(floor((CAST(SUM(n_tokens) OVER (
+              |              PARTITION BY source, shard ORDER BY doc_id
+              |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              |            - n_tokens) / 4096) AS BIGINT) AS pack_id
+              |FROM base""".stripMargin)
     ),
     QueryDef(
       // The composite nightly shape a training-data team runs: exact-dedup
@@ -3047,20 +3204,10 @@ object PipelineQueries {
         // cap every LSH-family candidate stage here applies). The cap is
         // far above any test-SF bucket, so the oracle mirror keeps the
         // hash exact.
-        val fp = winnowFingerprints(docs, "text2")
         // Slim candidate rows (ids, positions, hash) through the joins;
-        // texts re-attach BY ID only for the bounded verify set.
-        val cand = fp.as("a").join(fp.as("b"), col("a.h") === col("b.h") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            col("a.h").as("h"), col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
-        cand
-          .join(docs.select(col("doc_id").as("doc_a"), col("text2").as("ta")),
-            Seq("doc_a"))
-          .join(docs.select(col("doc_id").as("doc_b"), col("text2").as("tb")),
-            Seq("doc_b"))
-          .filter(col("ta").substr(col("pos_a").cast("int"), lit(WinnowK)) ===
-            col("tb").substr(col("pos_b").cast("int"), lit(WinnowK)))
+        // texts re-attach BY ID only for the bounded verify set — the
+        // shared winnowVerifiedGrams body, aggregated here to pairs.
+        winnowVerifiedGrams(docs)
           .groupBy("doc_a", "doc_b")
           // first_a/first_b must come from ONE verified row (independent
           // column mins could pair P-in-A with Q-in-B when two passages
@@ -3077,49 +3224,99 @@ object PipelineQueries {
       Some(s"""WITH docs2 AS (
               |  SELECT doc_id, text || $winnowQuoteSql AS text2
               |  FROM documents),
-              |grams AS (
-              |  SELECT doc_id, unnest([
-              |    struct_pack(pos := CAST(i AS BIGINT),
-              |      h := list_reduce(list_prepend(CAST(0 AS BIGINT),
-              |             [CAST(ascii(text2[j:j]) AS BIGINT)
-              |              FOR j IN range(i, i + $WinnowK)]),
-              |           (acc, x) -> (acc * 131 + x) % 1000000007))
-              |    FOR i IN range(1, len(text2) - $WinnowK + 2)], recursive := true)
-              |  FROM docs2 WHERE len(text2) >= $WinnowK),
-              |keys AS (
-              |  SELECT doc_id, pos, h * 8589934592 + pos AS key,
-              |         count(*) OVER (PARTITION BY doc_id) AS m
-              |  FROM grams),
-              |sel AS (
-              |  SELECT DISTINCT doc_id, mink AS key
-              |  FROM (SELECT doc_id, pos, m,
-              |               min(key) OVER (PARTITION BY doc_id ORDER BY pos
-              |                 ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS mink
-              |        FROM keys) s
-              |  WHERE pos <= greatest(1, m - $WinnowW + 1)),
-              |fp0 AS (
-              |  SELECT doc_id, key // 8589934592 AS h, key % 8589934592 AS pos
-              |  FROM sel),
-              |fp AS (
-              |  SELECT f.* FROM fp0 f
-              |  JOIN (SELECT h FROM fp0 GROUP BY h
-              |        HAVING COUNT(DISTINCT doc_id) <= $WinnowHubCap) ok
-              |    ON f.h = ok.h),
-              |cand AS (
-              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.h,
-              |         a.pos AS pos_a, b.pos AS pos_b
-              |  FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id),
-              |ver AS (
-              |  SELECT c.doc_a, c.doc_b, c.h, c.pos_a, c.pos_b
-              |  FROM cand c
-              |  JOIN docs2 ta ON ta.doc_id = c.doc_a
-              |  JOIN docs2 tb ON tb.doc_id = c.doc_b
-              |  WHERE substring(ta.text2, CAST(c.pos_a AS INTEGER), $WinnowK) =
-              |        substring(tb.text2, CAST(c.pos_b AS INTEGER), $WinnowK))
+              |$winnowVerSqlCtes
               |SELECT doc_a, doc_b, CAST(count(DISTINCT h) AS BIGINT) AS n_grams,
               |       min(pos_a * ${1L << 31} + pos_b) // ${1L << 31} AS first_a,
               |       min(pos_a * ${1L << 31} + pos_b) % ${1L << 31} AS first_b
               |FROM ver GROUP BY doc_a, doc_b""".stripMargin)
+    ),
+    QueryDef(
+      // Deterministic in-corpus BPE tokenizer (Sennrich et al. 2016,
+      // operators.Bpe): merges trained on the word-type table (one pair-
+      // count aggregate + 1-row argmax per merge, the EM loop pattern),
+      // encoding replayed as ONE nested-replace projection over the
+      // broadcast vocabulary dimension. The oracle RETRAINS — the full
+      // merge loop unrolled as a materialized CTE chain (the q105 EM
+      // idiom) — so the hash pins the training dynamics, not just a
+      // fixed merge list. Output: per-doc word and subword-token counts,
+      // the currency every token-budget operator (q82 packing) spends.
+      "q135_bpe_tokenize",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        graft.operators.Bpe.docTokenCounts(docs,
+          graft.operators.Bpe.mergesFor(s, d))
+      },
+      Some(s"""WITH ${graft.operators.Bpe.sqlTrainCtes()},
+              |${graft.operators.Bpe.sqlDocCountsCte}
+              |SELECT doc_id, n_words, n_bpe_tokens FROM bpe_docs""".stripMargin)
+    ),
+    QueryDef(
+      // Exact-span dedup REMOVAL (Lee et al. 2022 shape) on q134's
+      // verified winnow matches: every overlap pair's loser (q126's keep
+      // rule — source priority, then length, then id) has the verified
+      // matched-gram intervals merged (gaps-and-islands) and excised,
+      // and the document reassembled from the kept segments. Output is
+      // one row per excised doc with the cleaned text — the planted
+      // quote survives only in each group's keep-rule winner.
+      "q136_span_dedup",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"), winnowQuote(col("doc_id"))).as("text2"),
+          regexp_extract(col("source"), "([0-9]+)$", 1)
+            .cast("long").as("priority"),
+          col("n_chars"))
+        winnowSpanDedup(docs)
+      },
+      Some(s"""WITH docs2 AS (
+              |  SELECT doc_id, text || $winnowQuoteSql AS text2,
+              |         CAST(regexp_extract(source, '([0-9]+)$$', 1) AS BIGINT) AS priority,
+              |         n_chars
+              |  FROM documents),
+              |$winnowVerSqlCtes,
+              |spans AS (
+              |  SELECT DISTINCT
+              |         CASE WHEN aa.priority < bb.priority
+              |                OR (aa.priority = bb.priority AND (aa.n_chars > bb.n_chars
+              |                    OR (aa.n_chars = bb.n_chars AND v.doc_a < v.doc_b)))
+              |              THEN v.doc_b ELSE v.doc_a END AS doc_id,
+              |         CASE WHEN aa.priority < bb.priority
+              |                OR (aa.priority = bb.priority AND (aa.n_chars > bb.n_chars
+              |                    OR (aa.n_chars = bb.n_chars AND v.doc_a < v.doc_b)))
+              |              THEN v.pos_b ELSE v.pos_a END AS pos
+              |  FROM ver v
+              |  JOIN docs2 aa ON aa.doc_id = v.doc_a
+              |  JOIN docs2 bb ON bb.doc_id = v.doc_b),
+              |iv AS (
+              |  SELECT doc_id, pos AS st, pos + ${WinnowK - 1} AS en,
+              |         max(pos + ${WinnowK - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+              |  FROM spans),
+              |isl AS (
+              |  SELECT doc_id, st, en,
+              |         SUM(CASE WHEN pmax IS NULL OR st > pmax + 1 THEN 1 ELSE 0 END)
+              |           OVER (PARTITION BY doc_id ORDER BY st
+              |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+              |  FROM iv),
+              |islands AS (
+              |  SELECT doc_id, island, MIN(st) AS st, MAX(en) AS en
+              |  FROM isl GROUP BY doc_id, island),
+              |segs AS (
+              |  SELECT doc_id, st, en,
+              |         coalesce(lag(en) OVER (PARTITION BY doc_id ORDER BY st) + 1, 1) AS seg_start
+              |  FROM islands),
+              |agg AS (
+              |  SELECT s.doc_id,
+              |         CAST(COUNT(*) AS BIGINT) AS n_spans,
+              |         CAST(SUM(s.en - s.st + 1) AS BIGINT) AS chars_removed,
+              |         string_agg(substring(d.text2, CAST(s.seg_start AS INTEGER),
+              |                    CAST(s.st - s.seg_start AS INTEGER)), '' ORDER BY s.st) AS head,
+              |         MAX(s.en) AS laste
+              |  FROM segs s JOIN docs2 d ON d.doc_id = s.doc_id
+              |  GROUP BY s.doc_id)
+              |SELECT a.doc_id, a.n_spans, a.chars_removed,
+              |       a.head || substring(d.text2, CAST(a.laste + 1 AS INTEGER), ${1 << 30}) AS text_clean
+              |FROM agg a JOIN docs2 d ON d.doc_id = a.doc_id""".stripMargin)
     )
   )
 }

@@ -101,6 +101,74 @@ object StreamingLinkage {
     LinkageCascade.confirm(
       cascadeFinalize(refs, allArrivals, accLinks, cfg), deceasedPiks)
 
+  /** Stream-end finalization over ALL remaining PVS modules — the
+    * continuous-PIK path's batch-surface parity closure: after the
+    * household bridge ([[cascadeFinalize]]), the three modules the batch
+    * inventory ships as q128/q129/q130 run over the finalize-time global
+    * state with EXACTLY the batch queries' frames and anti-join
+    * structure, so a replay's module links equal batch q128 ∪ q129 ∪
+    * q130 (StreamingSpec pins it):
+    *
+    *  - Movers ([[LinkageCascade.moversStage]]): fully-unPIKed
+    *    multi-member households vs `census`, conditioned on the
+    *    main+hh GLOBAL link set — a household's last member may arrive
+    *    batches after its first, which is why this is a finalize pass,
+    *    not a per-batch one (same deferral argument as hhcomp).
+    *  - ZIP3 Adjacency: the two street-soundex passes re-run over the
+    *    post-hh remainder with the zip3 cut widened via
+    *    [[LinkageCascade.zip3Adjacent]] against `geoRef` (the GeoBase
+    *    side; `zip3Dim` plugs a real adjacency table in).
+    *  - MAFMatch: both sides resolve their sans-zip geokey against the
+    *    Master Address File `maf(maf_key, mafid)` and block on the
+    *    minted mafid — like the batch query, NO remainder anti-join
+    *    (PVS runs MAFMatch as an address-resolution pass, not a
+    *    cascade-tail pass).
+    *
+    * Returns main+hh+movers+zip3+maf links (pik, rec_id, match_weight,
+    * pass). At scale every module is the same blocked equi-join shape as
+    * the batch cascade; the MAF lookup joins on the sans-zip key (at
+    * 100 TB: a bucketed MAF table keyed on maf_key).
+    */
+  def cascadeFinalizeAllModules(
+      refs: Map[String, DataFrame],
+      census: DataFrame,
+      geoRef: DataFrame,
+      maf: DataFrame,
+      allArrivals: DataFrame,
+      accLinks: DataFrame,
+      cfg: LinkageConfig,
+      moversPass: BlockingPass,
+      zip3Passes: Seq[BlockingPass],
+      mafPass: BlockingPass,
+      zip3Dim: Option[DataFrame] = None): DataFrame = {
+    val slim = (df: DataFrame) =>
+      df.select("pik", "rec_id", "match_weight", "pass")
+    val links = cascadeFinalize(refs, allArrivals, accLinks, cfg)
+      .localCheckpoint()
+    val movers = LinkageCascade.moversStage(
+      census, allArrivals, links, cfg, moversPass)
+    val rem = allArrivals.join(
+      links.select("rec_id").distinct(), Seq("rec_id"), "left_anti")
+    val z1 = zip3Passes.head
+    val l1 = LinkageCascade.predict(geoRef,
+        LinkageCascade.zip3Adjacent(rem, zip3Dim), z1, cfg)
+      .withColumn("pass", lit(z1.name)).localCheckpoint()
+    val rem2 = rem.join(l1.select("rec_id"), Seq("rec_id"), "left_anti")
+    val z2 = zip3Passes(1)
+    val l2 = LinkageCascade.predict(geoRef,
+        LinkageCascade.zip3Adjacent(rem2, zip3Dim), z2, cfg)
+      .withColumn("pass", lit(z2.name))
+    def withMaf(side: DataFrame): DataFrame =
+      side.join(maf,
+        regexp_replace(side("geokey"), "\\|[^|]*$", "") === maf("maf_key"))
+        .drop("maf_key")
+    val mafLinks = LinkageCascade.predict(
+        withMaf(census), withMaf(allArrivals), mafPass, cfg)
+      .withColumn("pass", lit(mafPass.name))
+    slim(links).unionByName(slim(movers)).unionByName(slim(l1))
+      .unionByName(slim(l2)).unionByName(slim(mafLinks))
+  }
+
   /** q39-style per-pass accounting over the streamed links — the same
     * report the batch pipeline publishes ([[graft.linkage.LinkageCascade
     * .pikRateReport]]), produced at stream end so a continuous deployment

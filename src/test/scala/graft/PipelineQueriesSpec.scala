@@ -718,4 +718,69 @@ class PipelineQueriesSpec extends SparkTestBase {
       assert(w == expected(id), s"doc $id: selected logw $w != pool logw ${expected(id)}")
     }
   }
+
+  test("q135 BPE: round-trip decode, bounds, and real compression") {
+    import graft.operators.Bpe
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val merges = Bpe.mergesFor(spark, sfDir)
+    assert(merges.size == Bpe.NumMerges,
+      s"corpus exhausted at ${merges.size} merges — fixture too small")
+    val words = Bpe.wordsOf(docs).select("word").distinct().cache()
+    // Round trip: stripping the delimiters from the encoded repr must
+    // reproduce the word exactly (merges move boundaries, never content).
+    val enc = words.select(col("word"),
+      Bpe.applyMerges(Bpe.initRepr(col("word")), merges).as("repr"))
+    val bad = enc
+      .filter(translate(col("repr"), "\u0001\u0002", "") =!= col("word"))
+      .count()
+    assert(bad == 0, s"$bad word types fail round-trip decode")
+    // Token counts bounded by [1, len]; the trained merges actually fire
+    // (total subword tokens strictly below total characters).
+    val counted = enc.select(Bpe.tokenCount(col("repr")).as("n"),
+      length(col("word")).cast("long").as("len"))
+    assert(counted.filter(col("n") < 1 || col("n") > col("len")).count() == 0)
+    val Array(tokSum, chrSum) = counted.agg(sum("n"), sum("len"))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(tokSum < chrSum, s"no compression: $tokSum tokens vs $chrSum chars")
+    words.unpersist()
+  }
+
+  test("q136 span removal: quote gone from exactly the non-survivors, rest intact") {
+    import graft.queries.PipelineQueries
+    // Three docs share an exact 120-char passage mid-text with distinct
+    // prefixes/suffixes (no cross-doc 40-gram outside the passage); a
+    // fourth doc is unrelated. Keep rule: doc 1 has top priority (wins
+    // both its pairs); docs 2 vs 3 tie on priority and 2 is longer, so 3
+    // loses twice (same passage -> one merged span) and 2 loses once.
+    val passage = (1 to 10).map(i => s"sharedpassage$i").mkString(" ") // 120+ chars
+    def words(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${words("alpha", 12)} $passage ${words("omega", 12)}", 0L),
+      (2L, s"${words("bravo", 16)} $passage ${words("sigma", 16)}", 1L),
+      (3L, s"${words("carol", 12)} $passage ${words("delta", 12)}", 1L),
+      (4L, words("unrelatedfiller", 30), 1L))
+    val df = spark.createDataFrame(docs).toDF("doc_id", "text2", "priority")
+      .withColumn("n_chars", length(col("text2")).cast("long"))
+    val out = PipelineQueries.winnowSpanDedup(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out.keySet == Set(2L, 3L),
+      s"excised set ${out.keySet} != the two keep-rule losers")
+    val core = passage.substring(30, 90) // always inside the removed span
+    docs.filter(d => out.contains(d._1)).foreach { case (id, text, _) =>
+      val (nSpans, removed, clean) = out(id)
+      assert(nSpans == 1L, s"doc $id: expected one merged span, got $nSpans")
+      assert(!clean.contains(core), s"doc $id: passage core survived removal")
+      // The flanking spaces are part of the shared region (a gram starting
+      // at the leading space is identical across the three docs), so the
+      // preserved prefix/suffix are the words strictly outside them.
+      val prefix = text.substring(0, text.indexOf(passage) - 1)
+      val suffix = text.substring(text.indexOf(passage) + passage.length + 1)
+      assert(clean.startsWith(prefix), s"doc $id: prefix text changed")
+      assert(clean.endsWith(suffix), s"doc $id: suffix text changed")
+      assert(clean.length == text.length - removed,
+        s"doc $id: length bookkeeping off")
+      assert(removed <= passage.length + 2,
+        s"doc $id: removed $removed chars — more than the passage")
+    }
+  }
 }

@@ -369,6 +369,50 @@ class StreamingSpec extends SparkTestBase {
       "streamed per-pass accounting differs from the batch q39 report")
   }
 
+  test("stream-end movers/zip3/maf modules equal batch q128/q129/q130 exactly") {
+    import graft.functions.GraftFunctions
+    import graft.queries.LinkageQueries
+    import graft.streaming.StreamingLinkage
+    import org.apache.spark.sql.DataFrame
+    GraftFunctions.register(spark)
+    val refs = LinkageQueries.cascadeRefs(spark, sfDir)
+    val input = LinkageQueries.input(spark, sfDir)
+    val all = StreamingLinkage.cascadeFinalizeAllModules(
+      refs,
+      LinkageQueries.census(spark, sfDir),
+      LinkageQueries.geobase(spark, sfDir),
+      LinkageQueries.mafFrame(spark, sfDir),
+      input, replayedMainLinks, LinkageQueries.config,
+      LinkageQueries.moversPass, LinkageQueries.zip3AdjPasses,
+      LinkageQueries.mafPass)
+    val moduleNames = (LinkageQueries.moversPass.name +:
+      LinkageQueries.mafPass.name +:
+      LinkageQueries.zip3AdjPasses.map(_.name)).toSet
+    def keyed(df: DataFrame): Set[(Long, Long, String)] =
+      df.select("pik", "rec_id", "pass")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val streamed = keyed(all.filter(col("pass").isin(moduleNames.toSeq: _*)))
+    def batchQ(name: String): Set[(Long, Long, String)] = keyed(
+      LinkageQueries.defs.find(_.name == name).get.query(spark, sfDir))
+    val batch = batchQ("q128_movers") ++ batchQ("q129_zip3_adjacency") ++
+      batchQ("q130_mafmatch")
+    assert(streamed == batch,
+      s"finalize modules vs batch q128∪q129∪q130 differ: only-stream=" +
+        s"${(streamed -- batch).take(5)} only-batch=${(batch -- streamed).take(5)}")
+    // Each MODULE must contribute links at this SF or the parity is
+    // vacuous (q129's second pass is empty at test SF in batch too —
+    // z1 recovers the whole planted class — so zip3 checks pass-union).
+    val zip3Names = LinkageQueries.zip3AdjPasses.map(_.name).toSet
+    Seq(
+      "movers" -> Set(LinkageQueries.moversPass.name),
+      "zip3" -> zip3Names,
+      "maf" -> Set(LinkageQueries.mafPass.name)
+    ).foreach { case (label, names) =>
+      assert(streamed.exists(l => names.contains(l._3)),
+        s"module $label produced no links")
+    }
+  }
+
   /** The batch cascade's (pik, rec_id, pass) set at sfDir — the parity
     * target for the streaming replay.
     */
