@@ -465,6 +465,31 @@ class LinkageSpec extends SparkTestBase {
       s"zip3-adjacency coverage: got ${rows.map(_._2).toSet}, expected $expected")
   }
 
+  test("zip3 adjacency with a custom broadcast dim reproduces the arithmetic default") {
+    import graft.linkage.LinkageCascade
+    // The pluggable shape a real Census adjacency table drops into:
+    // feeding the EXPLICIT arithmetic dim built from the frame's own
+    // zip3 set must reproduce the inline-arithmetic default exactly —
+    // and a truncated custom dim (identity edges only) must reduce the
+    // neighborhood to exact-zip3, proving the dim actually binds.
+    val rem = graft.queries.LinkageQueries.input(spark, sfDir)
+      .select("rec_id", "zip3").filter(col("zip3").isNotNull)
+    def keyed(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      df.select("rec_id", "zip3").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val default = keyed(LinkageCascade.zip3Adjacent(rem))
+    val viaDim = keyed(LinkageCascade.zip3Adjacent(rem,
+      Some(LinkageCascade.arithmeticZip3Dim(rem))))
+    assert(viaDim == default,
+      s"explicit arithmetic dim diverges from the inline default: " +
+        s"only-dim=${(viaDim -- default).take(3)} only-default=${(default -- viaDim).take(3)}")
+    val identityDim = rem.select("zip3").distinct()
+      .select(col("zip3"), col("zip3").as("adj_zip3"))
+    val viaIdentity = keyed(LinkageCascade.zip3Adjacent(rem, Some(identityDim)))
+    assert(viaIdentity == keyed(rem.select("rec_id", "zip3")),
+      "identity dim should reduce the neighborhood to exact zip3")
+  }
+
   /** Pure zip-typo membership: the k%17 zip noise with no other class, no
     * move, clean DOB, census-covered, non-GQ — records whose ONLY defect
     * is the zip rendering.
