@@ -2851,6 +2851,54 @@ object LinkageQueries {
             round(col("match_weight"), 6).as("mw"), col("pass"))
       },
       Some(mafSql)
+    ),
+    QueryDef(
+      // TIGER-style geocode attachment after MAFMatch (reference 03 cell
+      // 24: the real PVS carries MAFID → census tract/block codes; the
+      // reference skips the attach). The join SHAPE is the deliverable:
+      // geography is a typed-metadata dim keyed by mafid — broadcast
+      // against the resolved input side, one narrow join, so the real
+      // TIGER file drops in by replacing the dim. The dim here derives
+      // tract/block deterministically from the mafid (multiplicative
+      // arithmetic both engines reproduce) — a synthetic stand-in with
+      // the real file's key structure.
+      "q138_geocode_attach",
+      (s, d) => {
+        reg(s)
+        val maf = mafFrame(s, d)
+        val geo = maf.select(col("maf_key"), col("mafid"),
+          lpad(pmod(pmod(col("mafid") * 7919, lit(104729)), lit(10000))
+            .cast("string"), 6, "0").as("tract"),
+          lpad(pmod(pmod(col("mafid") * 3571, lit(104707)), lit(1000))
+            .cast("string"), 4, "0").as("block"))
+        val inp = input(s, d).select(col("rec_id"), col("geokey"))
+        inp.join(broadcast(geo),
+            regexp_replace(inp("geokey"), "\\|[^|]*$", "") === geo("maf_key"))
+          .select("rec_id", "mafid", "tract", "block")
+      },
+      Some {
+        val curKey = geokeySql(Seq("street_num", stdSql("street_raw"),
+          stdSql("unit_raw"), "city", "state"))
+        val oldKey = geokeySql(Seq("street_num_old", stdSql("street_raw_old"),
+          "''", "city_old", "state_old"))
+        s"""$base,
+           |maf_addr AS (
+           |  SELECT DISTINCT maf_key FROM (
+           |    SELECT $curKey AS maf_key FROM persons
+           |    UNION ALL
+           |    SELECT $oldKey AS maf_key FROM persons) u),
+           |maf AS MATERIALIZED (
+           |  SELECT maf_key, row_number() OVER (ORDER BY maf_key) - 1 AS mafid
+           |  FROM maf_addr),
+           |geo AS (
+           |  SELECT maf_key, mafid,
+           |         lpad(CAST((mafid * 7919) % 104729 % 10000 AS VARCHAR), 6, '0') AS tract,
+           |         lpad(CAST((mafid * 3571) % 104707 % 1000 AS VARCHAR), 4, '0') AS block
+           |  FROM maf)
+           |SELECT i.rec_id, g.mafid, g.tract, g.block
+           |FROM input i
+           |JOIN geo g ON regexp_replace(i.geokey, '\\|[^|]*$$', '') = g.maf_key""".stripMargin
+      }
     )
   )
 

@@ -1146,6 +1146,13 @@ object PipelineQueries {
     }),
     "emb_corpus_cells" -> ((s: SparkSession, d: String) => {
       corpusCellIndex(s, d).count(); ()
+    }),
+    // The BPE merge list feeds q135/q82/q59; training it in the warm
+    // phase keeps its 16-iteration loop off whichever consumer runs
+    // first (the cross-query memo accounting rule every other memo here
+    // follows).
+    "bpe_merges" -> ((s: SparkSession, d: String) => {
+      graft.operators.Bpe.mergesFor(s, d); ()
     }))
 
   /** The decontamination family's shared input: the planted-passage corpus
@@ -2105,10 +2112,19 @@ object PipelineQueries {
       // the corpus); pass 2 is a broadcast join + scan-local filter. All
       // double arithmetic is written with the same shape and explicit
       // DOUBLE casts in the oracle so the engines round identically.
+      // Mix-weighted sampling to a token budget, with the budget counted
+      // in REAL subword tokens (q135's in-corpus BPE) — the same
+      // repricing as q82: a mixing run allocates tokenizer tokens, not
+      // whitespace splits. Wordless docs weigh 0.
       "q59_dataset_mix",
       (s, d) => {
-        val toks = Tables.documents(s, d).select(col("doc_id"), col("lang"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"), col("lang"))
+          .join(graft.operators.Bpe.docTokenCounts(
+              docs.select("doc_id", "text"), graft.operators.Bpe.mergesFor(s, d))
+            .select(col("doc_id"), col("n_bpe_tokens")), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("lang"),
+            coalesce(col("n_bpe_tokens"), lit(0L)).as("n_tokens"))
         val wcol = when(col("lang") === "en", lit(0.40)).otherwise(lit(0.15))
         val perLang = toks.groupBy("lang").agg(sum("n_tokens").as("lang_tokens"))
         // The global total is a window over the O(#languages) agg output,
@@ -2139,10 +2155,12 @@ object PipelineQueries {
             coalesce(col("n_docs_sampled"), lit(0L)).as("n_docs_sampled"),
             coalesce(col("n_tokens_sampled"), lit(0L)).as("n_tokens_sampled"))
       },
-      Some("""WITH toks AS (
-             |  SELECT doc_id, lang,
-             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-             |  FROM documents),
+      Some(s"""WITH ${graft.operators.Bpe.sqlTrainCtes()},
+             |${graft.operators.Bpe.sqlDocCountsCte},
+             |toks AS (
+             |  SELECT d.doc_id, d.lang,
+             |         CAST(coalesce(b.n_bpe_tokens, 0) AS BIGINT) AS n_tokens
+             |  FROM documents d LEFT JOIN bpe_docs b ON d.doc_id = b.doc_id),
              |per_lang AS (
              |  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens
              |  FROM toks GROUP BY lang),
