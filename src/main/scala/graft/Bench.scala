@@ -89,11 +89,18 @@ object Bench {
     // the artifact can never silently masquerade as a clean run.
     val maxPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
     val passGuardSec = 300.0
-    def isChain(name: String): Boolean =
-      name.length >= 3 && name.slice(1, 3).forall(_.isDigit) && {
-        val n = name.slice(1, 3).toInt
-        (n >= 13 && n <= 20) || (n >= 26 && n <= 38)
-      }
+    // FULL numeric id (digits up to the first '_'): a 2-char slice would
+    // also match q130..q138 ("13" prefix) and silently inflate the chain
+    // with ~half of the D/E-family tails — exactly what r14's chain_sec
+    // did once q130+ landed.
+    def qNum(name: String): Int = {
+      val ds = name.drop(1).takeWhile(_.isDigit)
+      if (name.startsWith("q") && ds.nonEmpty) ds.toInt else -1
+    }
+    def isChain(name: String): Boolean = {
+      val n = qNum(name)
+      (n >= 13 && n <= 20) || (n >= 26 && n <= 38)
+    }
     // Per-query history from the committed bench_last.json (read BEFORE
     // this run overwrites it). Best-effort: absent/corrupt history just
     // disables the hist floor and loosens the clean-chain bar.
@@ -200,9 +207,7 @@ object Bench {
     // BASELINE.md chains: prep = q13..q20, linkage = q26..q38; their sum is
     // the ratio vs the reference small_sample run (41.66 s).
     def chain(lo: Int, hi: Int): Double = results.collect {
-      case (k, v, None) if k.take(3).drop(1).forall(_.isDigit) && {
-        val n = k.slice(1, 3).toInt; n >= lo && n <= hi
-      } => v
+      case (k, v, None) if { val n = qNum(k); n >= lo && n <= hi } => v
     }.sum
     val prepSec = chain(13, 20)
     val linkSec = chain(26, 38)

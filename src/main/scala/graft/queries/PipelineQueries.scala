@@ -300,6 +300,28 @@ object PipelineQueries {
     trainedCellAssignments(e, fine, cp, fp, iters)
   }
 
+  /** Ladder adoption threshold: below this realized cell count, flat n·k
+    * assignment is the cheapest zero-loss plan (the ladder's coarse
+    * level is pure overhead at small k); at or above it, the trained
+    * two-level ladder's n·(kc + cp·k/kc) term wins. Measured crossover:
+    * at 30× (k=493) the derived ladder arm beat flat on wall with
+    * 0/4408 missed, at 100× (k=821) 0/6408 at 0.38× flat's wall; at 10×
+    * (k=165) flat is still faster. Every test SF stays below the
+    * threshold, so the oracle-hashed plans are unchanged.
+    */
+  private[graft] val LadderK = 256L
+
+  /** PRODUCTION probe-cell assignment — the scheme derives from the
+    * realized index size, the same way k and the probe counts derive
+    * from the corpus: flat + derived probes below [[LadderK]] cells,
+    * the kmeans-trained two-level ladder (derived kc/cp/fp) at or
+    * above. ScaleBench's parity audit gates whichever scheme the scale
+    * point selects (30×/100× audits run the ladder: 0/4408, 0/6408).
+    */
+  def productionAssignments(e: DataFrame, cents: DataFrame): DataFrame =
+    if (cents.count() < LadderK) cellAssignmentsDerived(e, cents)
+    else trainedCellAssignmentsDerived(e, cents)
+
   /** Shared two-level assignment body: rank vectors against the BROADCAST
     * `coarse(ccid, cce, ccn)` level, keep top-`coarseProbes` coarse cells,
     * expand to the fine centroids homed (top-1) in those cells, rank the
@@ -421,7 +443,7 @@ object PipelineQueries {
   private def embDedupPairsBuild(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = embDupNorms(s, d)
-    val assign = cellAssignmentsDerived(e, ivfCentroids(e))
+    val assign = productionAssignments(e, ivfCentroids(e))
     val cand = assign.as("a").join(assign.as("b"),
         col("a.label") === col("b.label") && col("a.cid") === col("b.cid") &&
           col("a.vec_id") < col("b.vec_id"))
