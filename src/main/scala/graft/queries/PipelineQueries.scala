@@ -801,6 +801,12 @@ object PipelineQueries {
     */
   private[graft] val DsirBuckets = 1024L
 
+  /** Hashed-bigram model size for q139 — fixed, so the LM table is
+    * O(BigramBuckets) and broadcasts regardless of corpus size (the
+    * DSIR bucketing idiom one n-gram order up).
+    */
+  private[graft] val BigramBuckets = 4096L
+
   /** Winnowing gram length / window (q134): guarantee = detect every
     * shared substring ≥ k + w − 1 = 60 chars, match nothing < 40.
     */
@@ -3269,6 +3275,246 @@ object PipelineQueries {
               |       min(pos_a * ${1L << 31} + pos_b) // ${1L << 31} AS first_a,
               |       min(pos_a * ${1L << 31} + pos_b) % ${1L << 31} AS first_b
               |FROM ver GROUP BY doc_a, doc_b""".stripMargin)
+    ),
+    QueryDef(
+      // Checksum-verified PII redaction — q54's regex detector upgraded
+      // the way production PII pipelines cut false positives: 16-digit
+      // candidates are VALIDATED with the Luhn checksum in-query (pure
+      // codegen'd arithmetic over the candidate's own digits), and only
+      // checksum-valid card numbers are redacted — the digit soup that
+      // merely looks like a card survives. Fixture plants one valid or
+      // invalid candidate per doc_id % 9 class in both engines. Output:
+      // one row per doc with >= 1 candidate. Map-side only.
+      "q142_luhn_redact",
+      (s, d) => {
+        val plant = when(pmod(col("doc_id"), lit(9)) === 0,
+            lit(" card 4111111111111111 end"))
+          .when(pmod(col("doc_id"), lit(9)) === 3,
+            lit(" card 5500005555555559 end"))
+          .when(pmod(col("doc_id"), lit(9)) === 6,
+            lit(" card 1234567890123456 end"))
+          .otherwise(lit(""))
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), concat(col("text"), plant).as("text2"))
+        val cands = docs.select(col("doc_id"), col("text2"),
+          explode(expr("regexp_extract_all(text2, '([0-9]{16})', 1)")).as("cand"))
+        // Luhn over a 16-digit string: doubling positions 1,3,…,15
+        // (1-based from the left for even total length).
+        val luhnSum = aggregate(
+          transform(sequence(lit(1), lit(16)), i => {
+            val v = ascii(substring(col("cand"), lit(1), lit(16)).substr(i, lit(1))) - 48
+            val dbl = v * 2
+            when(pmod(i, lit(2)) === 1,
+              when(dbl > 9, dbl - 9).otherwise(dbl)).otherwise(v)
+          }),
+          lit(0), (a, x) => a + x)
+        cands
+          .withColumn("is_valid", pmod(luhnSum, lit(10)) === 0)
+          .groupBy("doc_id", "text2")
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(when(col("is_valid"), 1L).otherwise(0L)).as("n_valid"),
+            max(when(col("is_valid"), col("cand"))).as("vcand"))
+          .select(col("doc_id"), col("n_candidates"), col("n_valid"),
+            when(col("n_valid") > 0,
+              call_function("replace", col("text2"), col("vcand"), lit("[CARD]")))
+              .otherwise(col("text2")).as("text_red"))
+      },
+      Some("""WITH docs2 AS (
+             |  SELECT doc_id,
+             |         text || CASE WHEN doc_id % 9 = 0 THEN ' card 4111111111111111 end'
+             |                      WHEN doc_id % 9 = 3 THEN ' card 5500005555555559 end'
+             |                      WHEN doc_id % 9 = 6 THEN ' card 1234567890123456 end'
+             |                      ELSE '' END AS text2
+             |  FROM documents),
+             |cands AS (
+             |  SELECT doc_id, text2, unnest(regexp_extract_all(text2, '[0-9]{16}')) AS cand
+             |  FROM docs2),
+             |scored AS (
+             |  SELECT doc_id, text2, cand,
+             |         list_aggregate([
+             |           CASE WHEN i % 2 = 1
+             |                THEN CASE WHEN (ascii(substr(cand, i, 1)) - 48) * 2 > 9
+             |                          THEN (ascii(substr(cand, i, 1)) - 48) * 2 - 9
+             |                          ELSE (ascii(substr(cand, i, 1)) - 48) * 2 END
+             |                ELSE ascii(substr(cand, i, 1)) - 48 END
+             |           FOR i IN range(1, 17)], 'sum') % 10 = 0 AS is_valid
+             |  FROM cands)
+             |SELECT doc_id,
+             |       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             |       CAST(SUM(CASE WHEN is_valid THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+             |       CASE WHEN SUM(CASE WHEN is_valid THEN 1 ELSE 0 END) > 0
+             |            THEN replace(text2, MAX(CASE WHEN is_valid THEN cand END), '[CARD]')
+             |            ELSE text2 END AS text_red
+             |FROM scored GROUP BY doc_id, text2""".stripMargin)
+    ),
+    QueryDef(
+      // Tokenizer evaluation: per-language FERTILITY (subword tokens per
+      // word) and compression (chars per token) of the q135-trained BPE
+      // — the metric a tokenizer team tracks per language before
+      // committing a vocabulary (high fertility = the language pays more
+      // sequence length per word). One broadcast join of the per-doc
+      // counts back to the language column + a bounded-key aggregate.
+      "q141_tokenizer_fertility",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val counts = graft.operators.Bpe.docTokenCounts(
+          docs.select("doc_id", "text"), graft.operators.Bpe.mergesFor(s, d))
+        val chars = graft.operators.Bpe.wordsOf(docs.select("doc_id", "text"))
+          .groupBy("doc_id").agg(sum(length(col("word"))).as("n_chars_w"))
+        docs.select("doc_id", "lang").join(counts, Seq("doc_id"))
+          .join(chars, Seq("doc_id"))
+          .groupBy("lang")
+          .agg(sum("n_words").as("words"), sum("n_bpe_tokens").as("tokens"),
+            sum("n_chars_w").as("chars_w"))
+          .select(col("lang"), col("words"), col("tokens"),
+            round(col("tokens").cast("double") / col("words").cast("double"), 6)
+              .as("fertility"),
+            round(col("chars_w").cast("double") / col("tokens").cast("double"), 6)
+              .as("chars_per_token"))
+      },
+      Some(s"""WITH ${graft.operators.Bpe.sqlTrainCtes()},
+              |${graft.operators.Bpe.sqlDocCountsCte},
+              |chars AS (
+              |  SELECT doc_id, CAST(SUM(length(word)) AS BIGINT) AS n_chars_w
+              |  FROM bpe_dw GROUP BY doc_id)
+              |SELECT d.lang,
+              |       CAST(SUM(b.n_words) AS BIGINT) AS words,
+              |       CAST(SUM(b.n_bpe_tokens) AS BIGINT) AS tokens,
+              |       round(CAST(SUM(b.n_bpe_tokens) AS DOUBLE) / CAST(SUM(b.n_words) AS DOUBLE), 6) AS fertility,
+              |       round(CAST(SUM(c.n_chars_w) AS DOUBLE) / CAST(SUM(b.n_bpe_tokens) AS DOUBLE), 6) AS chars_per_token
+              |FROM documents d
+              |JOIN bpe_docs b ON d.doc_id = b.doc_id
+              |JOIN chars c ON d.doc_id = c.doc_id
+              |GROUP BY d.lang""".stripMargin)
+    ),
+    QueryDef(
+      // URL canonicalization + URL-level dedup — the web-crawl front
+      // door: the same page arrives under scheme/case/www/port/tracking
+      // -param/trailing-slash variants, and URL dedup kills the recrawl
+      // before any content-level pass pays for it. Documents carry no
+      // URL column, so a deterministic messy URL is synthesized per doc
+      // (four variant shapes, duplicate canonical targets planted by
+      // construction) in BOTH engines; canonicalization is a fixed
+      // anchored-rewrite chain (scheme→https, lowercase, strip www /
+      // default port / query tracking / trailing slash) — pure map-side
+      // scalar work — and the keep is a hash-aggregate min per
+      // canonical. At 100 TB: one scan, one dedup shuffle on the
+      // canonical key.
+      "q140_url_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // Canonical key = (source host, doc_id % 60): sources are the
+        // doc_id % 20 classes, so ids s, s+60, s+120, … land on the SAME
+        // canonical URL — every canonical group carries ~n/3 planted
+        // recrawl variants at any SF.
+        val host = concat(col("source"), lit(".example.com"))
+        val path = concat(lit("/p/"),
+          pmod(col("doc_id"), lit(60)).cast("string"))
+        val url = when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit("http://WWW."), host, lit(":80"), path, lit("/")))
+          .when(pmod(col("doc_id"), lit(4)) === 1,
+            concat(lit("https://"), host, path, lit("?utm_source=feed")))
+          .when(pmod(col("doc_id"), lit(4)) === 2,
+            concat(lit("HTTPS://"), upper(host), path))
+          .otherwise(concat(lit("https://www."), host, path))
+        val canon = regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(lower(url), "^http://", "https://"),
+                "://www\\.", "://"),
+              ":80/", "/"),
+            "\\?.*$", ""),
+          "/$", "")
+        val withUrl = docs.select(col("doc_id"), url.as("url_raw"),
+          canon.as("url_canon"))
+        val keep = withUrl.groupBy("url_canon")
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dupes"))
+        withUrl.join(keep, Seq("url_canon"))
+          .select(col("doc_id"), col("url_raw"), col("url_canon"),
+            col("n_dupes"), (col("doc_id") === col("keep_id")).as("is_kept"))
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |         CASE WHEN doc_id % 4 = 0 THEN 'http://WWW.' || host || ':80' || path || '/'
+             |              WHEN doc_id % 4 = 1 THEN 'https://' || host || path || '?utm_source=feed'
+             |              WHEN doc_id % 4 = 2 THEN 'HTTPS://' || upper(host) || path
+             |              ELSE 'https://www.' || host || path END AS url_raw
+             |  FROM (SELECT doc_id,
+             |               source || '.example.com' AS host,
+             |               '/p/' || CAST(doc_id % 60 AS VARCHAR) AS path
+             |        FROM documents)),
+             |c AS (
+             |  SELECT doc_id, url_raw,
+             |         regexp_replace(
+             |           regexp_replace(
+             |             regexp_replace(
+             |               regexp_replace(
+             |                 regexp_replace(lower(url_raw), '^http://', 'https://'),
+             |                 '://www\.', '://'),
+             |               ':80/', '/'),
+             |             '\?.*$', ''),
+             |           '/$', '') AS url_canon
+             |  FROM u),
+             |k AS (SELECT url_canon, MIN(doc_id) AS keep_id,
+             |             CAST(COUNT(*) AS BIGINT) AS n_dupes
+             |      FROM c GROUP BY url_canon)
+             |SELECT c.doc_id, c.url_raw, c.url_canon, k.n_dupes,
+             |       c.doc_id = k.keep_id AS is_kept
+             |FROM c JOIN k ON c.url_canon = k.url_canon""".stripMargin)
+    ),
+    QueryDef(
+      // Bigram-LM quality score — the CCNet-style perplexity filter one
+      // order above q66's unigram: per-doc mean log P(bigram) under a
+      // HASHED-bigram corpus model (the q133 DSIR bucketing idiom —
+      // md5-bucketed pairs keep the model O(BigramBuckets) and broadcast
+      // regardless of corpus size, where a raw bigram table would grow
+      // with the corpus). Two corpus scans (model fit, scoring), decimal
+      // term truncation before the per-doc sum (the q66 cross-engine
+      // rule), no global sort. Low mean ⇒ improbable word sequences ⇒
+      // the doc is a quality-gate candidate.
+      "q139_bigram_logprob",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val w = TextOps.words(col("text"))
+        val bigr = docs.select(col("doc_id"), explode(transform(
+            slice(w, lit(1), size(w) - 1),
+            (x, i) => concat(x, lit(" "),
+              element_at(w, (i + 2).cast("int"))))).as("bg"))
+          .withColumn("bucket",
+            pmod(TextOps.md5Mod(col("bg")), lit(BigramBuckets)))
+          .drop("bg")
+        val bc = bigr.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        val total = bc.agg(sum("cnt").as("total"))
+        bigr.join(broadcast(bc), Seq("bucket"))
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"),
+            log(col("cnt").cast("double") / col("total").cast("double"))
+              .cast("decimal(28,12)").as("logp"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(sum(col("logp")).cast("double") / count(lit(1)).cast("double"), 6)
+              .as("mean_logp2"))
+      },
+      Some(s"""WITH ws AS (
+              |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              |bigr0 AS (
+              |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+              |                         FOR i IN range(1, len(w))]) AS bg
+              |  FROM ws),
+              |bigr AS MATERIALIZED (
+              |  SELECT doc_id, (${TextOps.md5ModSql("mh")}) % $BigramBuckets AS bucket
+              |  FROM (SELECT doc_id, md5(bg) AS mh FROM bigr0)),
+              |bc AS (SELECT bucket, COUNT(*) AS cnt FROM bigr GROUP BY bucket),
+              |total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM bc)
+              |SELECT doc_id, COUNT(*) AS n_bigrams,
+              |       round(CAST(SUM(logp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_logp2
+              |FROM (
+              |  SELECT b.doc_id,
+              |         CAST(ln(CAST(c.cnt AS DOUBLE) / CAST(t.total AS DOUBLE))
+              |              AS DECIMAL(28,12)) AS logp
+              |  FROM bigr b JOIN bc c ON b.bucket = c.bucket, total t)
+              |GROUP BY doc_id""".stripMargin)
     ),
     QueryDef(
       // Deterministic in-corpus BPE tokenizer (Sennrich et al. 2016,

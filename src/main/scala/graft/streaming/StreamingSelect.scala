@@ -52,4 +52,20 @@ object StreamingSelect {
     val toks = PipelineQueries.dsirTokens(arrivals, lit(false))
     PipelineQueries.dsirKeep(PipelineQueries.dsirScore(toks, model), thr)
   }
+
+  /** BPE token accounting for an arriving micro-batch — the streaming
+    * deployment of q135: the merge list is TRAINED once on the reference
+    * corpus (the tokenizer is fitted offline; retraining per batch would
+    * drift token budgets batch-to-batch) and each arriving batch of
+    * (doc_id, text) rows is counted with the SAME nested-replace
+    * encoding ([[graft.operators.Bpe.docTokenCounts]]). Stateless: a
+    * doc's count depends only on its own words plus the fitted merge
+    * list, so per-batch outputs union to exactly the batch q135 result
+    * under any replay order (StreamingSpec pins it). At scale the merge
+    * list is a few KB shipped in the closure; each batch pays one
+    * map-side explode + a broadcast vocabulary join.
+    */
+  def bpeCountsBatch(merges: Seq[(String, String)],
+      arrivals: DataFrame): DataFrame =
+    graft.operators.Bpe.docTokenCounts(arrivals.select("doc_id", "text"), merges)
 }

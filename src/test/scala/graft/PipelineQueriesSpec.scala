@@ -719,6 +719,74 @@ class PipelineQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q139 bigram logprob: coverage, negative means, bucket-model bound") {
+    val rows = byName("q139_bigram_logprob").query(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("nw"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // Every doc with >= 2 words scores; n_bigrams = words - 1.
+    docs.foreach { case (id, nw) =>
+      if (nw >= 2) {
+        assert(rows.contains(id), s"doc $id (nw=$nw) missing from q139")
+        assert(rows(id)._1 == nw - 1, s"doc $id bigram count ${rows(id)._1} != ${nw - 1}")
+      }
+    }
+    // Probabilities are < 1 so every mean log is strictly negative, and
+    // no mean can beat log(1/total) >= the best single bucket's share.
+    rows.values.foreach { case (_, m) => assert(m < 0, s"non-negative mean $m") }
+  }
+
+  test("q140 url dedup: canonical form is fully normalized, keeps are group minima") {
+    val rows = byName("q140_url_dedup").query(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, raw, canon, _, _) =>
+      assert(canon.startsWith("https://"), s"$id: scheme not canonical: $canon")
+      assert(!canon.contains("www."), s"$id: www survived: $canon")
+      assert(!canon.contains(":80"), s"$id: default port survived: $canon")
+      assert(!canon.contains("?"), s"$id: query survived: $canon")
+      assert(!canon.endsWith("/"), s"$id: trailing slash survived: $canon")
+      assert(canon == canon.toLowerCase, s"$id: case survived: $canon")
+      assert(raw.toLowerCase.contains(
+        canon.stripPrefix("https://").takeWhile(_ != '/')),
+        s"$id: canonical host not derived from raw: $raw -> $canon")
+    }
+    // Exactly one keeper per canonical group, and it is the min doc_id;
+    // planted variants guarantee real duplicate groups.
+    val byCanon = rows.groupBy(_._3)
+    assert(byCanon.exists(_._2.length > 1), "no duplicate canonical URLs planted")
+    byCanon.foreach { case (canon, g) =>
+      val keepers = g.filter(_._5)
+      assert(keepers.length == 1, s"$canon: ${keepers.length} keepers")
+      assert(keepers.head._1 == g.map(_._1).min, s"$canon: keeper is not min id")
+      g.foreach(r => assert(r._4 == g.length, s"$canon: n_dupes wrong"))
+    }
+  }
+
+  test("q142 luhn: checksum-valid cards redacted, lookalike digits survive") {
+    val rows = byName("q142_luhn_redact").query(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, (nc, nv, red)) =>
+      assert(nc >= 1)
+      id % 9 match {
+        case 0 | 3 =>
+          assert(nv == 1, s"doc $id: planted valid card not validated")
+          assert(red.contains("[CARD]"), s"doc $id: valid card not redacted")
+          assert(!red.contains("4111111111111111") &&
+            !red.contains("5500005555555559"), s"doc $id: card survived")
+        case 6 =>
+          assert(nv == 0, s"doc $id: Luhn-invalid digits validated")
+          assert(red.contains("1234567890123456"),
+            s"doc $id: lookalike digits wrongly redacted")
+        case _ => fail(s"doc $id without a planted candidate in output")
+      }
+    }
+  }
+
   test("q135 BPE: round-trip decode, bounds, and real compression") {
     import graft.operators.Bpe
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")

@@ -625,6 +625,43 @@ class StreamingSpec extends SparkTestBase {
     ()
   }
 
+  test("streaming BPE token counts agree with the batch q135 under replay") {
+    import graft.operators.Bpe
+    import graft.queries.PipelineQueries
+    import graft.streaming.StreamingSelect
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    // The tokenizer is FITTED once (offline), like the DSIR model.
+    val merges = Bpe.mergesFor(spark, sfDir)
+    val stream = MemoryStream[(Long, String)]
+    val arrivals = stream.toDF().toDF("doc_id", "text")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val query = arrivals.writeStream.outputMode("append")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        out ++= StreamingSelect.bpeCountsBatch(merges, df)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        ()
+      }.start()
+    try {
+      val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1)
+      rows.grouped(math.max(1, (rows.length + 2) / 3)).foreach { g =>
+        stream.addData(g.toIndexedSeq)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    val batch = PipelineQueries.defs.find(_.name == "q135_bpe_tokenize").get
+      .query(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty)
+    assert(out.toSet == batch,
+      s"streaming vs batch BPE counts differ: " +
+        s"only-streaming=${(out.toSet -- batch).take(3)} " +
+        s"only-batch=${(batch -- out.toSet).take(3)}")
+  }
+
   test("stream-stream attribution join agrees with the batch q103") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
