@@ -807,6 +807,41 @@ object PipelineQueries {
     */
   private[graft] val BigramBuckets = 4096L
 
+  /** q140's deterministic messy-URL fixture: (doc_id, url_raw). The
+    * canonical key is (source host, doc_id % 60); sources are the
+    * doc_id % 20 classes, so ids s, s+60, s+120, … land on the SAME
+    * canonical URL — every canonical group carries ~n/3 planted recrawl
+    * variants at any SF.
+    */
+  private[graft] def syntheticUrls(docs: DataFrame): DataFrame = {
+    val host = concat(col("source"), lit(".example.com"))
+    val path = concat(lit("/p/"), pmod(col("doc_id"), lit(60)).cast("string"))
+    val url = when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(lit("http://WWW."), host, lit(":80"), path, lit("/")))
+      .when(pmod(col("doc_id"), lit(4)) === 1,
+        concat(lit("https://"), host, path, lit("?utm_source=feed")))
+      .when(pmod(col("doc_id"), lit(4)) === 2,
+        concat(lit("HTTPS://"), upper(host), path))
+      .otherwise(concat(lit("https://www."), host, path))
+    docs.select(col("doc_id"), url.as("url_raw"))
+  }
+
+  /** Canonical URL form — the fixed anchored-rewrite chain q140 hashes
+    * and the streaming crawl-frontier probe reuses: scheme→https,
+    * lowercase, strip leading www / default port / query / trailing
+    * slash. Pure map-side scalar work.
+    */
+  private[graft] def canonicalizeUrl(url: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(url), "^http://", "https://"),
+            "://www\\.", "://"),
+          ":80/", "/"),
+        "\\?.*$", ""),
+      "/$", "")
+
   /** Winnowing gram length / window (q134): guarantee = detect every
     * shared substring ≥ k + w − 1 = 60 chars, match nothing < 40.
     */
@@ -3402,32 +3437,9 @@ object PipelineQueries {
       // canonical key.
       "q140_url_dedup",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        // Canonical key = (source host, doc_id % 60): sources are the
-        // doc_id % 20 classes, so ids s, s+60, s+120, … land on the SAME
-        // canonical URL — every canonical group carries ~n/3 planted
-        // recrawl variants at any SF.
-        val host = concat(col("source"), lit(".example.com"))
-        val path = concat(lit("/p/"),
-          pmod(col("doc_id"), lit(60)).cast("string"))
-        val url = when(pmod(col("doc_id"), lit(4)) === 0,
-            concat(lit("http://WWW."), host, lit(":80"), path, lit("/")))
-          .when(pmod(col("doc_id"), lit(4)) === 1,
-            concat(lit("https://"), host, path, lit("?utm_source=feed")))
-          .when(pmod(col("doc_id"), lit(4)) === 2,
-            concat(lit("HTTPS://"), upper(host), path))
-          .otherwise(concat(lit("https://www."), host, path))
-        val canon = regexp_replace(
-          regexp_replace(
-            regexp_replace(
-              regexp_replace(
-                regexp_replace(lower(url), "^http://", "https://"),
-                "://www\\.", "://"),
-              ":80/", "/"),
-            "\\?.*$", ""),
-          "/$", "")
-        val withUrl = docs.select(col("doc_id"), url.as("url_raw"),
-          canon.as("url_canon"))
+        val withUrl = syntheticUrls(Tables.documents(s, d))
+          .select(col("doc_id"), col("url_raw"),
+            canonicalizeUrl(col("url_raw")).as("url_canon"))
         val keep = withUrl.groupBy("url_canon")
           .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dupes"))
         withUrl.join(keep, Seq("url_canon"))

@@ -99,6 +99,30 @@ object StreamingDedup {
   def winnowIndex(docs: DataFrame): DataFrame =
     PipelineQueries.winnowFingerprints(docs, "text")
 
+  /** URL variant — the crawl-frontier "already crawled?" probe (q140's
+    * incremental deployment): the corpus keeps a canonical-URL index
+    * (`corpusUrls(url_canon, corpus_id)` — at scale a bucketed table on
+    * url_canon), and each arriving micro-batch of (doc_id, url_raw)
+    * rows canonicalizes with the SAME rewrite chain
+    * ([[PipelineQueries.canonicalizeUrl]]) and equi-joins the index —
+    * matches are recrawls to skip before any content fetch/dedup pays
+    * for them. Stateless per batch; newly accepted URLs append to the
+    * index between batches (the band-index pattern).
+    *
+    * Output: (corpus_id, new_id, url_canon), distinct.
+    */
+  def urlMatchesBatch(corpusUrls: DataFrame, arrivals: DataFrame): DataFrame =
+    arrivals.select(col("doc_id").as("new_id"),
+        PipelineQueries.canonicalizeUrl(col("url_raw")).as("url_canon"))
+      .join(corpusUrls, Seq("url_canon"))
+      .select("corpus_id", "new_id", "url_canon")
+      .distinct()
+
+  /** The canonical-URL corpus index [[urlMatchesBatch]] probes. */
+  def urlIndex(corpusDocs: DataFrame): DataFrame =
+    corpusDocs.select(col("doc_id").as("corpus_id"),
+      PipelineQueries.canonicalizeUrl(col("url_raw")).as("url_canon"))
+
   /** EMBEDDING variant — the streaming deployment of q123's incremental
     * shape: the corpus IVF index is built once (`cents` = the index's
     * centroid set, `corpusCells` = its hard (corpus_id, label, cid)

@@ -19,7 +19,12 @@ class CodegenCompileSpec extends SparkTestBase {
     "q32_cascade_best_link", "q41_minhash_lsh", "q43_ngram_jaccard_dedup",
     "q46_langid", "q53_tfidf", "q56_decontaminate", "q57_vocab_oov",
     "q59_dataset_mix", "q66_unigram_logprob", "q68_ann_ivf",
-    "q77_pseudopeople_noise")
+    "q77_pseudopeople_noise",
+    // round-15 scalar-heavy additions: winnow fingerprint+verify chain
+    // (native expression inside codegen), BPE nested-replace encode,
+    // hashed-bigram scoring, URL rewrite chain, name-parse rule tree.
+    "q134_winnow_dedup", "q135_bpe_tokenize", "q136_span_dedup",
+    "q137_name_parse", "q139_bigram_logprob", "q140_url_dedup")
 
   test("all whole-stage regions of the heavy plans compile") {
     graft.functions.GraftFunctions.register(spark)

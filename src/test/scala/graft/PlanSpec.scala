@@ -62,8 +62,10 @@ class PlanSpec extends SparkTestBase {
       "q120_accuracy_definitions", "q123_incremental_embedding_dedup",
       "q124_semdedup_keep", "q127_semantic_decontaminate",
       // q131/q132 ride the ivfAssign broadcast-centroid scorer; q133
-      // attaches two 1-row aggregate frames (pool count, threshold).
-      "q131_int8_rerank", "q132_filtered_ann", "q133_dsir_select")
+      // attaches two 1-row aggregate frames (pool count, threshold);
+      // q139 attaches the 1-row bigram-total frame (the q66 shape).
+      "q131_int8_rerank", "q132_filtered_ann", "q133_dsir_select",
+      "q139_bigram_logprob")
     SparkEntry.queries.keys.filterNot(intendedCross).foreach { name =>
       val p = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")

@@ -625,6 +625,44 @@ class StreamingSpec extends SparkTestBase {
     ()
   }
 
+  test("streaming URL frontier probe agrees with the batch canonical join under replay") {
+    import graft.queries.PipelineQueries
+    import graft.streaming.StreamingDedup
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val urls = PipelineQueries.syntheticUrls(
+      Tables.documents(spark, sfDir)).localCheckpoint()
+    val cut = 250L
+    val corpus = urls.filter(col("doc_id") < cut)
+    val index = StreamingDedup.urlIndex(corpus).localCheckpoint()
+    val stream = MemoryStream[(Long, String)]
+    val arrivals = stream.toDF().toDF("doc_id", "url_raw")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val query = arrivals.writeStream.outputMode("append")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        out ++= StreamingDedup.urlMatchesBatch(index, df)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        ()
+      }.start()
+    try {
+      val rows = urls.filter(col("doc_id") >= cut).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      rows.grouped(math.max(1, (rows.length + 2) / 3)).foreach { g =>
+        stream.addData(g.toIndexedSeq)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    val batch = StreamingDedup.urlMatchesBatch(
+        index, urls.filter(col("doc_id") >= cut))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(batch.nonEmpty, "no recrawl matches planted across the corpus cut")
+    assert(out.toSet == batch,
+      s"streaming vs batch URL frontier differ: " +
+        s"only-streaming=${(out.toSet -- batch).take(3)} " +
+        s"only-batch=${(batch -- out.toSet).take(3)}")
+  }
+
   test("streaming BPE token counts agree with the batch q135 under replay") {
     import graft.operators.Bpe
     import graft.queries.PipelineQueries
