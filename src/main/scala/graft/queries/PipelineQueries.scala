@@ -976,7 +976,11 @@ object PipelineQueries {
     * oracles so the fingerprint/verify arithmetic cannot drift between
     * them.
     */
-  private[graft] val winnowVerSqlCtes: String =
+  /** The fingerprint half alone (`grams` → `fp0`, no hub cap) — q143's
+    * within-doc repeat detector consumes fp0 directly (a corpus hub cap
+    * has no business gating a single document's self-repeats).
+    */
+  private[graft] val winnowFpSqlCtes: String =
     s"""grams AS (
        |  SELECT doc_id, unnest([
        |    struct_pack(pos := CAST(i AS BIGINT),
@@ -999,7 +1003,10 @@ object PipelineQueries {
        |  WHERE pos <= greatest(1, m - $WinnowW + 1)),
        |fp0 AS (
        |  SELECT doc_id, key // 8589934592 AS h, key % 8589934592 AS pos
-       |  FROM sel),
+       |  FROM sel)""".stripMargin
+
+  private[graft] val winnowVerSqlCtes: String =
+    s"""$winnowFpSqlCtes,
        |fp AS (
        |  SELECT f.* FROM fp0 f
        |  JOIN (SELECT h FROM fp0 GROUP BY h
@@ -3310,6 +3317,123 @@ object PipelineQueries {
               |       min(pos_a * ${1L << 31} + pos_b) // ${1L << 31} AS first_a,
               |       min(pos_a * ${1L << 31} + pos_b) % ${1L << 31} AS first_b
               |FROM ver GROUP BY doc_a, doc_b""".stripMargin)
+    ),
+    QueryDef(
+      // Domain-level quality rollup — the RefinedWeb-style curation step
+      // AFTER per-doc scoring: aggregate q47's quality score by the
+      // canonical host (q140's URL machinery) and flag blocklist
+      // CANDIDATE domains (low mean quality or a high low-quality
+      // share). Per-doc scoring is map-side; the rollup is one bounded-
+      // key aggregate (hosts ≪ docs) — at 100 TB the whole pass is scan
+      // + one small shuffle, and the emitted blocklist feeds the next
+      // crawl's frontier filter (q140 / urlMatchesBatch).
+      "q144_domain_quality",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val nWords = size(TextOps.words(col("text")))
+        val stopHits = TextOps.stopwordHits(col("text"), TextOps.stopwords.head._2)
+        val stopRatio = stopHits.cast("double") / nWords.cast("double")
+        val quality = least(lit(1.0), nWords.cast("double") / 50.0) * 0.6 +
+          stopRatio * 0.4
+        val scored = syntheticUrls(docs)
+          .join(docs.select(col("doc_id"), quality.as("q")), Seq("doc_id"))
+          .select(col("doc_id"),
+            regexp_extract(canonicalizeUrl(col("url_raw")),
+              "://([^/]+)", 1).as("host"),
+            col("q").cast("decimal(28,12)").as("q"))
+        scored.groupBy("host")
+          .agg(count(lit(1)).as("n_docs"),
+            round(sum("q").cast("double") / count(lit(1)).cast("double"), 6)
+              .as("mean_quality"),
+            sum(when(col("q") < 0.5, 1L).otherwise(0L)).as("n_low"))
+          .select(col("host"), col("n_docs"), col("mean_quality"),
+            round(col("n_low").cast("double") / col("n_docs").cast("double"), 6)
+              .as("low_share"),
+            (col("mean_quality") < 0.55 ||
+              col("n_low").cast("double") / col("n_docs").cast("double") > 0.5)
+              .as("blocklist_candidate"))
+      },
+      Some {
+        val stops = TextOps.stopwordHitsSql("text", TextOps.stopwords.head._2)
+        s"""WITH q AS (
+           |  SELECT doc_id, source,
+           |         CAST(least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0) * 0.6 +
+           |              (CAST($stops AS DOUBLE) /
+           |               CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.4
+           |              AS DECIMAL(28,12)) AS q
+           |  FROM documents),
+           |h AS (SELECT doc_id, source || '.example.com' AS host, q FROM q),
+           |agg AS (
+           |  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |         round(CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_quality,
+           |         CAST(SUM(CASE WHEN q < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+           |  FROM h GROUP BY host)
+           |SELECT host, n_docs, mean_quality,
+           |       round(CAST(n_low AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS low_share,
+           |       (mean_quality < 0.55 OR
+           |        CAST(n_low AS DOUBLE) / CAST(n_docs AS DOUBLE) > 0.5) AS blocklist_candidate
+           |FROM agg""".stripMargin
+      }
+    ),
+    QueryDef(
+      // WITHIN-document exact repetition — the spam/boilerplate-loop
+      // detector q55's adjacent-word ratio can't give: a document that
+      // repeats a ≥ w+k−1-char passage of ITSELF (templated sections,
+      // generation loops) is caught by its own winnow fingerprints — the
+      // same selected hash at two positions, verified by substring
+      // equality. Same O(len) fingerprint pass as q134, but the
+      // candidate join is per-document self-grouping (no corpus pair
+      // join, no hub cap — a document's self-repeats are its own
+      // business). Fixture: doc_id % 11 == 0 re-appends the doc's first
+      // 80 chars. Output: one row per doc with a verified self-repeat.
+      "q143_intra_repeat",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(11)) === 0,
+              concat(lit(" "), substring(col("text"), 1, 80)))
+              .otherwise(lit(""))).as("text2"))
+        val fp0 = docs.select(col("doc_id"),
+            explode(graft.functions.GraftFunctions.winnowKeys(col("text2"),
+              WinnowK, WinnowW)).as("key"))
+          .select(col("doc_id"), shiftright(col("key"), 33).as("h"),
+            col("key").bitwiseAND(
+              lit(graft.functions.WinnowImpl.PosShift - 1)).as("pos"))
+        val cand = fp0.as("a").join(fp0.as("b"),
+            col("a.doc_id") === col("b.doc_id") && col("a.h") === col("b.h") &&
+              col("a.pos") < col("b.pos"))
+          .select(col("a.doc_id").as("doc_id"), col("a.h").as("h"),
+            col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
+        cand.join(docs, Seq("doc_id"))
+          .filter(col("text2").substr(col("pos_a").cast("int"), lit(WinnowK)) ===
+            col("text2").substr(col("pos_b").cast("int"), lit(WinnowK)))
+          .groupBy("doc_id")
+          .agg(countDistinct("h").as("n_repeat_grams"),
+            min(col("pos_a") * lit(1L << 31) + col("pos_b")).as("first"))
+          .select(col("doc_id"), col("n_repeat_grams"),
+            shiftright(col("first"), 31).as("first_pos"),
+            col("first").bitwiseAND(lit((1L << 31) - 1)).as("second_pos"))
+      },
+      Some(s"""WITH docs2 AS (
+              |  SELECT doc_id,
+              |         text || CASE WHEN doc_id % 11 = 0
+              |                      THEN ' ' || substr(text, 1, 80) ELSE '' END AS text2
+              |  FROM documents),
+              |$winnowFpSqlCtes,
+              |cand AS (
+              |  SELECT a.doc_id, a.h, a.pos AS pos_a, b.pos AS pos_b
+              |  FROM fp0 a JOIN fp0 b
+              |    ON a.doc_id = b.doc_id AND a.h = b.h AND a.pos < b.pos),
+              |ver AS (
+              |  SELECT c.doc_id, c.h, c.pos_a, c.pos_b
+              |  FROM cand c JOIN docs2 t ON t.doc_id = c.doc_id
+              |  WHERE substring(t.text2, CAST(c.pos_a AS INTEGER), $WinnowK) =
+              |        substring(t.text2, CAST(c.pos_b AS INTEGER), $WinnowK))
+              |SELECT doc_id, CAST(count(DISTINCT h) AS BIGINT) AS n_repeat_grams,
+              |       min(pos_a * ${1L << 31} + pos_b) // ${1L << 31} AS first_pos,
+              |       min(pos_a * ${1L << 31} + pos_b) % ${1L << 31} AS second_pos
+              |FROM ver GROUP BY doc_id""".stripMargin)
     ),
     QueryDef(
       // Checksum-verified PII redaction — q54's regex detector upgraded

@@ -765,6 +765,39 @@ class PipelineQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q143 intra-doc repeats: every planted self-copy found, positions ordered") {
+    val rows = byName("q143_intra_repeat").query(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // A planted doc re-appends its first 80 chars: any doc with >= 80
+    // chars repeats a >= 60-char passage, which the winnow guarantee
+    // must catch.
+    val planted = docs.filter { case (id, nc) => id % 11 == 0 && nc >= 80 }
+    assert(planted.nonEmpty)
+    planted.foreach { case (id, _) =>
+      assert(rows.contains(id), s"planted self-repeat in doc $id missed")
+    }
+    rows.foreach { case (id, (ng, p1, p2)) =>
+      assert(ng >= 1 && p1 < p2, s"doc $id: malformed repeat ($ng, $p1, $p2)")
+    }
+  }
+
+  test("q144 domain quality: rollup covers all hosts, flag matches its rule") {
+    val rows = byName("q144_domain_quality").query(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4)))
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_._2).sum == nDocs, "rollup lost documents")
+    rows.foreach { case (host, n, mq, ls, flag) =>
+      assert(host.endsWith(".example.com"), s"malformed host $host")
+      assert(n > 0 && ls >= 0.0 && ls <= 1.0)
+      assert(flag == (mq < 0.55 || ls > 0.5),
+        s"$host: blocklist flag inconsistent with its rule ($mq, $ls)")
+    }
+  }
+
   test("q142 luhn: checksum-valid cards redacted, lookalike digits survive") {
     val rows = byName("q142_luhn_redact").query(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
