@@ -3447,7 +3447,7 @@ object PipelineQueries {
       "q142_luhn_redact",
       (s, d) => {
         val plant = when(pmod(col("doc_id"), lit(9)) === 0,
-            lit(" card 4111111111111111 end"))
+            lit(" card 4111111111111111 or 4012888888881881 end"))
           .when(pmod(col("doc_id"), lit(9)) === 3,
             lit(" card 5500005555555559 end"))
           .when(pmod(col("doc_id"), lit(9)) === 6,
@@ -3472,15 +3472,21 @@ object PipelineQueries {
           .groupBy("doc_id", "text2")
           .agg(count(lit(1)).as("n_candidates"),
             sum(when(col("is_valid"), 1L).otherwise(0L)).as("n_valid"),
-            max(when(col("is_valid"), col("cand"))).as("vcand"))
+            // EVERY valid candidate redacts: fold replace over the
+            // sorted distinct valid set (sorting pins the fold order —
+            // replace is order-independent here since cards can't
+            // overlap as substrings, but determinism should not lean
+            // on that).
+            array_sort(collect_set(when(col("is_valid"), col("cand"))))
+              .as("vcands"))
           .select(col("doc_id"), col("n_candidates"), col("n_valid"),
-            when(col("n_valid") > 0,
-              call_function("replace", col("text2"), col("vcand"), lit("[CARD]")))
-              .otherwise(col("text2")).as("text_red"))
+            aggregate(col("vcands"), col("text2"),
+              (acc, c) => call_function("replace", acc, c, lit("[CARD]")))
+              .as("text_red"))
       },
       Some("""WITH docs2 AS (
              |  SELECT doc_id,
-             |         text || CASE WHEN doc_id % 9 = 0 THEN ' card 4111111111111111 end'
+             |         text || CASE WHEN doc_id % 9 = 0 THEN ' card 4111111111111111 or 4012888888881881 end'
              |                      WHEN doc_id % 9 = 3 THEN ' card 5500005555555559 end'
              |                      WHEN doc_id % 9 = 6 THEN ' card 1234567890123456 end'
              |                      ELSE '' END AS text2
@@ -3501,9 +3507,10 @@ object PipelineQueries {
              |SELECT doc_id,
              |       CAST(COUNT(*) AS BIGINT) AS n_candidates,
              |       CAST(SUM(CASE WHEN is_valid THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
-             |       CASE WHEN SUM(CASE WHEN is_valid THEN 1 ELSE 0 END) > 0
-             |            THEN replace(text2, MAX(CASE WHEN is_valid THEN cand END), '[CARD]')
-             |            ELSE text2 END AS text_red
+             |       list_reduce(
+             |         list_prepend(text2,
+             |           coalesce(list_sort(list(DISTINCT cand) FILTER (WHERE is_valid)), [])),
+             |         (acc, c) -> replace(acc, c, '[CARD]')) AS text_red
              |FROM scored GROUP BY doc_id, text2""".stripMargin)
     ),
     QueryDef(
