@@ -3319,6 +3319,52 @@ object PipelineQueries {
               |FROM ver GROUP BY doc_a, doc_b""".stripMargin)
     ),
     QueryDef(
+      // Corpus snapshot DIFF — the dataset-versioning op a recurring
+      // crawl/curation pipeline runs before retraining: two corpus
+      // versions full-outer-join on doc_id and compare content hashes,
+      // classifying every id as added / removed / changed (unchanged
+      // rows are the uninteresting bulk and are not emitted). v2 is
+      // synthesized deterministically in both engines: doc_id % 13 == 0
+      // dropped, % 17 == 0 survivors get a text edit, fresh ids minted
+      // at +400000 for % 23 == 0. One shuffle on doc_id; the content
+      // compare is md5 equality, never the texts themselves — at 100 TB
+      // the join carries (id, 32-byte hash) rows only.
+      "q145_corpus_diff",
+      (s, d) => {
+        val v1 = Tables.documents(s, d).select(col("doc_id"),
+          md5(col("text")).as("h1"))
+        val docs = Tables.documents(s, d)
+        val survivors = docs.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+          .select(col("doc_id"),
+            md5(when(pmod(col("doc_id"), lit(17)) === 0,
+              concat(col("text"), lit(" v2"))).otherwise(col("text"))).as("h2"))
+        val added = docs.filter(pmod(col("doc_id"), lit(23)) === 0)
+          .select((col("doc_id") + 400000L).as("doc_id"), md5(col("text")).as("h2"))
+        val v2 = survivors.unionByName(added)
+        v1.join(v2, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            when(col("h1").isNull, "added")
+              .when(col("h2").isNull, "removed")
+              .when(col("h1") =!= col("h2"), "changed")
+              .otherwise("unchanged").as("status"))
+          .filter(col("status") =!= "unchanged")
+      },
+      Some("""WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+             |v2 AS (
+             |  SELECT doc_id,
+             |         md5(CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END) AS h2
+             |  FROM documents WHERE doc_id % 13 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 400000, md5(text) FROM documents WHERE doc_id % 23 = 0)
+             |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+             |       CASE WHEN v1.doc_id IS NULL THEN 'added'
+             |            WHEN v2.doc_id IS NULL THEN 'removed'
+             |            WHEN v1.h1 <> v2.h2 THEN 'changed'
+             |            ELSE 'unchanged' END AS status
+             |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+             |WHERE NOT (v1.doc_id IS NOT NULL AND v2.doc_id IS NOT NULL AND v1.h1 = v2.h2)""".stripMargin)
+    ),
+    QueryDef(
       // Domain-level quality rollup — the RefinedWeb-style curation step
       // AFTER per-doc scoring: aggregate q47's quality score by the
       // canonical host (q140's URL machinery) and flag blocklist

@@ -765,6 +765,23 @@ class PipelineQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q145 corpus diff: classes are exactly the planted edits") {
+    val rows = byName("q145_corpus_diff").query(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ids = Tables.documents(spark, sfDir).select("doc_id")
+      .collect().map(_.getLong(0))
+    ids.foreach { id =>
+      if (id % 13 == 0) assert(rows.get(id).contains("removed"), s"doc $id")
+      else if (id % 17 == 0) assert(rows.get(id).contains("changed"), s"doc $id")
+      else assert(!rows.contains(id), s"unchanged doc $id emitted: ${rows.get(id)}")
+      if (id % 23 == 0)
+        assert(rows.get(id + 400000L).contains("added"), s"added ${id + 400000}")
+    }
+    assert(rows.size == ids.count(_ % 13 == 0) +
+      ids.count(i => i % 17 == 0 && i % 13 != 0) + ids.count(_ % 23 == 0),
+      "diff emitted unexpected rows")
+  }
+
   test("q143 intra-doc repeats: every planted self-copy found, positions ordered") {
     val rows = byName("q143_intra_repeat").query(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
