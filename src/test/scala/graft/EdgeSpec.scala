@@ -204,4 +204,26 @@ class EdgeSpec extends SparkTestBase {
       StreamingSelect.dsirFit(docs, col("source") === "src1", 1, 10)
     assert(StreamingSelect.keepBatch(model, thr, docs.limit(0)).count() == 0L)
   }
+
+  test("BPE training degrades cleanly: wordless corpus, pairless vocabulary") {
+    import graft.operators.Bpe
+    // No [a-z] words anywhere: the word-type table is empty, the first
+    // argmax finds no pair, training early-stops with ZERO merges and
+    // token accounting emits no rows (nothing to count) — no NPE, no
+    // sentinel leakage.
+    val wordless = spark.createDataFrame(Seq(
+      (1L, "123 456 !!!"), (2L, ""))).toDF("doc_id", "text")
+    val m0 = Bpe.trainMerges(wordless)
+    assert(m0.isEmpty, s"trained ${m0.size} merges on a wordless corpus")
+    assert(Bpe.docTokenCounts(wordless, m0).count() == 0)
+    // Single-character vocabulary: words exist but no adjacent pair does,
+    // so training stops at zero merges and every word counts one token
+    // per character.
+    val single = spark.createDataFrame(Seq((1L, "a b a"))).toDF("doc_id", "text")
+    val m1 = Bpe.trainMerges(single)
+    assert(m1.isEmpty, "found a pair in a single-char vocabulary")
+    val r = Bpe.docTokenCounts(single, m1).collect().head
+    assert(r.getLong(1) == 3 && r.getLong(2) == 3,
+      s"char-fallback counts wrong: ${r.mkString(",")}")
+  }
 }
