@@ -66,13 +66,39 @@ object Bpe {
   /** Train `m` merges on the corpus word-type table. Driver state: the
     * merge list (bounded by m). Per iteration: one pair-count hash
     * aggregate over the vocabulary + a 1-row argmax collect; the
-    * evolving repr column localCheckpoints so lineage stays shallow
-    * (the EM/CC idiom). Stops early when no pair remains (fully merged
-    * vocabulary) — the oracle's sentinel no-op merges are equivalent.
+    * evolving repr column re-materializes through an explicitly managed
+    * persisted RDD (plan truncation like localCheckpoint, the EM/CC
+    * idiom) and THE SUPERSEDED ITERATION'S STORAGE IS RELEASED as soon
+    * as its successor is materialized — at most 2 word-type copies live
+    * transiently, ≤ 1 between iterations, at ANY merge count. (The
+    * earlier localCheckpoint form never released predecessors: invisible
+    * at the 16-merge demo, but a production 10⁴-merge vocabulary would
+    * have kept 10⁴ live copies of the table in executor storage.) Stops
+    * early when no pair remains (fully merged vocabulary) — the oracle's
+    * sentinel no-op merges are equivalent.
     */
   def trainMerges(docs: DataFrame, m: Int = NumMerges): Seq[(String, String)] = {
+    val spark = docs.sparkSession
+    trainPeakLive.set(0)
+    var live: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
+    var nLive = 0
+    // Materialize through a persisted Row RDD + createDataFrame: the
+    // rebuilt frame's plan is a bare RDD scan (no lineage growth — 10⁴
+    // stacked projections would make every Catalyst re-analysis quadratic),
+    // and unlike Dataset.localCheckpoint the persisted handle is OURS to
+    // release the moment the next iteration lands.
+    def materialize(df: DataFrame): DataFrame = {
+      val rdd = df.rdd
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count() // materialize BEFORE releasing the input it was built from
+      nLive += 1
+      trainPeakLive.set(math.max(trainPeakLive.get, nLive))
+      live.foreach { prev => prev.unpersist(blocking = false); nLive -= 1 }
+      live = Some(rdd)
+      spark.createDataFrame(rdd, df.schema)
+    }
     val wt = wordsOf(docs).groupBy("word").agg(count(lit(1)).as("freq"))
-    var wtR = wt.withColumn("repr", initRepr(col("word"))).localCheckpoint()
+    var wtR = materialize(wt.withColumn("repr", initRepr(col("word"))))
     val merges = Seq.newBuilder[(String, String)]
     var done = false
     var i = 0
@@ -92,13 +118,21 @@ object Bpe {
         val a = best(0).getString(0)
         val b = best(0).getString(1)
         merges += ((a, b))
-        wtR = wtR.withColumn("repr",
-          mergeOnce(col("repr"), a, b)).localCheckpoint()
+        wtR = materialize(wtR.withColumn("repr", mergeOnce(col("repr"), a, b)))
       }
       i += 1
     }
+    // The final word-type frame is training scratch too — trainMerges
+    // returns only the merge list, so nothing may stay pinned behind it.
+    live.foreach(_.unpersist(blocking = false))
     merges.result()
   }
+
+  /** Peak simultaneously-live training RDDs of the LAST [[trainMerges]]
+    * run (spec hook: must stay ≤ 2 — the new checkpoint plus the
+    * predecessor it is built from, released immediately after).
+    */
+  private[graft] val trainPeakLive = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def mergeOnce(repr: Column, a: String, b: String): Column =
     overlay_replace(repr, s"$L$a$R$L$b$R", s"$L$a$b$R")

@@ -195,6 +195,50 @@ object VectorOps {
        |    GROUP BY vec_id, j)
        |  GROUP BY vec_id)""".stripMargin
 
+  /** Hyperplane count DERIVED FROM THE CORPUS COUNT (the q68 derived-k
+    * rule applied to hyperplane LSH): smallest p in [MinLshPlanes,
+    * MaxLshPlanes] with 2^p · LshTargetOccupancy ≥ n, so expected bucket
+    * occupancy n/2^p stays ≤ LshTargetOccupancy and the bucket self-join
+    * stays ~occupancy·n instead of n²/2^planes at a FIXED plane count
+    * (the old 8-plane q45 was n²/256 at every corpus size). Pure integer
+    * arithmetic — the DuckDB rendering ([[lshPlanesSqlCte]]) cannot
+    * drift on float log rounding.
+    */
+  val MinLshPlanes = 8
+  val MaxLshPlanes = 24
+  val LshTargetOccupancy = 64L
+
+  def lshPlanesFor(n: Long): Int =
+    (MinLshPlanes to MaxLshPlanes)
+      .find(p => (1L << p) * LshTargetOccupancy >= n).getOrElse(MaxLshPlanes)
+
+  /** DuckDB scalar CTE `pl(planes)` ≡ [[lshPlanesFor]] over COUNT(`rel`). */
+  def lshPlanesSqlCte(rel: String): String =
+    s"""pl AS (
+       |  SELECT COALESCE(MIN(p), $MaxLshPlanes) AS planes
+       |  FROM range($MinLshPlanes, ${MaxLshPlanes + 1}) t(p)
+       |  WHERE (CAST(1 AS BIGINT) << p) * $LshTargetOccupancy >=
+       |        (SELECT COUNT(*) FROM $rel))""".stripMargin
+
+  /** [[lshBucketSqlCte]] with the plane count read from a `pl(planes)`
+    * CTE ([[lshPlanesSqlCte]]) instead of a literal — the oracle side of
+    * a derived-plane [[lshBucketExact]] call.
+    */
+  def lshBucketSqlCteDerived(rel: String): String =
+    s"""buckets AS (
+       |  SELECT vec_id,
+       |         CAST(SUM(CASE WHEN s >= 0 THEN CAST(power(2, j) AS BIGINT)
+       |                       ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM (
+       |    SELECT vec_id, j,
+       |           SUM(CAST(CAST(embedding[i] AS DOUBLE) *
+       |               (2 * ((j * $Dim + i - 1) * 2654435761 % 1000003) - 1000003)
+       |               AS DECIMAL(30,18))) AS s
+       |    FROM $rel, range(0, $MaxLshPlanes) p(j), range(1, ${Dim + 1}) t(i)
+       |    WHERE j < (SELECT planes FROM pl)
+       |    GROUP BY vec_id, j)
+       |  GROUP BY vec_id)""".stripMargin
+
   /** Multi-band signature: `bands` keys of `bitsPerBand` sign bits each,
     * over DISTINCT hyperplanes (plane j = band·bitsPerBand + bit). Two
     * vectors are LSH CANDIDATES when ANY band key matches — the standard

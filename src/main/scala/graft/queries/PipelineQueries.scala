@@ -56,6 +56,67 @@ object PipelineQueries {
       |  SELECT doc_id + 200000, text, lang, source, n_chars
       |  FROM documents WHERE doc_id % 7 = 0)""".stripMargin
 
+  /** q42 SimHash candidate scheme: the 60-bit signature splits into 6
+    * chunks of 10 bits, and candidate buckets join on GROUPS of g chunks
+    * (g-subset concatenated keys — C(6,g) tables of 10·g-bit keys). g
+    * DERIVES FROM THE CORPUS COUNT — smallest g in 1..3 with 2^(10g) ≥ n
+    * — so expected bucket occupancy n/2^(10g) stays ≤ 1 and candidate
+    * pairs stay ~C(6,g)·n at every decade (the fixed 4×15-bit scheme
+    * this replaces had a 2^15 keyspace at EVERY n: n²/2^14 expected
+    * pairs at web scale). Pigeonhole guarantee: hamming ≤ 3 corrupts at
+    * most 3 of the 6 chunks, leaving ≥ 3 intact, so at least one
+    * all-intact g-subset exists for every g ≤ 3 — EVERY hamming-≤3 pair
+    * shares a bucket in some table. Past n = 2^30 the rule would want
+    * g = 4, which breaks the guarantee: that is the 60-bit signature's
+    * capacity bound (widen the signature Manku-style, not g).
+    *
+    * Each entry is (g, table id, chunk indices); the table ids are
+    * g-offset (0 / 100 / 1000) so keys never collide across group sizes.
+    * Both engines render their key arithmetic from THIS list.
+    */
+  private[graft] val simhashCombos: Seq[(Int, Int, Seq[Int])] =
+    for { g <- 1 to 3; comb <- (0 until 6).combinations(g).toSeq }
+      yield (g, Seq(0, 100, 1000)(g - 1) + comb.foldLeft(0)(_ * 6 + _), comb)
+
+  /** Bucket-occupancy cap for SimHash candidate buckets — q134's
+    * WinnowHubCap rationale: a bucket shared by more docs than this is
+    * template/boilerplate mass whose pairs grow quadratically in hub
+    * size, not near-duplication. Far above any test-SF occupancy, so the
+    * oracle mirror keeps hashes exact.
+    */
+  private[graft] val SimHubCap = 1000L
+
+  /** 60-bit SimHash signatures (doc_id, sig) over docsWithDups — the
+    * builder q42 and ScaleBench's planted-pair recall audit share. Each
+    * word is md5'd once (h1 = hex chars 1-12, h2 = 13-24, so the DuckDB
+    * oracle reproduces the exact fingerprints); the 60 ±1 bit sums are
+    * map-side partial aggregates and the fingerprint packs from the
+    * per-bit signs. 60 bits (not 64) keeps the packed signature
+    * positive, where `%`, `>>` and `&` agree across engines.
+    * localCheckpoint'd: the candidate self-join reads the frame on both
+    * sides plus the hub aggregate, and Spark shares no work across join
+    * branches — without the barrier the word-explode + 60-bit aggregate
+    * would run three times. The materialized frame is two longs per doc.
+    */
+  private[graft] def simhashSigs(s: SparkSession, d: String): DataFrame = {
+    val h = fanOut(docsWithDups(s, d))
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
+      .select(col("doc_id"), md5(col("word")).as("mh"))
+      .select(col("doc_id"),
+        TextOps.md5Fold48(col("mh"), 1).as("h1"),
+        TextOps.md5Fold48(col("mh"), 13).as("h2"))
+    val bitAggs = (0 until 60).map { j =>
+      val (src, sh) = if (j < 48) (col("h1"), j) else (col("h2"), j - 48)
+      sum(when(pmod(shiftrightunsigned(src, sh), lit(2L)) === 1L, 1L).otherwise(-1L))
+        .as(s"b$j")
+    }
+    h.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("sig"))
+      .localCheckpoint()
+  }
+
   /** embeddings ∪ near-dup variants (vec_id+100000, first component zeroed,
     * for vec_id%20==0).
     */
@@ -1557,48 +1618,41 @@ object PipelineQueries {
               | AND a.doc_id < b.doc_id""".stripMargin)
     ),
     QueryDef(
-      // 60-bit SimHash; candidates via 15-bit chunk buckets, verified by
-      // Hamming distance (bit_count of xor). md5 hash basis (h1 = hex
-      // chars 1-12, h2 = 13-24 of the word's md5) so the DuckDB oracle
-      // reproduces the exact fingerprints; 60 bits (not 64) keeps the
-      // packed signature positive, where `%`, `>>` and `&` agree across
-      // engines.
+      // 60-bit SimHash ([[simhashSigs]]); candidates via corpus-derived
+      // chunk-GROUP buckets ([[simhashCombos]]: 6×10-bit chunks, group
+      // size g from the corpus count, hamming ≤ 3 detection guarantee),
+      // hub-capped ([[SimHubCap]]) and verified by Hamming distance
+      // (bit_count of xor).
       "q42_simhash",
       (s, d) => {
-        // Same explode + hash-agg shape as q41: each word is md5'd once;
-        // the 60 ±1 bit sums are map-side partial aggregates, then the
-        // fingerprint packs from the per-bit sums. Fanned out before the
-        // word explode + md5: the local parquet scan is one partition.
-        val h = fanOut(docsWithDups(s, d))
-          .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
-          .select(col("doc_id"), md5(col("word")).as("mh"))
-          .select(col("doc_id"),
-            TextOps.md5Fold48(col("mh"), 1).as("h1"),
-            TextOps.md5Fold48(col("mh"), 13).as("h2"))
-        val bitAggs = (0 until 60).map { j =>
-          val (src, sh) = if (j < 48) (col("h1"), j) else (col("h2"), j - 48)
-          sum(when(pmod(shiftrightunsigned(src, sh), lit(2L)) === 1L, 1L).otherwise(-1L))
-            .as(s"b$j")
-        }
-        // localCheckpoint: the chunk self-join below reads the signature
-        // frame on BOTH sides, and Spark shares no work across join
-        // branches — without the barrier the whole word-explode + 60-bit
-        // aggregate runs twice. The materialized frame is (doc_id, sig):
-        // two longs per doc.
-        val sig = h.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-          .select(col("doc_id"),
-            (0 until 60).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-              .reduce(_ bitwiseOR _).as("sig"))
-          .localCheckpoint()
-        val chunks = sig.select(
-          col("doc_id"), col("sig"),
-          explode(array((0 until 4).map(c =>
-            struct(lit(c.toLong).as("chunk"),
-              pmod(shiftrightunsigned(col("sig"), c * 15), lit(32768L)).as("ch"))): _*))
-            .as("cc"))
-          .select(col("doc_id"), col("sig"), col("cc.chunk").as("chunk"), col("cc.ch").as("ch"))
-        chunks.as("a").join(chunks.as("b"),
-            col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch") &&
+        val sig = simhashSigs(s, d)
+        // g derives from the corpus count IN-PLAN (the ivfCentroids
+        // broadcast-params idiom — no driver action); the C(6,g) group
+        // tables explode from ONE literal combo array filtered to the
+        // selected g, so the explode fan-out is exactly the selected
+        // scheme's table count.
+        val params = docsWithDups(s, d).agg(count(lit(1)).as("n")).select(
+          when(col("n") <= lit(1L << 10), 1)
+            .when(col("n") <= lit(1L << 20), 2).otherwise(3).as("g"))
+        val comboArr = array(simhashCombos.map { case (g, tbl, comb) =>
+          struct(lit(g).as("gg"), lit(tbl).as("tbl"),
+            comb.foldLeft(lit(0L)) { (acc, c) =>
+              acc * 1024L + pmod(shiftrightunsigned(col("sig"), c * 10), lit(1024L))
+            }.as("k"))
+        }: _*)
+        val keys = sig.crossJoin(broadcast(params))
+          .select(col("doc_id"), col("sig"),
+            explode(filter(comboArr, cc => cc.getField("gg") === col("g"))).as("ck"))
+          .select(col("doc_id"), col("sig"),
+            col("ck.tbl").as("tbl"), col("ck.k").as("k"))
+        // Hub cap (q134's idiom): a bucket shared by > SimHubCap docs is
+        // boilerplate mass — drop it before the quadratic-in-occupancy
+        // self-join. (doc, tbl) pairs are unique, so COUNT(*) = doc count.
+        val ok = keys.groupBy("tbl", "k").agg(count(lit(1)).as("nd"))
+          .filter(col("nd") <= SimHubCap).select("tbl", "k")
+        val kk = keys.join(ok, Seq("tbl", "k"))
+        kk.as("a").join(kk.as("b"),
+            col("a.tbl") === col("b.tbl") && col("a.k") === col("b.k") &&
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
             bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int").as("hamming"))
@@ -1613,10 +1667,13 @@ object PipelineQueries {
         val pack = (0 until 60)
           .map(j => s"CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
           .mkString(" + ")
-        val chunkSelects = (0 until 4)
-          .map(c => s"SELECT doc_id, sig, CAST($c AS BIGINT) AS chunk, " +
-            s"(sig >> ${c * 15}) & 32767 AS ch FROM sig")
-          .mkString("\n  UNION ALL ")
+        // The combo VALUES rows render from the SAME simhashCombos list
+        // the Spark side explodes, so the schemes cannot drift.
+        val comboValues = simhashCombos.map { case (g, tbl, comb) =>
+          val cs = comb.padTo(3, 0)
+          s"($g, $tbl, ${cs(0)}, ${cs(1)}, ${cs(2)})"
+        }.mkString(",\n    ")
+        def chv(c: String) = s"((s.sig >> ($c * 10)) & 1023)"
         s"""WITH $docs2Cte,
            |h AS (
            |  SELECT doc_id, ${TextOps.md5Fold48Sql("mh", 1)} AS h1,
@@ -1629,12 +1686,25 @@ object PipelineQueries {
            |         $bitSums
            |  FROM h GROUP BY doc_id),
            |sig AS (SELECT doc_id, $pack AS sig FROM bits),
-           |chunks AS (
-           |  $chunkSelects)
+           |gsel AS (
+           |  SELECT CASE WHEN COUNT(*) <= ${1L << 10} THEN 1
+           |              WHEN COUNT(*) <= ${1L << 20} THEN 2 ELSE 3 END AS g
+           |  FROM docs2),
+           |combos(gg, tbl, c1, c2, c3) AS (
+           |  SELECT * FROM (VALUES
+           |    $comboValues) v),
+           |keys AS (
+           |  SELECT s.doc_id, s.sig, m.tbl,
+           |         CASE WHEN m.gg = 1 THEN ${chv("m.c1")}
+           |              WHEN m.gg = 2 THEN ${chv("m.c1")} * 1024 + ${chv("m.c2")}
+           |              ELSE (${chv("m.c1")} * 1024 + ${chv("m.c2")}) * 1024 + ${chv("m.c3")}
+           |         END AS k
+           |  FROM sig s, combos m, gsel WHERE m.gg = gsel.g),
+           |hub AS (SELECT tbl, k FROM keys GROUP BY tbl, k HAVING COUNT(*) <= $SimHubCap),
+           |kk AS (SELECT ky.doc_id, ky.sig, ky.tbl, ky.k FROM keys ky JOIN hub USING (tbl, k))
            |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            |       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
-           |FROM chunks a JOIN chunks b
-           |  ON a.chunk = b.chunk AND a.ch = b.ch AND a.doc_id < b.doc_id
+           |FROM kk a JOIN kk b ON a.tbl = b.tbl AND a.k = b.k AND a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin
       }
     ),
@@ -1695,9 +1765,13 @@ object PipelineQueries {
         graft.functions.GraftFunctions.register(s)
         // Exact-decimal bucket signs + two-phase cosine (double prefilter
         // with margin, decimal dot only on survivors — q51's pattern), so
-        // the DuckDB oracle reproduces the result bit-for-bit.
+        // the DuckDB oracle reproduces the result bit-for-bit. The plane
+        // count DERIVES from the corpus count (VectorOps.lshPlanesFor —
+        // expected occupancy ≤ 64, the q68 derived-k rule; the count is a
+        // one-row action on the cached dup-norm frame).
+        val planes = VectorOps.lshPlanesFor(embDupNorms(s, d).count())
         val e = embDupNorms(s, d)
-          .withColumn("bucket", VectorOps.lshBucketExact(col("embedding"), 8))
+          .withColumn("bucket", VectorOps.lshBucketExact(col("embedding"), planes))
         val fastOk =
           VectorOps.dotFast(col("a.embedding"), col("b.embedding")) /
             (col("a.nrm") * col("b.nrm")) >= 0.79
@@ -1712,7 +1786,8 @@ object PipelineQueries {
       },
       Some(s"""WITH $emb2Cte,
               |${normsCte("nrms", "emb2")},
-              |${VectorOps.lshBucketSqlCte("emb2", 8)},
+              |${VectorOps.lshPlanesSqlCte("emb2")},
+              |${VectorOps.lshBucketSqlCteDerived("emb2")},
               |nb AS (
               |  SELECT n.vec_id, n.embedding, n.nrm, b.bucket
               |  FROM nrms n JOIN buckets b USING (vec_id)),

@@ -107,6 +107,43 @@ class PipelineQueriesSpec extends SparkTestBase {
     exact.foreach(p => assert(pairs.contains(p), s"missed planted exact dup $p"))
   }
 
+  test("q42 chunk-group scheme: exact hamming<=3 recall, table inventory pinned") {
+    // The combo inventory the scheme derives from: C(6,1)/C(6,2)/C(6,3)
+    // tables per group size, ids disjoint across sizes.
+    val byG = PipelineQueries.simhashCombos.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byG == Map(1 -> 6, 2 -> 15, 3 -> 20))
+    assert(PipelineQueries.simhashCombos.map(_._2).distinct.size == 41)
+    // Pigeonhole guarantee end-to-end: q42's candidate scheme must emit
+    // EXACTLY the hamming<=3 pairs of the all-pairs reference (the hub
+    // cap never binds at test SF) — no recall loss, no phantom pairs.
+    val sig = PipelineQueries.simhashSigs(spark, sfDir).cache()
+    val exact = sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = byName("q42_simhash").query(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exact, s"q42 diverged from the exact hamming<=3 set: " +
+      s"missed=${(exact -- got).take(5)} extra=${(got -- exact).take(5)}")
+    sig.unpersist()
+  }
+
+  test("bpe training releases superseded checkpoints: <= 2 live, none after") {
+    import graft.operators.Bpe
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val merges = Bpe.trainMerges(docs, m = 24)
+    assert(merges.nonEmpty)
+    // Hygiene contract for production merge counts (10^4-10^5): the peak
+    // is the in-flight checkpoint plus the predecessor it reads — never
+    // one live copy per merge.
+    assert(Bpe.trainPeakLive.get <= 2,
+      s"peak live training RDDs = ${Bpe.trainPeakLive.get}")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"training leaked persisted RDDs: $leaked")
+  }
+
   test("q44 KNN returns exactly 5 ordered neighbors per query") {
     val rows = byName("q44_cosine_knn").query(spark, sfDir).collect()
     val byQ = rows.groupBy(_.getLong(0))

@@ -263,6 +263,67 @@ object ScaleBench {
     }
     parityAudit(outDir)
 
+    // Text-family planted-pair recall audits (the embedding family's
+    // 0-loss idiom generalized to q41/q42/q102): a banding or bucket-
+    // scheme regression must FAIL the harness at every measured decade,
+    // not just slow it down. All three assertions are guarantees, not
+    // probabilistic recall: q42's chunk-group scheme detects every
+    // hamming<=3 pair by pigeonhole; q41's planted exact copies have
+    // identical minhash signatures, so every band key matches; q102's
+    // exact copies duplicate every 10-word chunk.
+    def textAudits(dir: String): Unit = {
+      import graft.queries.PipelineQueries
+      val sig = PipelineQueries.simhashSigs(spark, dir).cache()
+      val sa = sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      val expected = Seq(100000L, 200000L).map { off =>
+        sa.join(
+            sig.select((col("doc_id") - off).as("doc_a"), col("sig").as("sig_b")),
+            Seq("doc_a"))
+          .select(col("doc_a"), (col("doc_a") + off).as("doc_b"),
+            bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int").as("hamming"))
+      }.reduce(_ unionByName _)
+        .filter(col("hamming") <= 3).select("doc_a", "doc_b").cache()
+      val nExp = expected.count()
+      val q42 = SparkEntry.queries("q42_simhash")(spark, dir).select("doc_a", "doc_b")
+      val missed42 = expected.except(q42).count()
+      println(s"[scale] q42 recall audit $dir: plantedHamming<=3=$nExp missed=$missed42")
+      assert(missed42 == 0, s"q42 lost $missed42 planted hamming<=3 pairs at $dir")
+      expected.unpersist(); sig.unpersist()
+
+      val exp41 = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + 200000L).as("doc_b"))
+      val q41 = SparkEntry.queries("q41_minhash_lsh")(spark, dir).select("doc_a", "doc_b")
+      val missed41 = exp41.except(q41).count()
+      println(s"[scale] q41 recall audit $dir: plantedExactCopies=${exp41.count()} " +
+        s"missed=$missed41")
+      assert(missed41 == 0, s"q41 lost $missed41 planted exact-copy pairs at $dir")
+
+      val q102 = SparkEntry.queries("q102_line_dedup")(spark, dir)
+      val bad102 = q102
+        .join(exp41.select(col("doc_b").as("doc_id")), Seq("doc_id"))
+        .filter(col("n_boiler") =!= col("n_chunks")).count()
+      println(s"[scale] q102 recall audit $dir: exactCopyDocsNotFullyBoiler=$bad102")
+      assert(bad102 == 0, s"q102: $bad102 exact-copy docs kept non-boiler chunks at $dir")
+    }
+    textAudits(outDir)
+
+    // Production-merge BPE hygiene measurement (10× runs only, so the
+    // 30×/100× exponent runs aren't charged for it): train 1024 merges
+    // on the scaled corpus and report wall-clock + peak live training
+    // RDDs. The pre-round-16 localCheckpoint leak would have pinned
+    // ~1024 live word-type copies here; the hygiene contract is ≤ 2.
+    if (factor == 10) {
+      import graft.operators.Bpe
+      val bpeDocs = spark.read.parquet(s"$outDir/documents.parquet")
+        .select("doc_id", "text")
+      val t0 = System.nanoTime()
+      val merges = Bpe.trainMerges(bpeDocs, m = 1024)
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] bpe 1024-merge training at 10x: merges=${merges.size} " +
+        f"peakLiveRdds=${Bpe.trainPeakLive.get} $t%.1f s")
+    }
+
     // Hierarchical vs flat assignment at the scaled dir: wall time of the
     // probe-3 cell-assignment stage alone (the n·k flat term vs the
     // two-level n·(16 + k/8) ladder) and the candidate-pair recall of

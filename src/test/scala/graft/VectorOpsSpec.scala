@@ -71,6 +71,18 @@ class VectorOpsSpec extends SparkTestBase {
     assert(bad == 0, "band 0 diverged from the 8-plane bucket or keys out of range")
   }
 
+  test("lshPlanesFor: derived plane count keeps expected occupancy <= 64") {
+    // The q45 derivation rule, pinned: smallest p in [8, 24] with
+    // 2^p * 64 >= n; capped at 24 (the oracle mirrors this integer rule
+    // in lshPlanesSqlCte, so no float-log boundary can split the engines).
+    assert(VectorOps.lshPlanesFor(1L) == VectorOps.MinLshPlanes)
+    assert(VectorOps.lshPlanesFor((1L << 8) * 64) == 8)
+    assert(VectorOps.lshPlanesFor((1L << 8) * 64 + 1) == 9)
+    assert(VectorOps.lshPlanesFor((1L << 11) * 64) == 11)
+    assert(VectorOps.lshPlanesFor((1L << 24) * 64) == VectorOps.MaxLshPlanes)
+    assert(VectorOps.lshPlanesFor(Long.MaxValue / 256) == VectorOps.MaxLshPlanes)
+  }
+
   test("hyperplanes are deterministic and roughly zero-centered") {
     val hp = VectorOps.hyperplane(3)
     assert(hp == VectorOps.hyperplane(3))
