@@ -101,16 +101,44 @@ object Bench {
       val n = qNum(name)
       (n >= 13 && n <= 20) || (n >= 26 && n <= 38)
     }
+    // This build's git commit: the hist floor below may only read history
+    // measured on the SAME commit — otherwise a real regression landing
+    // during a throttled window is silently masked by the predecessor
+    // commit's faster times, and floored minima ratchet forward across
+    // commits. Best-effort: no git → no floor.
+    val commit: String =
+      try {
+        val p = new ProcessBuilder("git", "rev-parse", "HEAD").start()
+        val out = new String(p.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        p.waitFor()
+        if (out.matches("[0-9a-f]{40}")) out else ""
+      } catch { case _: Throwable => "" }
     // Per-query history from the committed bench_last.json (read BEFORE
-    // this run overwrites it). Best-effort: absent/corrupt history just
-    // disables the hist floor and loosens the clean-chain bar.
+    // this run overwrites it), USED ONLY when its commit field matches
+    // HEAD. Best-effort: absent/corrupt/foreign-commit history just
+    // disables the hist floor and falls back to the absolute clean-chain
+    // bar. Floor source is the REPORTED map — under the commit gate every
+    // value in it is a real measurement of this same code (a same-commit
+    // floored report is itself min-of-real-samples), so the floor cannot
+    // compound stale minima across commits.
     val hist: Map[String, Double] =
       try {
         val txt = scala.io.Source.fromFile("bench_last.json").mkString
-        val qre = """"(q[0-9]+[a-z0-9_]*)":(-?[0-9.]+)""".r
-        qre.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble)
-          .filter(_._2 >= 0).toMap
+        val cre = """"commit":"([0-9a-f]{40})"""".r
+        val histCommit = cre.findFirstMatchIn(txt).map(_.group(1))
+        if (commit.isEmpty || !histCommit.contains(commit)) Map.empty
+        else {
+          // Parse the reported queries map only (stop before queries_raw).
+          val qtxt = txt.indexOf("\"queries_raw\"") match {
+            case -1 => txt
+            case i  => txt.substring(0, i)
+          }
+          val qre = """"(q[0-9]+[a-z0-9_]*)":(-?[0-9.]+)""".r
+          qre.findAllMatchIn(qtxt)
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .filter(_._2 >= 0).toMap
+        }
       } catch { case _: Throwable => Map.empty }
     val histChain = {
       val c = hist.collect { case (k, v) if isChain(k) => v }
@@ -162,10 +190,23 @@ object Bench {
       }
     val chainBest = chainRetries
       .map(r => r.map(_._2).sum).filter(_ <= cleanChainBar).sorted.headOption
-    // Throttled verdict: true only when the chain NEVER got a clean
-    // sample this run (pass 1 tripped the guard and every retry stayed
-    // above the bar).
+    // Throttled verdict, SCOPED: `chainThrottled` = the chain never got a
+    // clean sample this run (pass 1 tripped the guard and every retry
+    // stayed above the bar) — that is the verdict the BASELINE.md gate
+    // reads. A clean chain retry does NOT clear the non-chain queries:
+    // when pass 1 tripped the guard they carry a single throttle-suspect
+    // sample each, flagged separately as `nonchain_single_sample`.
     val throttled = pass1Throttled && chainBest.isEmpty
+    val nonchainSingleSample = pass1Throttled && morePasses.isEmpty
+    // Raw minima of THIS RUN's own samples (no hist floor) — persisted
+    // alongside the report so a floored artifact can never masquerade as
+    // fresh measurement.
+    val rawResults = measured.map { case (name, t, e) =>
+      chainMin.get(name) match {
+        case Some((rt, re)) => (name, math.min(t, rt), e.orElse(re))
+        case None           => (name, t, e)
+      }
+    }
     val results = measured.map { case (name, t, e) =>
       val withRetry = chainMin.get(name) match {
         case Some((rt, re)) => (name, math.min(t, rt), e.orElse(re))
@@ -218,15 +259,22 @@ object Bench {
       .map { case (step, t) => s"\"" + step + "\":" + sec(t) }
       .mkString("{", ",", "}")
     val agg = if (throttled) "min+hist" else "min"
+    val qsRaw = rawResults.map { case (k, v, err) =>
+      val shown = if (err.isDefined) "-1" else sec(v)
+      s"\"" + k + "\":" + shown
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"queries":$qs,"errors":$errs,"sf":"$sfDir","passes":$passesRun,"chain_retries":${chainRetries.size},"throttled":$throttled,"agg":"$agg","warm_breakdown":$warmBreakdown,"warm_sec":${sec(warmSec)},"prep_sec":${sec(prepSec)},"linkage_sec":${sec(linkSec)},"chain_sec":${sec(prepSec + linkSec)},"n_errors":$nErr,"metric":"total","value":${sec(total)},"unit":"sec"}"""
+      s"""{"queries":$qs,"errors":$errs,"sf":"$sfDir","passes":$passesRun,"chain_retries":${chainRetries.size},"throttled":$throttled,"chain_throttled":$throttled,"nonchain_single_sample":$nonchainSingleSample,"agg":"$agg","commit":"$commit","queries_raw":$qsRaw,"warm_breakdown":$warmBreakdown,"warm_sec":${sec(warmSec)},"prep_sec":${sec(prepSec)},"linkage_sec":${sec(linkSec)},"chain_sec":${sec(prepSec + linkSec)},"n_errors":$nErr,"metric":"total","value":${sec(total)},"unit":"sec"}"""
     println(line)
     // Also drop the full line in the repo so the complete per-query map is
-    // readable even when the captured stdout tail truncates it.
-    try {
-      val w = new java.io.PrintWriter("bench_last.json")
-      try w.println(line) finally w.close()
-    } catch { case _: Throwable => }
+    // readable even when the captured stdout tail truncates it — but only
+    // for FULL-inventory runs: a SPARK_GRAFT_ONLY iteration run must not
+    // clobber the committed full history the hist floor reads.
+    if (only.isEmpty)
+      try {
+        val w = new java.io.PrintWriter("bench_last.json")
+        try w.println(line) finally w.close()
+      } catch { case _: Throwable => }
     spark.stop()
   }
 }

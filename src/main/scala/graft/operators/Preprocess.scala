@@ -158,7 +158,13 @@ object Preprocess {
     * (name_prefix, first_p, middle_p, last_p, suffix_std); prefix/middle/
     * suffix are NULL when absent. A trailing suffix token is only peeled
     * when at least one core token remains ("MR JR" parses JR as the bare
-    * last name, not as a suffix of nothing).
+    * last name, not as a suffix of nothing). Core-token conventions
+    * (identical in both renderers, and total under ANSI mode — no
+    * index ever exceeds the token array):
+    *   - ONE core token → it is the LAST name, first_p is NULL
+    *     ("MR SMITH JR" → last=SMITH, first=NULL);
+    *   - ZERO core tokens (a bare prefix like "MR") → first_p and
+    *     last_p are both NULL.
     */
   def parseName(full: Column): Seq[(String, Column)] = {
     val toks = split(trim(regexp_replace(upper(full), "\\.", "")), " +")
@@ -169,10 +175,10 @@ object Preprocess {
     val endI = when(hasSuf, n - 1).otherwise(n)
     Seq(
       "name_prefix" -> when(hasPre, element_at(toks, 1)),
-      "first_p" -> element_at(toks, startI),
+      "first_p" -> when(endI > startI, element_at(toks, startI)),
       "middle_p" -> when(endI - startI >= 2,
         array_join(slice(toks, startI + 1, endI - startI - 1), " ")),
-      "last_p" -> element_at(toks, endI),
+      "last_p" -> when(endI >= startI, element_at(toks, endI)),
       "suffix_std" -> when(hasSuf, standardizeSuffix(element_at(toks, n))))
   }
 
@@ -196,9 +202,9 @@ object Preprocess {
        |${rel}_parsed AS (
        |  SELECT * EXCLUDE (toks, n, si, ei),
        |         CASE WHEN si = 2 THEN toks[1] END AS name_prefix,
-       |         toks[si] AS first_p,
+       |         CASE WHEN ei > si THEN toks[si] END AS first_p,
        |         CASE WHEN ei - si >= 2 THEN array_to_string(toks[si+1:ei-1], ' ') END AS middle_p,
-       |         toks[ei] AS last_p,
+       |         CASE WHEN ei >= si THEN toks[ei] END AS last_p,
        |         CASE WHEN ei = n - 1 THEN ${standardizeSuffixSql("toks[n]")} END AS suffix_std
        |  FROM ${rel}_dim2)""".stripMargin
   }

@@ -926,16 +926,28 @@ object PipelineQueries {
     */
   private[graft] def winnowFingerprints(docs: DataFrame,
       textCol: String): DataFrame = {
+    val fpAll = winnowFingerprintsUncapped(docs, textCol)
+    fpAll.join(fpAll.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") <= WinnowHubCap).select("h"), Seq("h"))
+  }
+
+  /** The UNCAPPED fingerprint half of [[winnowFingerprints]] — the
+    * streaming corpus index builds on this so the cap can be applied
+    * solely at probe time over the true corpus + batch occupancy (see
+    * graft.streaming.StreamingDedup.winnowMatchesBatch): a build-time
+    * cap would freeze corpus-only occupancy into the index and make the
+    * probe's combined nd_c + nd_b check unable to see it.
+    */
+  private[graft] def winnowFingerprintsUncapped(docs: DataFrame,
+      textCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val fpAll = docs.select(col("doc_id"),
+    docs.select(col("doc_id"),
         explode(graft.functions.GraftFunctions
           .winnowKeys(col(textCol), WinnowK, WinnowW)).as("key"))
       .select(col("doc_id"), shiftright(col("key"), 33).as("h"),
         col("key").bitwiseAND(lit(graft.functions.WinnowImpl.PosShift - 1))
           .as("pos"))
       .localCheckpoint()
-    fpAll.join(fpAll.groupBy("h").agg(countDistinct("doc_id").as("nd"))
-      .filter(col("nd") <= WinnowHubCap).select("h"), Seq("h"))
   }
 
   /** Verified winnow gram matches of a corpus against itself: hub-capped
@@ -3401,20 +3413,30 @@ object PipelineQueries {
       // rows are the uninteresting bulk and are not emitted). v2 is
       // synthesized deterministically in both engines: doc_id % 13 == 0
       // dropped, % 17 == 0 survivors get a text edit, fresh ids minted
-      // at +400000 for % 23 == 0. One shuffle on doc_id; the content
-      // compare is md5 equality, never the texts themselves — at 100 TB
-      // the join carries (id, 32-byte hash) rows only.
+      // for % 23 == 0 at a CORPUS-DERIVED offset — the smallest power of
+      // ten above max(doc_id), computed with identical integer/string
+      // arithmetic in both engines, so minted ids can never collide with
+      // surviving v1 ids at ANY corpus size (a fixed +400000 constant
+      // would alias once the corpus passes 400k docs, silently turning
+      // added/removed rows into bogus 'changed' rows that both engines
+      // would agree on). One shuffle on doc_id; the content compare is
+      // md5 equality, never the texts themselves — at 100 TB the join
+      // carries (id, 32-byte hash) rows only.
       "q145_corpus_diff",
       (s, d) => {
         val v1 = Tables.documents(s, d).select(col("doc_id"),
           md5(col("text")).as("h1"))
         val docs = Tables.documents(s, d)
+        val off = docs.agg(max("doc_id").as("mx")).select(
+          concat(lit("1"), repeat(lit("0"),
+            length(col("mx").cast("string")))).cast("long").as("off"))
         val survivors = docs.filter(pmod(col("doc_id"), lit(13)) =!= 0)
           .select(col("doc_id"),
             md5(when(pmod(col("doc_id"), lit(17)) === 0,
               concat(col("text"), lit(" v2"))).otherwise(col("text"))).as("h2"))
         val added = docs.filter(pmod(col("doc_id"), lit(23)) === 0)
-          .select((col("doc_id") + 400000L).as("doc_id"), md5(col("text")).as("h2"))
+          .crossJoin(broadcast(off))
+          .select((col("doc_id") + col("off")).as("doc_id"), md5(col("text")).as("h2"))
         val v2 = survivors.unionByName(added)
         v1.join(v2, Seq("doc_id"), "full_outer")
           .select(col("doc_id"),
@@ -3425,12 +3447,17 @@ object PipelineQueries {
           .filter(col("status") =!= "unchanged")
       },
       Some("""WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+             |off AS (
+             |  SELECT CAST('1' || repeat('0', length(CAST(MAX(doc_id) AS VARCHAR)))
+             |              AS BIGINT) AS off
+             |  FROM documents),
              |v2 AS (
              |  SELECT doc_id,
              |         md5(CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END) AS h2
              |  FROM documents WHERE doc_id % 13 <> 0
              |  UNION ALL
-             |  SELECT doc_id + 400000, md5(text) FROM documents WHERE doc_id % 23 = 0)
+             |  SELECT doc_id + (SELECT off FROM off), md5(text)
+             |  FROM documents WHERE doc_id % 23 = 0)
              |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
              |       CASE WHEN v1.doc_id IS NULL THEN 'added'
              |            WHEN v2.doc_id IS NULL THEN 'removed'

@@ -60,23 +60,25 @@ object StreamingDedup {
           PipelineQueries.WinnowK, PipelineQueries.WinnowW)).as("key"))
       .select(col("doc_id").as("new_id"), shiftright(col("key"), 33).as("h"),
         col("key").bitwiseAND(lit(shift - 1)).as("pos_b"))
-    // Hub cap on COMBINED occupancy: the index build ([[winnowIndex]])
-    // caps buckets at corpus occupancy, but a boilerplate bucket can
-    // cross the cap only once arrivals pile onto it — so each batch
-    // re-checks corpus + batch occupancy per hash and drops buckets the
-    // batch pushes over, exactly the batch query's cap rule when the
-    // whole corpus arrives in one batch. Residual divergence from batch
-    // q134 is bounded to buckets whose occupancy crosses the cap only
-    // across SEPARATE micro-batches (each batch under-counts the other
-    // batches' arrivals) — the deployment form degrades predictably near
-    // the cap instead of letting a hub bucket explode the candidate join.
+    // Hub cap on COMBINED occupancy, applied SOLELY at probe time: the
+    // index ([[winnowIndex]]) is built UNCAPPED, so nd_c below is the
+    // TRUE corpus occupancy and the combined nd_c + nd_b check is
+    // exactly the batch query's cap rule whenever the compared corpus
+    // arrives in one batch. The ok-set is computed from the two slim
+    // occupancy aggregates and semi-joined BEFORE the fingerprint join,
+    // so a hub bucket is dropped ahead of — never after — the
+    // quadratic-in-occupancy candidate explosion. The only residual
+    // divergence from batch q134 is arrivals split across SEPARATE
+    // micro-batches under-counting each other near the cap — the
+    // documented cross-batch bound.
     val occC = corpusFps.groupBy("h").agg(countDistinct("doc_id").as("nd_c"))
     val occB = fps.groupBy("h").agg(countDistinct("new_id").as("nd_b"))
+    val okH = occC.join(occB, Seq("h"))
+      .filter(col("nd_c") + col("nd_b") <= PipelineQueries.WinnowHubCap)
+      .select("h")
     corpusFps
       .select(col("doc_id").as("corpus_id"), col("h"), col("pos").as("pos_a"))
-      .join(fps, Seq("h"))
-      .join(occC, Seq("h")).join(occB, Seq("h"))
-      .filter(col("nd_c") + col("nd_b") <= PipelineQueries.WinnowHubCap)
+      .join(fps.join(okH, Seq("h")), Seq("h"))
       .join(corpusTexts.select(col("doc_id").as("corpus_id"),
         col("text").as("ta")), Seq("corpus_id"))
       .join(arrivals.select(col("doc_id").as("new_id"), col("text").as("tb")),
@@ -89,15 +91,15 @@ object StreamingDedup {
   }
 
   /** The (doc_id, h, pos) corpus fingerprint index [[winnowMatchesBatch]]
-    * probes — decode of the packed winnow keys, with q134's hub cap
-    * applied at BUILD time over the corpus occupancy (arrivals can't be
-    * pre-counted in a stream; [[winnowMatchesBatch]] re-checks corpus +
-    * batch occupancy per probe so buckets a batch pushes over the cap
-    * are dropped the way the batch query drops them — see the bound
-    * documented there).
+    * probes — decode of the packed winnow keys, built UNCAPPED so the
+    * probe's combined corpus + batch occupancy check sees the true
+    * corpus counts (q134's cap is applied solely at probe time; see the
+    * bound documented in [[winnowMatchesBatch]]). A hub bucket costs
+    * index ROWS but never candidate pairs — the probe drops it before
+    * the fingerprint join.
     */
   def winnowIndex(docs: DataFrame): DataFrame =
-    PipelineQueries.winnowFingerprints(docs, "text")
+    PipelineQueries.winnowFingerprintsUncapped(docs, "text")
 
   /** URL variant — the crawl-frontier "already crawled?" probe (q140's
     * incremental deployment): the corpus keeps a canonical-URL index

@@ -226,4 +226,26 @@ class EdgeSpec extends SparkTestBase {
     assert(r.getLong(1) == 3 && r.getLong(2) == 3,
       s"char-fallback counts wrong: ${r.mkString(",")}")
   }
+
+  test("parseName: prefix-only and single-core-token shapes (no ANSI throw)") {
+    import graft.operators.Preprocess
+    // Conventions pinned in both renderers: one core token -> LAST name
+    // only; zero core tokens (bare prefix) -> first and last both NULL.
+    // Under ANSI mode the old unguarded element_at threw on 'MR'.
+    val df = spark.createDataFrame(Seq(
+      Tuple1("MR"), Tuple1("MR SMITH JR"), Tuple1("SMITH"), Tuple1("MR JR"),
+      Tuple1("JOHN Q SMITH JR"), Tuple1("DR JOHN SMITH"))).toDF("full_name")
+    val parsed = df.select(col("full_name") +:
+        Preprocess.parseName(col("full_name")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2), r.getString(3), r.getString(4),
+          r.getString(5))).toMap
+    assert(parsed("MR") == (("MR", null, null, null, null)))
+    assert(parsed("MR SMITH JR") == (("MR", null, null, "SMITH", "JR")))
+    assert(parsed("SMITH") == ((null, null, null, "SMITH", null)))
+    // Trailing suffix with no core token left parses as the bare last name.
+    assert(parsed("MR JR") == (("MR", null, null, "JR", null)))
+    assert(parsed("JOHN Q SMITH JR") == ((null, "JOHN", "Q", "SMITH", "JR")))
+    assert(parsed("DR JOHN SMITH") == (("DR", "JOHN", null, "SMITH", null)))
+  }
 }
