@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** End-to-end PERSISTED pipeline runner — the reference's Snakefile shape
+  * (its case study is a DAG of persisted stage artifacts: 02 reference
+  * files → 03 linked datasets → 04 accuracy tables, each stage read from
+  * disk by the next and SKIPPED on re-run when its outputs exist). graft
+  * has every stage as queries/APIs; this main materializes them as
+  * parquet stage artifacts with the same resume semantics:
+  *
+  *   runMain graft.Pipeline <sfDir> <outDir>
+  *
+  * A stage is COMPLETE when every one of its tables has a parquet
+  * `_SUCCESS` marker under `outDir/<stage>/<table>`; complete stages are
+  * skipped wholesale (a partially-written stage — crash mid-stage —
+  * re-runs whole, so no table can pair with a stale sibling). Writes are
+  * DETERMINISTIC (single file, rows fully sorted), so a re-run into a
+  * fresh directory produces byte-identical tables — the property that
+  * makes persisted artifacts diffable across runs and the resume
+  * semantics trustworthy.
+  *
+  * On a cluster the same runner writes multi-file tables (drop the
+  * coalesce(1) via PipelineRunner.singleFile=false) — the skip logic
+  * reads only the `_SUCCESS` markers, not file counts.
+  */
+object Pipeline {
+
+  /** One stage: name → (table name → frame builder). Stage order is the
+    * reference's notebook order; tables within a stage are independent.
+    */
+  def stages: Seq[(String, Seq[(String, (SparkSession, String) => DataFrame)])] = {
+    def q(name: String): (SparkSession, String) => DataFrame = SparkEntry.queries(name)
+    Seq(
+      "02_reference_files" -> Seq(
+        "alternate_names" -> q("q71_alternate_names"),
+        "name_dob_reference" -> q("q72_name_dob_reference"),
+        "ssn_to_pik" -> q("q73_ssn_to_pik"),
+        "geobase_reference" -> q("q117_geobase_reference"),
+        "addresses_by_ssn" -> q("q121_addresses_by_ssn")),
+      "03_link_datasets" -> Seq(
+        "best_links" -> q("q32_cascade_best_link"),
+        "confirmed_links" -> q("q37_confirm_links"),
+        "pass_matrix" -> q("q76_pass_matrix"),
+        "pik_rate" -> q("q39_pik_rate")),
+      "04_accuracy" -> Seq(
+        "accuracy_eval" -> q("q33_accuracy_eval"),
+        "accuracy_by_module" -> q("q112_accuracy_by_module"),
+        "accuracy_definitions" -> q("q120_accuracy_definitions")))
+  }
+
+  case class StageResult(stage: String, tables: Seq[String], skipped: Boolean,
+      sec: Double)
+
+  /** Run (or resume) the pipeline; returns per-stage results. */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      singleFile: Boolean = true): Seq[StageResult] =
+    stages.map { case (stage, tables) =>
+      val t0 = System.nanoTime()
+      val complete = tables.forall { case (t, _) =>
+        new java.io.File(s"$outDir/$stage/$t/_SUCCESS").isFile
+      }
+      if (!complete) tables.foreach { case (t, fn) =>
+        val df = fn(spark, sfDir)
+        // Deterministic artifact: one file, rows in full column order —
+        // byte-identical across runs on the same input (the spec pins
+        // this), so artifacts diff cleanly and downstream stages can
+        // cache-key on content.
+        val out = if (singleFile) df.coalesce(1) else df
+        out.sortWithinPartitions(df.columns.map(col): _*)
+          .write.mode("overwrite").parquet(s"$outDir/$stage/$t")
+      }
+      StageResult(stage, tables.map(_._1), skipped = complete,
+        (System.nanoTime() - t0) / 1e9)
+    }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args.take(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+        else System.getProperty("java.io.tmpdir"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, sfDir, outDir).foreach { r =>
+      val verb = if (r.skipped) "skipped (complete)" else f"wrote in ${r.sec}%.1f s"
+      println(s"[pipeline] ${r.stage}: ${r.tables.mkString(", ")} — $verb")
+    }
+    spark.stop()
+  }
+}

@@ -638,8 +638,20 @@ object LinkageCascade {
     * aggregate (no extra shuffles), with only per-level scalars collected.
     */
   def emTrainM(census: DataFrame, input: DataFrame, trainingPass: BlockingPass,
-      cfg: LinkageConfig, iterations: Int = 5): Seq[(String, Int, Double)] =
-    emTrainMMulti(census, input, Seq(trainingPass), cfg, iterations)
+      cfg: LinkageConfig, iterations: Int = 5,
+      tol: Double = 0.0): Seq[(String, Int, Double)] =
+    emTrainMMulti(census, input, Seq(trainingPass), cfg, iterations, tol)
+
+  /** One training session's stopping report: the blocking keys that name
+    * the session, the iterations it actually ran, whether it stopped on
+    * the tolerance (max |Δm| < tol — Splink's convergence rule) or hit
+    * the iteration cap, and the final iteration's max |Δm|.
+    */
+  case class EmSessionReport(blockKeys: Seq[String], iterations: Int,
+      converged: Boolean, maxDelta: Double)
+
+  /** Splink's default EM convergence tolerance (`em_convergence`). */
+  val DefaultEmTol = 1e-4
 
   /** EM over several training blockings, one session per blocking (the
     * reference trains two Splink EM sessions: first_name_15+zipcode and
@@ -653,8 +665,21 @@ object LinkageCascade {
     * sessions that produced them (Splink's combine step).
     */
   def emTrainMMulti(census: DataFrame, input: DataFrame, trainingPasses: Seq[BlockingPass],
-      cfg: LinkageConfig, iterations: Int = 5,
-      cvProvider: BlockingPass => Option[DataFrame] = _ => None): Seq[(String, Int, Double)] = {
+      cfg: LinkageConfig, iterations: Int = 5, tol: Double = 0.0,
+      cvProvider: BlockingPass => Option[DataFrame] = _ => None): Seq[(String, Int, Double)] =
+    emTrainMMultiWithReport(census, input, trainingPasses, cfg, iterations, tol,
+      cvProvider)._1
+
+  /** [[emTrainMMulti]] plus the per-session stopping reports — the
+    * Splink-style "EM converged in N iterations" accounting a production
+    * trainer surfaces (tol = 0 reports converged = false and iterations
+    * = the fixed cap for every session).
+    */
+  def emTrainMMultiWithReport(census: DataFrame, input: DataFrame,
+      trainingPasses: Seq[BlockingPass], cfg: LinkageConfig,
+      iterations: Int = 5, tol: Double = 0.0,
+      cvProvider: BlockingPass => Option[DataFrame] = _ => None)
+      : (Seq[(String, Int, Double)], Seq[EmSessionReport]) = {
     // Sessions are independent (each owns its blocking, cached gamma frame
     // and iteration loop), so they submit their Spark jobs CONCURRENTLY —
     // wall-clock is the slowest session, not the sum. Results stay
@@ -662,7 +687,7 @@ object LinkageCascade {
     // session's math is self-contained. (The cascade's passes, by
     // contrast, are inherently sequential — later passes must not see
     // records earlier passes linked.)
-    val sessions: Seq[(Set[String], Map[(String, Int), Double])] = {
+    val sessions: Seq[(Set[String], Map[(String, Int), Double], EmSessionReport)] = {
       import scala.concurrent.duration.Duration
       import scala.concurrent.{Await, ExecutionContext, Future}
       implicit val ec: ExecutionContext = ExecutionContext.global
@@ -670,19 +695,22 @@ object LinkageCascade {
         Future.sequence(trainingPasses.map { p =>
           Future {
             val cmps = p.comparisonsFor(cfg)
-            (cmps.map(_.name).toSet,
-              emSession(census, input, p, cmps, cfg, iterations, cvProvider(p)))
+            val (m, its, conv, delta) =
+              emSession(census, input, p, cmps, cfg, iterations, cvProvider(p), tol)
+            (cmps.map(_.name).toSet, m,
+              EmSessionReport(p.keys, its, conv, delta))
           }
         }),
         Duration.Inf)
     }
-    cfg.comparisons.flatMap { c =>
-      val ests = sessions.collect { case (names, m) if names.contains(c.name) => m }
-      require(ests.nonEmpty, s"no training session estimates comparison '${c.name}'")
+    val ests = cfg.comparisons.flatMap { c =>
+      val ms = sessions.collect { case (names, m, _) if names.contains(c.name) => m }
+      require(ms.nonEmpty, s"no training session estimates comparison '${c.name}'")
       c.params.map { case (g, _, _) =>
-        (c.name, g, ests.map(_((c.name, g))).sum / ests.size)
+        (c.name, g, ms.map(_((c.name, g))).sum / ms.size)
       }
     }
+    (ests, sessions.map(_._3))
   }
 
   /** One session's estimates alone (only the comparisons the session's
@@ -693,9 +721,9 @@ object LinkageCascade {
     */
   def emTrainSession(census: DataFrame, input: DataFrame, pass: BlockingPass,
       cfg: LinkageConfig, iterations: Int = 5,
-      cvOpt: Option[DataFrame] = None): Seq[(String, Int, Double)] = {
+      cvOpt: Option[DataFrame] = None, tol: Double = 0.0): Seq[(String, Int, Double)] = {
     val cmps = pass.comparisonsFor(cfg)
-    val m = emSession(census, input, pass, cmps, cfg, iterations, cvOpt)
+    val (m, _, _, _) = emSession(census, input, pass, cmps, cfg, iterations, cvOpt, tol)
     cmps.flatMap(c => c.params.map { case (g, _, _) => (c.name, g, m((c.name, g))) })
   }
 
@@ -715,11 +743,26 @@ object LinkageCascade {
     */
   private def emSession(census: DataFrame, input: DataFrame, pass: BlockingPass,
       comparisons: Seq[Comparison], cfg: LinkageConfig,
-      iterations: Int, cvOpt: Option[DataFrame] = None): Map[(String, Int), Double] = {
+      iterations: Int, cvOpt: Option[DataFrame] = None,
+      tol: Double = 0.0): (Map[(String, Int), Double], Int, Boolean, Double) = {
     val hist = gammaHistogram(census, input, pass, comparisons, cvOpt)
     var m = emInit(comparisons)
-    for (_ <- 1 to iterations) m = emStep(hist, comparisons, m, cfg.lambda)
-    m
+    var it = 0
+    var converged = false
+    var lastDelta = Double.NaN
+    // tol = 0 runs the fixed iteration count (bit-identical to the
+    // pre-tolerance loop); tol > 0 is Splink's convergence stop — the
+    // session ends after the first iteration whose max |Δm| over every
+    // (comparison, level) falls below it, and reports how many it ran.
+    while (it < iterations && !converged) {
+      val next = emStep(hist, comparisons, m, cfg.lambda)
+      lastDelta = m.keysIterator
+        .foldLeft(0.0)((acc, k) => math.max(acc, math.abs(next(k) - m(k))))
+      m = next
+      it += 1
+      if (tol > 0.0 && lastDelta < tol) converged = true
+    }
+    (m, it, converged, lastDelta)
   }
 
   /** Gamma-pattern histogram of one session's blocked pairs (the E-step
@@ -822,19 +865,45 @@ object LinkageCascade {
     */
   def emHistory(census: DataFrame, input: DataFrame, pass: BlockingPass,
       cfg: LinkageConfig, iterations: Int = 3,
-      cvOpt: Option[DataFrame] = None): Seq[(Int, String, Int, Double)] = {
+      cvOpt: Option[DataFrame] = None): Seq[(Int, String, Int, Double)] =
+    emHistoryConverged(census, input, pass, cfg, iterations, cvOpt)
+      .map { case (it, c, g, m, _) => (it, c, g, m) }
+
+  /** [[emHistory]] with a per-iteration CONVERGED flag: true from the
+    * first iteration whose max |Δm| against the previous iteration falls
+    * below [[DefaultEmTol]] (Splink's convergence rule, evaluated on the
+    * 6-dp-quantized trajectory). The deltas subtract as EXACT DECIMALS —
+    * the quantized m's are 6-dp grid points, so a double subtraction's
+    * ulp error could split the `< tol` comparison between engines right
+    * at the grid boundary; BigDecimal here and DECIMAL(18,6) in the
+    * oracle make the flag bit-reproducible. Iteration 0 (the init) is
+    * never converged. The flag REPORTS — it does not stop the loop, so
+    * the trajectory stays fixed-depth and the unrolled oracle stays
+    * hash-exact at any tolerance outcome.
+    */
+  def emHistoryConverged(census: DataFrame, input: DataFrame, pass: BlockingPass,
+      cfg: LinkageConfig, iterations: Int = 3,
+      cvOpt: Option[DataFrame] = None): Seq[(Int, String, Int, Double, Boolean)] = {
     val comparisons = pass.comparisonsFor(cfg)
     val hist = gammaHistogram(census, input, pass, comparisons, cvOpt)
-    def q6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    def rows(it: Int, m: Map[(String, Int), Double]): Seq[(Int, String, Int, Double)] =
-      comparisons.flatMap(c => c.params.map { case (g, _, _) => (it, c.name, g, m((c.name, g))) })
+    def q6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def rows(it: Int, m: Map[(String, Int), BigDecimal], conv: Boolean)
+        : Seq[(Int, String, Int, Double, Boolean)] =
+      comparisons.flatMap(c => c.params.map { case (g, _, _) =>
+        (it, c.name, g, m((c.name, g)).toDouble, conv)
+      })
+    val tol = BigDecimal(DefaultEmTol).setScale(6, BigDecimal.RoundingMode.HALF_UP)
     var m = emInit(comparisons).map { case (k, v) => k -> q6(v) }
-    val out = Seq.newBuilder[(Int, String, Int, Double)]
-    out ++= rows(0, m)
+    val out = Seq.newBuilder[(Int, String, Int, Double, Boolean)]
+    out ++= rows(0, m, conv = false)
     for (it <- 1 to iterations) {
-      m = emStep(hist, comparisons, m, cfg.lambda).map { case (k, v) => k -> q6(v) }
-      out ++= rows(it, m)
+      val next = emStep(hist, comparisons, m.map { case (k, v) => k -> v.toDouble },
+        cfg.lambda).map { case (k, v) => k -> q6(v) }
+      val delta = m.keysIterator
+        .foldLeft(BigDecimal(0))((acc, k) => acc.max((next(k) - m(k)).abs))
+      m = next
+      out ++= rows(it, m, conv = delta < tol)
     }
     out.result()
   }

@@ -154,6 +154,39 @@ object DfOps {
   /** reference:574 rebalance — repartition to spread skewed partitions. */
   def rebalance(df: DataFrame, numPartitions: Int): DataFrame = df.repartition(numPartitions)
 
+  /** Default bytes-per-partition for [[rebalanceBySize]]: Spark's
+    * `spark.sql.files.maxPartitionBytes` / AQE advisory default (128 MB)
+    * — executor-memory-friendly at any table size.
+    */
+  val DefaultPartitionBytes: Long = 128L * 1024 * 1024
+
+  /** Partition count DERIVED FROM THE FRAME'S BYTES — the memory-aware
+    * half of the reference's rebalance (`_optimal_partition_size`,
+    * distributed_compute.py:609-635, which sizes partitions from
+    * measured frame bytes instead of a hand-picked count). Spark-first:
+    * the size estimate is the Catalyst plan's `stats.sizeInBytes` (file
+    * sizes at the scan, propagated through the optimized plan), so the
+    * derivation costs NO job — at 100 TB a measure-by-persist pass would
+    * itself be a full materialization. Clamped to [1, maxPartitions].
+    */
+  def derivedPartitionCount(df: DataFrame,
+      targetBytesPerPartition: Long = DefaultPartitionBytes,
+      maxPartitions: Int = 1 << 20): Int = {
+    require(targetBytesPerPartition > 0, "targetBytesPerPartition must be > 0")
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = (bytes + targetBytesPerPartition - 1) / targetBytesPerPartition
+    n.min(BigInt(maxPartitions)).max(BigInt(1)).toInt
+  }
+
+  /** [[rebalance]] with the partition count derived from frame bytes
+    * ([[derivedPartitionCount]]) — a 10× bigger input lands ~10× the
+    * partitions at the same bytes-per-partition, instead of spilling a
+    * fixed count.
+    */
+  def rebalanceBySize(df: DataFrame,
+      targetBytesPerPartition: Long = DefaultPartitionBytes): DataFrame =
+    df.repartition(derivedPartitionCount(df, targetBytesPerPartition))
+
   /** value_counts (reference uses it for cut/QA summaries). */
   def valueCounts(df: DataFrame, cols: Seq[String]): DataFrame =
     df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("count"))

@@ -1162,12 +1162,24 @@ object LinkageQueries {
     * inputs. This makes the ITERATIVE EM hash-checkable, not just its
     * one-step update rule (q101).
     */
-  private def emHistorySql(iters: Int): String =
+  private def emHistorySql(iters: Int): String = {
+    // Converged flag per iteration: max |Δm| vs the previous stage as an
+    // EXACT DECIMAL compare (the 6-dp m's are grid points; a double
+    // subtraction's ulp could split `< tol` at the boundary) — mirrors
+    // emHistoryConverged's BigDecimal rule. Iteration 0 is never converged.
+    def convSql(it: Int): String =
+      if (it == 0) "FALSE AS converged"
+      else
+        s"""(SELECT MAX(ABS(CAST(a.m AS DECIMAL(18,6)) - CAST(b.m AS DECIMAL(18,6))))
+           |          FROM m_z_$it a JOIN m_z_${it - 1} b
+           |            ON a.comparison = b.comparison AND a.gamma = b.gamma)
+           |         < CAST(0.0001 AS DECIMAL(18,6)) AS converged""".stripMargin
     s"""$base,
        |${emSessionCtes(emPasses.head, iters, "z")}
        |${(0 to iters)
-        .map(it => s"SELECT $it AS iter, comparison, gamma, m FROM m_z_$it")
+        .map(it => s"SELECT $it AS iter, comparison, gamma, m,\n       ${convSql(it)} FROM m_z_$it")
         .mkString("\n  UNION ALL\n  ")}""".stripMargin
+  }
 
   /** The CTE chain of one session's unrolled quantized EM (see
     * [[emHistorySql]]) with every relation name suffixed `_pfx`, so two
@@ -1824,10 +1836,13 @@ object LinkageQueries {
       "q105_em_history",
       (s, d) => {
         reg(s)
-        val hist = LinkageCascade.emHistory(
+        // The trajectory plus Splink's convergence accounting: converged
+        // flips true at the first iteration whose max |Δm| < DefaultEmTol
+        // (exact-decimal compare in both engines — see emHistoryConverged).
+        val hist = LinkageCascade.emHistoryConverged(
           census(s, d), input(s, d), emPasses.head, config, iterations = 3,
           cvOpt = Some(scoredBlock(s, d)))
-        s.createDataFrame(hist).toDF("iter", "comparison", "gamma", "m")
+        s.createDataFrame(hist).toDF("iter", "comparison", "gamma", "m", "converged")
       },
       Some(emHistorySql(3))
     ),

@@ -135,4 +135,24 @@ class DfOpsSpec extends SparkTestBase {
     assert(scan.contains("PartitionFilters: [isnotnull(c_mktsegment"),
       s"partition filter not applied:\n$scan")
   }
+
+  test("rebalanceBySize: derived partition count tracks frame bytes") {
+    val one = Tables.customer(spark, sfDir)
+    val ten = (1 to 10).map(_ => one).reduce(_ unionByName _)
+    // Pin the derivation at a target that splits the small frame into a
+    // handful of partitions; the 10x-unioned frame (Catalyst stats sum
+    // across union children) must land ~10x the count.
+    val bytes1 = one.queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+    val target = math.max(1L, bytes1 / 4)
+    val n1 = DfOps.derivedPartitionCount(one, target)
+    val n10 = DfOps.derivedPartitionCount(ten, target)
+    assert(n1 >= 4 && n1 <= 5, s"small frame derived $n1 partitions")
+    assert(n10 >= 9 * n1 / 2 && n10 <= 11 * n1,
+      s"10x frame derived $n10 vs $n1 — not tracking size")
+    // Clamps: a huge target floors at 1; a tiny target hits the cap.
+    assert(DfOps.derivedPartitionCount(one, Long.MaxValue) == 1)
+    assert(DfOps.derivedPartitionCount(ten, 1L, maxPartitions = 7) == 7)
+    // The rebalanced frame actually carries the derived count.
+    assert(DfOps.rebalanceBySize(one, target).rdd.getNumPartitions == n1)
+  }
 }

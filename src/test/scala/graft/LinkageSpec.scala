@@ -126,6 +126,50 @@ class LinkageSpec extends SparkTestBase {
     }
   }
 
+  test("EM tolerance stop: converges early with a report, tol=0 bit-unchanged") {
+    // Strongly separable fixture (one exact-match comparison, 80% true
+    // agreement inside blocks): EM locks m within a few iterations, so
+    // the Splink-style tolerance stop must fire well before the cap.
+    val n = 2000L
+    val b = 10L
+    val census2 = spark.range(n).select(
+      col("id").as("pik"), (col("id") / b).as("blk"),
+      concat(lit("v"), col("id")).as("f1"))
+    val input2 = spark.range(n).select(
+      col("id").as("rec_id"), (col("id") / b).as("blk"),
+      when(pmod(col("id"), lit(5)) === 0, concat(lit("w"), col("id")))
+        .otherwise(concat(lit("v"), col("id"))).as("f1"))
+    val cmps = Seq(
+      Comparison("f1", "f1", Seq(ComparisonLevel(ExactMatch, 0.5, 0.0001)), 0.5, 0.9999))
+    val pass = BlockingPass("blk", Seq("blk"))
+    val cfg2 = LinkageConfig(cmps, lambda = 1.0 / b, thresholdWeight = 0.0,
+      passes = Seq(pass))
+    val cap = 50
+    val (est, reports) = LinkageCascade.emTrainMMultiWithReport(
+      census2, input2, Seq(pass), cfg2, iterations = cap,
+      tol = LinkageCascade.DefaultEmTol)
+    val r = reports.head
+    assert(r.converged, s"did not converge within $cap iterations: $r")
+    assert(r.iterations < cap, s"tolerance stop never fired: $r")
+    assert(r.maxDelta < LinkageCascade.DefaultEmTol)
+    assert(r.blockKeys == Seq("blk"))
+    // tol = 0 must reproduce the pre-tolerance fixed-iteration math
+    // exactly (the q31 production path stays hash-identical).
+    val fixedA = LinkageCascade.emTrainMMulti(
+      census2, input2, Seq(pass), cfg2, iterations = 5)
+    val fixedB = LinkageCascade.emTrainMMulti(
+      census2, input2, Seq(pass), cfg2, iterations = 5, tol = 0.0)
+    assert(fixedA == fixedB)
+    // The converged estimates agree with the run-to-cap estimates to the
+    // tolerance scale — stopping early changed cost, not the answer.
+    val capped = LinkageCascade.emTrainMMulti(
+      census2, input2, Seq(pass), cfg2, iterations = cap)
+    est.zip(capped).foreach { case ((c1, g1, m1), (c2, g2, m2)) =>
+      assert(c1 == c2 && g1 == g2 && math.abs(m1 - m2) < 0.01,
+        s"$c1 gamma=$g1: converged $m1 vs capped $m2")
+    }
+  }
+
   test("bestLink keeps same-pik ties and drops only multi-pik ties") {
     import spark.implicits._
     val scored = Seq(
