@@ -82,15 +82,17 @@ object Bpe {
     trainPeakLive.set(0)
     var live: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
     var nLive = 0
-    // Materialize through a persisted Row RDD + createDataFrame: the
-    // rebuilt frame's plan is a bare RDD scan (no lineage growth — 10⁴
-    // stacked projections would make every Catalyst re-analysis quadratic),
-    // and unlike Dataset.localCheckpoint the persisted handle is OURS to
-    // release the moment the next iteration lands.
+    // Materialize through a LOCALLY-CHECKPOINTED Row RDD + createDataFrame:
+    // the rebuilt frame's plan is a bare RDD scan (no Catalyst lineage
+    // growth), the checkpoint TRUNCATES the RDD dependency graph after the
+    // first action (plain persist() does not — 10⁴ chained iteration RDDs
+    // overflowed task serialization at merge ~10³, caught by ScaleBench's
+    // 1024-merge run), and unlike Dataset.localCheckpoint the RDD handle
+    // is OURS to release the moment the next iteration lands.
     def materialize(df: DataFrame): DataFrame = {
       val rdd = df.rdd
-      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      rdd.count() // materialize BEFORE releasing the input it was built from
+      rdd.localCheckpoint()
+      rdd.count() // materialize + truncate BEFORE releasing the input
       nLive += 1
       trainPeakLive.set(math.max(trainPeakLive.get, nLive))
       live.foreach { prev => prev.unpersist(blocking = false); nLive -= 1 }

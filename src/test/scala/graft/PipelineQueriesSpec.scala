@@ -131,13 +131,32 @@ class PipelineQueriesSpec extends SparkTestBase {
 
   test("bpe training releases superseded checkpoints: <= 2 live, none after") {
     import graft.operators.Bpe
-    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    // Synthetic wide-vocabulary corpus (3000 distinct ~8-char words): the
+    // sf0.001 documents exhaust their pair space at 89 merges, too
+    // shallow for the depth contract below.
+    val words = (0 until 3000).map { i =>
+      val s = new StringBuilder
+      var v = i + 26 * 26 * 26
+      while (v > 0) { s.append(('a' + v % 26).toChar); v /= 26 }
+      s.toString * 2
+    }
+    val docs = spark.createDataFrame(
+      words.grouped(10).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq)
+      .toDF("doc_id", "text")
     val before = spark.sparkContext.getPersistentRDDs.keySet
-    val merges = Bpe.trainMerges(docs, m = 24)
-    assert(merges.nonEmpty)
-    // Hygiene contract for production merge counts (10^4-10^5): the peak
-    // is the in-flight checkpoint plus the predecessor it reads — never
-    // one live copy per merge.
+    // DEEP run (hundreds of merges): the hygiene contract has two failure
+    // modes only depth exposes — storage (one live copy per merge: the
+    // round-15 leak) and LINEAGE (chained iteration RDDs overflowing task
+    // serialization: plain persist() kept the full dependency graph and
+    // ScaleBench's 1024-merge run blew the stack at ~10³ merges; the
+    // local checkpoint truncates it). 256 merges is deep enough to catch
+    // both and cheap enough for the suite.
+    val merges = Bpe.trainMerges(docs, m = 256)
+    assert(merges.size == 256,
+      s"corpus exhausted at ${merges.size} merges — fixture too small for the depth test")
+    // Peak = the in-flight checkpoint plus the predecessor it reads —
+    // never one live copy per merge.
     assert(Bpe.trainPeakLive.get <= 2,
       s"peak live training RDDs = ${Bpe.trainPeakLive.get}")
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
