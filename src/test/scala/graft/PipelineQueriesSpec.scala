@@ -826,12 +826,15 @@ class PipelineQueriesSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     val ids = Tables.documents(spark, sfDir).select("doc_id")
       .collect().map(_.getLong(0))
+    // Minted-id offset is corpus-derived (round 16): the smallest power
+    // of ten above max(doc_id) — same rule as both engines.
+    val off = ("1" + "0" * ids.max.toString.length).toLong
     ids.foreach { id =>
       if (id % 13 == 0) assert(rows.get(id).contains("removed"), s"doc $id")
       else if (id % 17 == 0) assert(rows.get(id).contains("changed"), s"doc $id")
       else assert(!rows.contains(id), s"unchanged doc $id emitted: ${rows.get(id)}")
       if (id % 23 == 0)
-        assert(rows.get(id + 400000L).contains("added"), s"added ${id + 400000}")
+        assert(rows.get(id + off).contains("added"), s"added ${id + off}")
     }
     assert(rows.size == ids.count(_ % 13 == 0) +
       ids.count(i => i % 17 == 0 && i % 13 != 0) + ids.count(_ % 23 == 0),

@@ -65,7 +65,10 @@ class PlanSpec extends SparkTestBase {
       // attaches two 1-row aggregate frames (pool count, threshold);
       // q139 attaches the 1-row bigram-total frame (the q66 shape).
       "q131_int8_rerank", "q132_filtered_ann", "q133_dsir_select",
-      "q139_bigram_logprob")
+      "q139_bigram_logprob",
+      // q42 attaches the 1-row derived-g params frame; q145 attaches the
+      // 1-row corpus-derived minted-id offset (both broadcast).
+      "q42_simhash", "q145_corpus_diff")
     SparkEntry.queries.keys.filterNot(intendedCross).foreach { name =>
       val p = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")

@@ -67,7 +67,7 @@ class PrepQueriesSpec extends SparkTestBase {
       (2L, "JOHN SMITH JUNIOR"),
       (3L, "DR MARY ANN LOPEZ 2ND"),
       (4L, "MARY LOPEZ"),
-      (5L, "MR JR"), // suffix token with no core left: JR is the last name
+      (5L, "MR JR"), // suffix token with no core left: JR is the bare last name
       (6L, "miss sarah o brien iv"))).toDF("k", "full_name")
     val parsed = df.select(col("k") +:
       Preprocess.parseName(col("full_name")).map { case (n, c) => c.as(n) }: _*)
@@ -77,7 +77,9 @@ class PrepQueriesSpec extends SparkTestBase {
     assert(parsed(2L) == List(None, Some("JOHN"), None, Some("SMITH"), Some("JR")))
     assert(parsed(3L) == List(Some("DR"), Some("MARY"), Some("ANN"), Some("LOPEZ"), Some("II")))
     assert(parsed(4L) == List(None, Some("MARY"), None, Some("LOPEZ"), None))
-    assert(parsed(5L) == List(Some("MR"), Some("JR"), None, Some("JR"), None))
+    // Single-core-token convention (round 16): last-name-only — first_p
+    // is NULL when no second core token exists.
+    assert(parsed(5L) == List(Some("MR"), None, None, Some("JR"), None))
     assert(parsed(6L) == List(Some("MISS"), Some("SARAH"), Some("O"), Some("BRIEN"), Some("IV")))
   }
 

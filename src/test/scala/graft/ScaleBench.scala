@@ -315,13 +315,31 @@ object ScaleBench {
     // ~1024 live word-type copies here; the hygiene contract is ≤ 2.
     if (factor == 10) {
       import graft.operators.Bpe
-      val bpeDocs = spark.read.parquet(s"$outDir/documents.parquet")
+      val scaledDocs = spark.read.parquet(s"$outDir/documents.parquet")
         .select("doc_id", "text")
+      // The bench corpus is synthetic with a ~200-word vocabulary whose
+      // BPE pair space exhausts at 89 merges (measured — the trainer
+      // early-stops; the ×10 copy suffixes add digits, not [a-z] word
+      // types). Production merge counts need production vocabulary
+      // DIVERSITY, so the measured corpus is the 10× docs PLUS a
+      // deterministic 100k-word-type tail (base-26 id renderings, 50
+      // types per doc) — the vocabulary-bounded merge loop then runs at
+      // its real production cost shape: every pair-count aggregate scans
+      // ~100k word types, the corpus rows are touched only by type
+      // extraction.
+      val vocabTail = spark.range(2000).select(
+        (col("id") + 10000000L).as("doc_id"),
+        concat_ws(" ", (0 until 50).map { j =>
+          val w = translate(lower(conv((col("id") * 50 + j + 500000).cast("string"),
+            10, 26)), "0123456789", "qrstuvwxyz")
+          concat(w, w)
+        }: _*).as("text"))
+      val bpeDocs = scaledDocs.unionByName(vocabTail)
       val t0 = System.nanoTime()
       val merges = Bpe.trainMerges(bpeDocs, m = 1024)
       val t = (System.nanoTime() - t0) / 1e9
-      println(f"[scale] bpe 1024-merge training at 10x: merges=${merges.size} " +
-        f"peakLiveRdds=${Bpe.trainPeakLive.get} $t%.1f s")
+      println(f"[scale] bpe 1024-merge training at 10x (+100k-type vocab tail): " +
+        f"merges=${merges.size} peakLiveRdds=${Bpe.trainPeakLive.get} $t%.1f s")
     }
 
     // Hierarchical vs flat assignment at the scaled dir: wall time of the
