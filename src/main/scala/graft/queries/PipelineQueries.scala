@@ -86,6 +86,13 @@ object PipelineQueries {
     */
   private[graft] val SimHubCap = 1000L
 
+  /** q146 sliding-window chunking: window width / stride in words
+    * (overlap = ChunkW − ChunkStride). Demo-scale constants — production
+    * token budgets (2048/1536) change the values, not the plan shape.
+    */
+  private[graft] val ChunkW = 32
+  private[graft] val ChunkStride = 24
+
   /** 60-bit SimHash signatures (doc_id, sig) over docsWithDups — the
     * builder q42 and ScaleBench's planted-pair recall audit share. Each
     * word is md5'd once (h1 = hex chars 1-12, h2 = 13-24, so the DuckDB
@@ -3465,6 +3472,52 @@ object PipelineQueries {
              |            ELSE 'unchanged' END AS status
              |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
              |WHERE NOT (v1.doc_id IS NOT NULL AND v2.doc_id IS NOT NULL AND v1.h1 = v2.h2)""".stripMargin)
+    ),
+    QueryDef(
+      // Overlapping sliding-window chunking — the context-window op a
+      // pretraining/RAG pipeline runs over long documents before packing
+      // (q82) or embedding: W-word windows at stride S, so consecutive
+      // chunks share W−S words and no span of ≤ W−S+1 words is ever cut
+      // without also appearing whole in some chunk. Chunk counts derive
+      // from each doc's own length; the whole op is ONE scan of per-doc
+      // map-side work (explode + slice — no shuffle at any corpus size).
+      // W/S are demo-scale (32/24) so the test corpus (10-99 words/doc)
+      // produces real 1-4-chunk spreads; production token-budget values
+      // (e.g. 2048/1536) change the constants, not the shape.
+      "q146_chunk_windows",
+      (s, d) => {
+        val W = ChunkW
+        val S = ChunkStride
+        val w = split(col("text"), " ")
+        val n = size(w)
+        // ceil((n−W)/S) + 1 full-and-tail windows; ≤ W words = 1 chunk.
+        // floor of an exact small-int double division — engine-safe.
+        val nChunks = when(n <= W, lit(1L)).otherwise(
+          floor((n - lit(W) + lit(S - 1)).cast("double") / S).cast("long") + 1L)
+        Tables.documents(s, d)
+          .select(col("doc_id"), w.as("w"),
+            explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
+          .select(col("doc_id"), col("chunk_id"),
+            slice(col("w"), (col("chunk_id") * S + 1).cast("int"), lit(W)).as("c"))
+          .select(col("doc_id"), col("chunk_id"),
+            size(col("c")).cast("long").as("n_words"),
+            array_join(col("c"), " ").as("chunk_text"))
+      },
+      Some(s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              |dims AS (
+              |  SELECT doc_id, w,
+              |         CASE WHEN len(w) <= $ChunkW THEN 1
+              |              ELSE (len(w) - $ChunkW + ${ChunkStride - 1}) // $ChunkStride + 1
+              |         END AS nc
+              |  FROM words)
+              |SELECT doc_id, u.chunk_id, u.n_words, u.chunk_text
+              |FROM (
+              |  SELECT doc_id,
+              |         unnest([{'chunk_id': CAST(i - 1 AS BIGINT),
+              |                  'n_words': CAST(len(w[((i-1)*$ChunkStride+1):((i-1)*$ChunkStride+$ChunkW)]) AS BIGINT),
+              |                  'chunk_text': array_to_string(w[((i-1)*$ChunkStride+1):((i-1)*$ChunkStride+$ChunkW)], ' ')}
+              |                 FOR i IN range(1, nc + 1)]) AS u
+              |  FROM dims)""".stripMargin)
     ),
     QueryDef(
       // Domain-level quality rollup — the RefinedWeb-style curation step

@@ -163,6 +163,39 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(leaked.isEmpty, s"training leaked persisted RDDs: $leaked")
   }
 
+  test("q146 chunk windows: stride reassembly reproduces every doc, real overlap") {
+    val rows = byName("q146_chunk_windows").query(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val S = PipelineQueries.ChunkStride
+    val W = PipelineQueries.ChunkW
+    assert(rows.keySet == texts.keySet, "chunking dropped or invented docs")
+    var multi = 0
+    rows.foreach { case (id, cs) =>
+      // chunk ids contiguous from 0; every chunk bounded by W words
+      assert(cs.map(_._2).toSeq == (0L until cs.length).toSeq, s"doc $id ids")
+      assert(cs.forall(_._3 <= W), s"doc $id has an over-wide chunk")
+      // Reassembly: the first S words of every non-final chunk plus the
+      // whole final chunk reproduce the document exactly — the stride
+      // owns each word once, the W−S overlap is surplus context.
+      val rebuilt = (cs.init.map(_._4.split(" ", -1).take(S).mkString(" ")) :+
+        cs.last._4).mkString(" ")
+      assert(rebuilt == texts(id), s"doc $id reassembly diverged")
+      // Overlap is real: each next chunk starts with the previous
+      // chunk's last W−S words (when the previous chunk is full).
+      cs.sliding(2).foreach {
+        case Array(a, b) if a._3 == W =>
+          val tailW = a._4.split(" ", -1).drop(S).mkString(" ")
+          assert(b._4.startsWith(tailW), s"doc $id chunk ${b._2} lost overlap")
+        case _ =>
+      }
+      if (cs.length > 1) multi += 1
+    }
+    assert(multi > 0, "fixture produced no multi-chunk docs")
+  }
+
   test("q44 KNN returns exactly 5 ordered neighbors per query") {
     val rows = byName("q44_cosine_knn").query(spark, sfDir).collect()
     val byQ = rows.groupBy(_.getLong(0))
