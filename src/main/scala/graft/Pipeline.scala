@@ -43,7 +43,22 @@ object Pipeline {
         "best_links" -> q("q32_cascade_best_link"),
         "confirmed_links" -> q("q37_confirm_links"),
         "pass_matrix" -> q("q76_pass_matrix"),
-        "pik_rate" -> q("q39_pik_rate")),
+        "pik_rate" -> q("q39_pik_rate"),
+        // Splink-style training accounting (the "EM converged in N
+        // iterations" line a production model report carries): one row
+        // per training session, from the tolerance-stopping trainer.
+        "em_report" -> ((s: SparkSession, d: String) => {
+          import graft.queries.LinkageQueries
+          val (_, reports) = graft.linkage.LinkageCascade.emTrainMMultiWithReport(
+            LinkageQueries.census(s, d), LinkageQueries.input(s, d),
+            LinkageQueries.emPasses, LinkageQueries.config,
+            iterations = 25, tol = graft.linkage.LinkageCascade.DefaultEmTol)
+          s.createDataFrame(reports.map(r => (r.blockKeys.mkString("+"),
+              r.iterations, r.converged,
+              BigDecimal(r.maxDelta).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble)))
+            .toDF("session", "iterations", "converged", "max_delta")
+        })),
       "04_accuracy" -> Seq(
         "accuracy_eval" -> q("q33_accuracy_eval"),
         "accuracy_by_module" -> q("q112_accuracy_by_module"),
