@@ -93,6 +93,20 @@ object PipelineQueries {
   private[graft] val ChunkW = 32
   private[graft] val ChunkStride = 24
 
+  /** q147 BM25: result depth and the salt-bucket fan of the two-level
+    * top-k (level 1 keeps ≤ Bm25SaltB·Bm25TopK rows per query inside
+    * (query, doc_id % Bm25SaltB) buckets; level 2 ranks those). SaltB is
+    * demo-scale — production sizes it ~ parallelism so level-2 input
+    * stays O(SaltB·k) per query regardless of posting-list length.
+    */
+  private[graft] val Bm25TopK = 5
+  private[graft] val Bm25SaltB = 8
+
+  /** q148 shard fan-out — demo-scale; production uses the target output
+    * file count (corpus bytes / file size), same plan shape.
+    */
+  private[graft] val ShuffleShards = 16L
+
   /** 60-bit SimHash signatures (doc_id, sig) over docsWithDups — the
     * builder q42 and ScaleBench's planted-pair recall audit share. Each
     * word is md5'd once (h1 = hex chars 1-12, h2 = 13-24, so the DuckDB
@@ -3947,6 +3961,130 @@ object PipelineQueries {
               |SELECT a.doc_id, a.n_spans, a.chars_removed,
               |       a.head || substring(d.text2, CAST(a.laste + 1 AS INTEGER), ${1 << 30}) AS text_clean
               |FROM agg a JOIN docs2 d ON d.doc_id = a.doc_id""".stripMargin)
+    ),
+    QueryDef(
+      // BM25 top-k retrieval — the lexical-retrieval op a data-curation /
+      // RAG pipeline runs to pull corpus documents for a query set
+      // (Robertson-Spärck Jones BM25, k1 = 1.2, b = 0.75). The query set
+      // derives deterministically from the corpus (terms ranked 17-32 by
+      // document frequency, paired into 8 two-term queries) so both
+      // engines build the identical fixture with no side file. Scale
+      // shape: df/avgdl are one-pass corpus stats, the query set is a
+      // tiny broadcast, scoring is an equi-join on term that touches only
+      // postings of query terms, and top-k is TWO-LEVEL — a local
+      // row_number inside (query, doc_id%SaltB) salt buckets keeps ≤
+      // SaltB·k survivors per query before the global per-query rank, so
+      // no single partition ever sorts a query's full posting list. Raw
+      // per-term products are exact IEEE doubles in both engines (each
+      // query has ≤ 2 terms, and 2-operand addition is order-free);
+      // round(·, 6) before ranking pins the cross-engine order.
+      "q147_bm25_topk",
+      (s, d) => {
+        val topK = Bm25TopK
+        val w = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+        val dl = w.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n"),
+          (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+        val tf = w.select(col("doc_id"), explode(col("w")).as("word"))
+          .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+        // Fixture query set: df ranks 17-32. orderBy+limit plans
+        // TakeOrderedAndProject (distributed partial top-k) — the global
+        // window then ranks a 32-ROW frame, never the vocabulary.
+        // Production skips this block entirely: queries arrive as a
+        // literal term list and broadcast the same way qt does.
+        val qt = df.orderBy(col("df").desc, col("word").asc).limit(32)
+          .withColumn("rn",
+            row_number().over(Window.orderBy(col("df").desc, col("word").asc)))
+          .filter(col("rn") >= 17)
+          .select(floor((col("rn") - 17) / 2).cast("long").as("query_id"),
+            col("word"), col("df"))
+        val scored = tf.join(broadcast(qt), Seq("word"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(stats))
+          .select(col("query_id"), col("doc_id"),
+            (log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+              (col("tf") * 2.2) /
+              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+              .as("c"))
+          .groupBy("query_id", "doc_id")
+          .agg(round(sum("c"), 6).as("score"))
+        val local = scored
+          .withColumn("r1", row_number().over(
+            Window.partitionBy(col("query_id"), pmod(col("doc_id"), lit(Bm25SaltB)))
+              .orderBy(col("score").desc, col("doc_id").asc)))
+          .filter(col("r1") <= topK)
+        local
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("query_id")
+              .orderBy(col("score").desc, col("doc_id").asc)))
+          .filter(col("rnk") <= topK)
+          .select("query_id", "rnk", "doc_id", "score")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w),
+              |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              |                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+              |tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+              |       FROM (SELECT doc_id, unnest(w) AS word FROM w)
+              |       GROUP BY doc_id, word),
+              |df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word),
+              |qt AS (SELECT CAST((rn - 17) // 2 AS BIGINT) AS query_id, word, df
+              |       FROM (SELECT word, df,
+              |                    row_number() OVER (ORDER BY df DESC, word ASC) AS rn
+              |             FROM df)
+              |       WHERE rn BETWEEN 17 AND 32),
+              |scored AS (
+              |  SELECT qt.query_id, tf.doc_id,
+              |         round(SUM(ln((stats.n - qt.df + 0.5) / (qt.df + 0.5) + 1.0) *
+              |               (tf.tf * 2.2) /
+              |               (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 6) AS score
+              |  FROM tf JOIN qt USING (word) JOIN dl USING (doc_id) CROSS JOIN stats
+              |  GROUP BY qt.query_id, tf.doc_id),
+              |l1 AS (SELECT query_id, doc_id, score FROM (
+              |  SELECT query_id, doc_id, score,
+              |         row_number() OVER (PARTITION BY query_id, doc_id % $Bm25SaltB
+              |                            ORDER BY score DESC, doc_id ASC) AS r1
+              |  FROM scored) WHERE r1 <= $Bm25TopK)
+              |SELECT query_id, rnk, doc_id, score FROM (
+              |  SELECT query_id, doc_id, score,
+              |         row_number() OVER (PARTITION BY query_id
+              |                            ORDER BY score DESC, doc_id ASC) AS rnk
+              |  FROM l1) WHERE rnk <= $Bm25TopK""".stripMargin)
+    ),
+    QueryDef(
+      // Deterministic global shuffle + shard assignment — the LAST step
+      // of a pretraining data pipeline: spread the curated corpus across
+      // NShards output shards in a pseudo-random but seed-reproducible
+      // order (shard = h(doc_id, seed) mod NShards, within-shard position
+      // = rank of the hash). Scale shape: the hash is map-side, the only
+      // shuffle is the repartition-by-shard a writer needs ANYWAY, and
+      // the within-shard rank is a per-shard local sort (each shard is
+      // one output file's worth) — no global sort at any corpus size.
+      // Re-running with the same seed is byte-stable, so a resumed write
+      // job reproduces the exact same shard contents.
+      "q148_shuffle_shard",
+      (s, d) => {
+        val h = Tables.documents(s, d)
+          .select(col("doc_id"),
+            md5(concat(col("doc_id").cast("string"), lit(":shuf1"))).as("mh"))
+          .select(col("doc_id"), TextOps.md5Fold48(col("mh"), 1).as("hkey"))
+        h.select(col("doc_id"), col("hkey"),
+            pmod(col("hkey"), lit(ShuffleShards)).as("shard"))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy("shard").orderBy(col("hkey").asc, col("doc_id").asc)))
+          .select("shard", "pos", "doc_id")
+      },
+      Some(s"""WITH m AS (
+              |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':shuf1') AS mh
+              |  FROM documents),
+              |h AS (SELECT doc_id, ${TextOps.md5Fold48Sql("mh", 1)} AS hkey FROM m)
+              |SELECT CAST(hkey % $ShuffleShards AS BIGINT) AS shard,
+              |       row_number() OVER (PARTITION BY hkey % $ShuffleShards
+              |                          ORDER BY hkey ASC, doc_id ASC) AS pos,
+              |       doc_id
+              |FROM h""".stripMargin)
     )
   )
 }

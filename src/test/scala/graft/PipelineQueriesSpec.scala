@@ -196,6 +196,64 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(multi > 0, "fixture produced no multi-chunk docs")
   }
 
+  test("q147 BM25: two-level top-k equals an independent brute-force ranking") {
+    val K1 = 1.2; val B = 0.75
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val dl = docs.map { case (id, w) => id -> w.length.toLong }.toMap
+    val avgdl = dl.values.sum.toDouble / dl.size
+    val n = docs.length.toLong
+    val tf = docs.flatMap { case (id, w) =>
+      w.groupBy(identity).map { case (t, xs) => (id, t, xs.length.toLong) }
+    }
+    val df = tf.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    // fixture query terms: df rank 17-32 (desc df, asc word), paired
+    val qt = df.toSeq.sortBy { case (w, c) => (-c, w) }.slice(16, 32)
+      .zipWithIndex.map { case ((w, c), i) => (i / 2).toLong -> (w, c) }
+    val brute = tf.flatMap { case (id, t, f) =>
+      qt.collect { case (qid, (w, dfw)) if w == t =>
+        val idf = math.log((n - dfw + 0.5) / (dfw + 0.5) + 1.0)
+        (qid, id) -> idf * (f * 2.2) / (f + K1 * (1 - B + B * dl(id) / avgdl))
+      }
+    }.groupBy(_._1).view.mapValues(v =>
+      BigDecimal(v.map(_._2).sum).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble).toMap
+    val expect = brute.toSeq.map { case ((qid, id), s) => (qid, id, s) }
+      .groupBy(_._1).flatMap { case (qid, xs) =>
+        xs.sortBy(x => (-x._3, x._2)).take(PipelineQueries.Bm25TopK)
+          .zipWithIndex.map { case ((_, id, s), i) => (qid, i + 1, id, s) }
+      }.toSet
+    val got = byName("q147_bm25_topk").query(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expect,
+      s"two-level top-k diverged from brute BM25: only-got=${got -- expect} only-expect=${expect -- got}")
+    assert(got.map(_._1) == (0L until 8L).toSet, "fixture should yield 8 queries")
+  }
+
+  test("q148 shuffle-shard: exact partition, contiguous positions, real shuffle") {
+    val rows = byName("q148_shuffle_shard").query(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val allDocs = Tables.documents(spark, sfDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._3).toSet == allDocs && rows.length == allDocs.size,
+      "sharding dropped or duplicated docs")
+    val byShard = rows.groupBy(_._1)
+    assert(byShard.keySet.forall(s => s >= 0 && s < PipelineQueries.ShuffleShards))
+    byShard.foreach { case (sh, xs) =>
+      assert(xs.map(_._2).sorted.toSeq == (1 to xs.length).toSeq,
+        s"shard $sh positions not contiguous")
+    }
+    // hash balance: no shard more than 3x the mean occupancy
+    val mean = rows.length.toDouble / byShard.size
+    assert(byShard.values.forall(_.length <= 3 * mean), "shard skew beyond hash variance")
+    // the order is a real shuffle, not doc_id order
+    val monotone = byShard.values.count { xs =>
+      val ids = xs.sortBy(_._2).map(_._3)
+      ids.sorted.sameElements(ids)
+    }
+    assert(monotone < byShard.size, "every shard kept ascending doc_id order — no shuffle")
+  }
+
   test("q44 KNN returns exactly 5 ordered neighbors per query") {
     val rows = byName("q44_cosine_knn").query(spark, sfDir).collect()
     val byQ = rows.groupBy(_.getLong(0))

@@ -68,7 +68,9 @@ class PlanSpec extends SparkTestBase {
       "q139_bigram_logprob",
       // q42 attaches the 1-row derived-g params frame; q145 attaches the
       // 1-row corpus-derived minted-id offset (both broadcast).
-      "q42_simhash", "q145_corpus_diff")
+      "q42_simhash", "q145_corpus_diff",
+      // q147 attaches the 1-row (n, avgdl) corpus-stats frame (broadcast).
+      "q147_bm25_topk")
     SparkEntry.queries.keys.filterNot(intendedCross).foreach { name =>
       val p = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
