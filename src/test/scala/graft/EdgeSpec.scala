@@ -227,6 +227,28 @@ class EdgeSpec extends SparkTestBase {
       s"char-fallback counts wrong: ${r.mkString(",")}")
   }
 
+  test("q147/q148 on a tiny corpus: BM25 fixture degrades to empty, sharding exact") {
+    import spark.implicits._
+    // < 17 distinct words: the df-rank-17-32 query fixture selects nothing
+    // — BM25 must return an EMPTY frame, not throw on the empty broadcast.
+    val dir = s"target/tmp-edge-docs-${System.nanoTime()}"
+    Seq(
+      (1L, "tiny corpus of words", "en", "src1", 20L),
+      (2L, "tiny corpus again", "en", "src1", 17L),
+      (3L, "words again", "en", "src2", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val byName = graft.queries.PipelineQueries.defs.map(d => d.name -> d).toMap
+    assert(byName("q147_bm25_topk").query(spark, dir).count() == 0L)
+    // sharding still partitions the 3 docs exactly, one contiguous pos run
+    val rows = byName("q148_shuffle_shard").query(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.map(_._3).toSet == Set(1L, 2L, 3L))
+    rows.groupBy(_._1).foreach { case (_, xs) =>
+      assert(xs.map(_._2).sorted.toSeq == (1 to xs.length).toSeq)
+    }
+  }
+
   test("parseName: prefix-only and single-core-token shapes (no ANSI throw)") {
     import graft.operators.Preprocess
     // Conventions pinned in both renderers: one core token -> LAST name
