@@ -107,6 +107,61 @@ object PipelineQueries {
     */
   private[graft] val ShuffleShards = 16L
 
+  // ---- q147 BM25 builders (shared with StreamingSelect.bm25ScoreBatch) --
+
+  /** Per-doc term frequencies + doc lengths: (tf(doc_id, word, tf),
+    * dl(doc_id, dl)). One scan + one map-side-combined aggregate.
+    */
+  private[graft] def bm25DocTf(docs: DataFrame): (DataFrame, DataFrame) = {
+    val w = docs.select(col("doc_id"), TextOps.words(col("text")).as("w"))
+    val dl = w.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+    val tf = w.select(col("doc_id"), explode(col("w")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    (tf, dl)
+  }
+
+  /** Fit the BM25 corpus artifacts: the (query_id, word, df) standing
+    * query set (fixture: df ranks 17-32 paired into 8 two-term queries —
+    * production supplies a literal term list joined with df the same
+    * way) and the 1-row (n, avgdl) stats frame. Both are broadcast-sized
+    * at any corpus scale. The rank fixture plans TakeOrderedAndProject
+    * (distributed partial top-k) — the global window then ranks a
+    * 32-ROW frame, never the vocabulary.
+    */
+  private[graft] def bm25Fit(docs: DataFrame): (DataFrame, DataFrame) = {
+    val (tf, dl) = bm25DocTf(docs)
+    val stats = dl.agg(count(lit(1)).as("n"),
+      (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val qt = df.orderBy(col("df").desc, col("word").asc).limit(32)
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("df").desc, col("word").asc)))
+      .filter(col("rn") >= 17)
+      .select(floor((col("rn") - 17) / 2).cast("long").as("query_id"),
+        col("word"), col("df"))
+    (qt, stats)
+  }
+
+  /** BM25 scores (k1 = 1.2, b = 0.75) of the given postings against the
+    * fitted query set + stats: (query_id, doc_id, score), rounded to 6 dp
+    * BEFORE any ranking so the cross-engine order is pinned. A doc's
+    * score depends only on its own (tf, dl) plus the broadcast
+    * artifacts, so per-batch scoring is batch-independent (the property
+    * the streaming parity spec pins).
+    */
+  private[graft] def bm25Score(tf: DataFrame, dl: DataFrame,
+      qt: DataFrame, stats: DataFrame): DataFrame =
+    tf.join(broadcast(qt), Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        (log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .as("c"))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum("c"), 6).as("score"))
+
   /** 60-bit SimHash signatures (doc_id, sig) over docsWithDups — the
     * builder q42 and ScaleBench's planted-pair recall audit share. Each
     * word is md5'd once (h1 = hex chars 1-12, h2 = 13-24, so the DuckDB
@@ -3981,35 +4036,10 @@ object PipelineQueries {
       "q147_bm25_topk",
       (s, d) => {
         val topK = Bm25TopK
-        val w = Tables.documents(s, d)
-          .select(col("doc_id"), TextOps.words(col("text")).as("w"))
-        val dl = w.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
-        val stats = dl.agg(count(lit(1)).as("n"),
-          (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
-        val tf = w.select(col("doc_id"), explode(col("w")).as("word"))
-          .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
-        // Fixture query set: df ranks 17-32. orderBy+limit plans
-        // TakeOrderedAndProject (distributed partial top-k) — the global
-        // window then ranks a 32-ROW frame, never the vocabulary.
-        // Production skips this block entirely: queries arrive as a
-        // literal term list and broadcast the same way qt does.
-        val qt = df.orderBy(col("df").desc, col("word").asc).limit(32)
-          .withColumn("rn",
-            row_number().over(Window.orderBy(col("df").desc, col("word").asc)))
-          .filter(col("rn") >= 17)
-          .select(floor((col("rn") - 17) / 2).cast("long").as("query_id"),
-            col("word"), col("df"))
-        val scored = tf.join(broadcast(qt), Seq("word"))
-          .join(dl, Seq("doc_id"))
-          .crossJoin(broadcast(stats))
-          .select(col("query_id"), col("doc_id"),
-            (log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
-              (col("tf") * 2.2) /
-              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-              .as("c"))
-          .groupBy("query_id", "doc_id")
-          .agg(round(sum("c"), 6).as("score"))
+        val docs = Tables.documents(s, d)
+        val (tf, dl) = bm25DocTf(docs)
+        val (qt, stats) = bm25Fit(docs)
+        val scored = bm25Score(tf, dl, qt, stats)
         val local = scored
           .withColumn("r1", row_number().over(
             Window.partitionBy(col("query_id"), pmod(col("doc_id"), lit(Bm25SaltB)))

@@ -68,4 +68,33 @@ object StreamingSelect {
   def bpeCountsBatch(merges: Seq[(String, String)],
       arrivals: DataFrame): DataFrame =
     graft.operators.Bpe.docTokenCounts(arrivals.select("doc_id", "text"), merges)
+
+  /** Fit the BM25 standing-query artifacts on the reference corpus — the
+    * streaming deployment of q147 is PUB/SUB RETRIEVAL: a fixed query set
+    * routes/alerts over a document stream, so the corpus model (per-term
+    * df, n, avgdl) is frozen at fit time like the DSIR model above —
+    * rescoring idf per batch would drift a query's score for the SAME
+    * document batch-to-batch. Both artifacts are broadcast-sized
+    * (O(query terms) + 1 row) at any corpus scale; localCheckpoint
+    * truncates their corpus lineage so every micro-batch plans against
+    * materialized literals, not the fit's scan DAG.
+    */
+  def bm25Fit(corpus: DataFrame): (DataFrame, DataFrame) = {
+    val (qt, stats) = PipelineQueries.bm25Fit(corpus)
+    (qt.localCheckpoint(), stats.localCheckpoint())
+  }
+
+  /** Score one arriving micro-batch of (doc_id, text, ...) rows against
+    * the fitted standing queries: (query_id, doc_id, score). Stateless —
+    * a doc's score depends only on its own term counts plus the frozen
+    * broadcast artifacts, so per-batch outputs union to exactly the
+    * batch scoring under any replay split (StreamingSpec pins it).
+    * Consumers rank or threshold downstream (per-batch top-k would be
+    * replay-dependent by construction, so the scorer never ranks).
+    */
+  def bm25ScoreBatch(qt: DataFrame, stats: DataFrame,
+      arrivals: DataFrame): DataFrame = {
+    val (tf, dl) = PipelineQueries.bm25DocTf(arrivals)
+    PipelineQueries.bm25Score(tf, dl, qt, stats)
+  }
 }

@@ -663,6 +663,42 @@ class StreamingSpec extends SparkTestBase {
         s"only-batch=${(batch -- out.toSet).take(3)}")
   }
 
+  test("streaming BM25 standing-query scores agree with the batch scoring under replay") {
+    import graft.queries.PipelineQueries
+    import graft.streaming.StreamingSelect
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    // Standing queries + corpus model are FITTED once, like DSIR/BPE.
+    val (qt, stats) = StreamingSelect.bm25Fit(docs)
+    val stream = MemoryStream[(Long, String)]
+    val arrivals = stream.toDF().toDF("doc_id", "text")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val query = arrivals.writeStream.outputMode("append")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        out ++= StreamingSelect.bm25ScoreBatch(qt, stats, df)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        ()
+      }.start()
+    try {
+      val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1)
+      rows.grouped(math.max(1, (rows.length + 2) / 3)).foreach { g =>
+        stream.addData(g.toIndexedSeq)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    val (tf, dl) = PipelineQueries.bm25DocTf(docs)
+    val batch = PipelineQueries.bm25Score(tf, dl, qt, stats)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty)
+    assert(out.toSet == batch,
+      s"streaming vs batch BM25 scores differ: " +
+        s"only-streaming=${(out.toSet -- batch).take(3)} " +
+        s"only-batch=${(batch -- out.toSet).take(3)}")
+  }
+
   test("streaming BPE token counts agree with the batch q135 under replay") {
     import graft.operators.Bpe
     import graft.queries.PipelineQueries
