@@ -43,6 +43,30 @@ object VectorOps {
 
   def norm(a: Column): Column = sqrt(dotDecimal(a, a))
 
+  /** Exact, order-independent squared L2 distance: per-element double
+    * difference-squares → decimal sum (the [[dotDecimalFold]] idiom on
+    * (x−y)²). Differences of float32 values are EXACT in a double, the
+    * square is one correctly-rounded multiply, and the decimal
+    * accumulation is order-free — so both engines produce the identical
+    * value regardless of partitioning. Used by the PQ encoder (q149),
+    * whose codeword argmin must agree bitwise with the DuckDB oracle.
+    */
+  def dist2Decimal(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b,
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(java.math.BigDecimal.ZERO).cast(decT),
+      (acc, x) => (acc + x.cast(decT)).cast(decT)).cast("double")
+
+  /** DuckDB SUM aggregate matching [[dist2Decimal]], for a relation
+    * already joined with `range(1, len+1) t(i)`.
+    */
+  def dist2DecimalSql(a: String, b: String): String =
+    s"""CAST(SUM(CAST((CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) *
+       |              (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+       |         AS DECIMAL(38,18))) AS DOUBLE)""".stripMargin
+
   /** Fast production path: plain-double codegen'd dot/norm (no decimal
     * boxing). Use for ANN/scoring where no cross-engine oracle must
     * reproduce sums order-independently.

@@ -107,6 +107,37 @@ object PipelineQueries {
     */
   private[graft] val ShuffleShards = 16L
 
+  /** q149 product quantization: M subspaces × SubDim dims (M·SubDim =
+    * VectorOps.Dim) with K codewords per subspace. K is a COMPRESSION
+    * knob, not an occupancy knob — it fixes code width (log₂K bits per
+    * subspace) and reconstruction error, and does NOT need to grow with
+    * the corpus (encode cost is n·K·M·SubDim, ADC cost n·M lookups per
+    * query — both linear in n at any K). Demo K = 8; production uses 256
+    * (1 byte/subspace, the FAISS PQ8 shape) — the values change, the
+    * plan doesn't. Candidate generation still derives from the corpus:
+    * q149 searches the q68 probe-2 IVF cells (IVF-PQ), so PQ compresses
+    * the candidate stage the way SQ8 does in q131 — 64 float32 → 8
+    * 3-bit codes here, 64× smaller at production widths.
+    */
+  private[graft] val PqM = 8
+  private[graft] val PqSubDim = VectorOps.Dim / PqM
+  private[graft] val PqK = 8
+
+  /** q150 hybrid retrieval: fused result depth, per-list rank depth and
+    * the RRF smoothing constant (Cormack et al. 2009's k = 60).
+    */
+  private[graft] val RrfDepth = 10
+  private[graft] val RrfC = 60
+  private[graft] val RrfQTerms = 3
+
+  /** q151 temperature resampling: τ = 2 — sampled language weight
+    * w_l ∝ p_l^(1/τ) = √p_l. τ = 2 keeps the power a SINGLE sqrt, which
+    * is correctly rounded (IEEE) in both engines, so the per-language
+    * rates reproduce bit-identically cross-engine with no pow() parity
+    * risk. Production τ values route through the same plan with pow().
+    */
+  private[graft] val MixFracScale = 281474976710656L // 2^48
+
   // ---- q147 BM25 builders (shared with StreamingSelect.bm25ScoreBatch) --
 
   /** Per-doc term frequencies + doc lengths: (tf(doc_id, word, tf),
@@ -4115,6 +4146,376 @@ object PipelineQueries {
               |                          ORDER BY hkey ASC, doc_id ASC) AS pos,
               |       doc_id
               |FROM h""".stripMargin)
+    ),
+    QueryDef(
+      // Product-quantization ANN with ADC scoring (Jégou et al. 2011's
+      // IVF-PQ, q131's sibling): the embedding splits into PqM subspaces,
+      // each encoded as the argmin-L2² codeword of a PqK-entry sampled
+      // codebook (training vectors stride-picked from the corpus, the
+      // ivfCentroids idiom at residue 5), so a candidate costs PqM codes
+      // instead of Dim floats. Queries precompute an ADC lookup table
+      // (query-subvector · codeword dots — PqM·PqK entries per query,
+      // broadcast), candidate scoring is PqM table lookups summed
+      // (decimal — order-free), and only the top-8 ADC shortlist pays
+      // the full-precision rerank that orders the final top-5.
+      // Candidates come from the SAME probe-2 IVF cells as q68/q131, so
+      // generation stays bucketed; `acos` (the ADC estimate of cosine)
+      // rides along so quantization error is observable — for vectors
+      // that ARE codebook sources the reconstruction is exact and
+      // acos == cos (PipelineQueriesSpec pins it).
+      "q149_pq_adc",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = embNorms(s, d)
+        // Sampled codebook: PqK training vectors stride-picked by id
+        // (codebook SIZE is fixed — a compression knob — while the pick
+        // stride derives from n so the sample spans the corpus).
+        val params = e.agg(count(lit(1)).as("n")).select(
+          greatest(lit(1L), (col("n") / lit(PqK)).cast("long")).as("cstride"))
+        val train = e.crossJoin(broadcast(params))
+          .filter(pmod(col("vec_id"), col("cstride")) ===
+            pmod(lit(5L), col("cstride")))
+          .withColumn("k", row_number().over(Window.orderBy(col("vec_id").asc)))
+          .filter(col("k") <= PqK)
+        val subStructs = (frame: Column) => array((0 until PqM).map(m =>
+          struct(lit(m).as("m"),
+            slice(frame, m * PqSubDim + 1, PqSubDim).as("sv"))): _*)
+        val cb = train
+          .select(col("k"), explode(subStructs(col("embedding"))).as("mc"))
+          .select(col("k"), col("mc.m").as("m"), col("mc.sv").as("cw"))
+        // Encode: per (vector, subspace) argmin-d2 codeword (k tiebreak).
+        // groupBy min(struct) = map-side partial argmin — no window
+        // shuffle of the n×M×K scored rows.
+        val codes = e
+          .select(col("vec_id"), explode(subStructs(col("embedding"))).as("ms"))
+          .select(col("vec_id"), col("ms.m").as("m"), col("ms.sv").as("sv"))
+          .join(broadcast(cb), Seq("m"))
+          .select(col("vec_id"), col("m"), col("k"),
+            VectorOps.dist2Decimal(col("sv"), col("cw")).as("d2"))
+          .groupBy("vec_id", "m")
+          .agg(min(struct(col("d2"), col("k"))).as("mk"))
+          .select(col("vec_id"), col("m"), col("mk.k").as("k"))
+        // ADC lookup table: query-subvector · codeword exact decimal
+        // dots — PqM·PqK rows per query, broadcast at any corpus size.
+        val qlut = e.filter(col("vec_id").isin(KnnQueryIds: _*))
+          .select(col("vec_id").as("qid"),
+            explode(subStructs(col("embedding"))).as("qs"))
+          .select(col("qid"), col("qs.m").as("m"), col("qs.sv").as("qsv"))
+          .join(broadcast(cb), Seq("m"))
+          .select(col("qid"), col("m"), col("k"),
+            VectorOps.dotDecimal(col("qsv"), col("cw")).as("pdot"))
+        val assign = ivfAssign(s, d)
+        val cand = assign.filter(col("arnk") === 1)
+          .select(col("vec_id"), col("cid"))
+          .join(assign
+            .filter(col("vec_id").isin(KnnQueryIds: _*) && col("arnk") <= 2)
+            .select(col("vec_id").as("qid"), col("cid")), Seq("cid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select("qid", "vec_id")
+        val byAdc = Window.partitionBy("qid")
+          .orderBy(col("adot").desc, col("vec_id").asc)
+        val short = cand.join(codes, Seq("vec_id"))
+          .join(broadcast(qlut), Seq("qid", "m", "k"))
+          .groupBy("qid", "vec_id")
+          .agg(sum(col("pdot").cast("decimal(30,18)")).cast("double").as("adot"))
+          .withColumn("srnk", row_number().over(byAdc))
+          .filter(col("srnk") <= 8)
+          .drop("srnk")
+        val qemb = e.filter(col("vec_id").isin(KnnQueryIds: _*))
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("nrm").as("qn"))
+        val byCos = Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        short.join(e.select("vec_id", "embedding", "nrm"), Seq("vec_id"))
+          .join(broadcast(qemb), Seq("qid"))
+          .withColumn("cos",
+            VectorOps.dotDecimal(col("embedding"), col("qe")) /
+              (col("nrm") * col("qn")))
+          .withColumn("rnk", row_number().over(byCos))
+          .filter(col("rnk") <= 5)
+          .select(col("qid"), col("vec_id"), col("rnk"),
+            round(col("cos"), 6).as("cos"),
+            round(col("adot") / (col("nrm") * col("qn")), 6).as("acos"))
+      },
+      Some(s"""WITH ${normsCte("nrms", "embeddings")},
+              |$ivfAssignCtes,
+              |params AS (SELECT greatest(1, COUNT(*) // $PqK) AS cstride FROM nrms),
+              |train AS (
+              |  SELECT vec_id, embedding,
+              |         ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS k
+              |  FROM nrms, params WHERE vec_id % cstride = 5 % cstride),
+              |cb AS (
+              |  SELECT k, m, embedding[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS cw
+              |  FROM train, range(0, $PqM) t(m) WHERE k <= $PqK),
+              |subs AS (
+              |  SELECT vec_id, m,
+              |         embedding[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS sv
+              |  FROM nrms, range(0, $PqM) t(m)),
+              |d2s AS (
+              |  SELECT s.vec_id, s.m, c.k,
+              |         ${VectorOps.dist2DecimalSql("s.sv", "c.cw")} AS d2
+              |  FROM subs s JOIN cb c ON c.m = s.m, range(1, ${PqSubDim + 1}) t(i)
+              |  GROUP BY s.vec_id, s.m, c.k),
+              |codes AS (
+              |  SELECT vec_id, m, k FROM (
+              |    SELECT vec_id, m, k,
+              |           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+              |               ORDER BY d2 ASC, k ASC) AS rn
+              |    FROM d2s) r WHERE rn = 1),
+              |qlut AS (
+              |  SELECT q.vec_id AS qid, c.m, c.k,
+              |         CAST(SUM(CAST(CAST(q.embedding[c.m*$PqSubDim+i] AS DOUBLE) *
+              |                       CAST(c.cw[i] AS DOUBLE)
+              |                  AS DECIMAL(38,18))) AS DOUBLE) AS pdot
+              |  FROM nrms q CROSS JOIN cb c, range(1, ${PqSubDim + 1}) t(i)
+              |  WHERE q.vec_id IN (${KnnQueryIds.mkString(", ")})
+              |  GROUP BY q.vec_id, c.m, c.k),
+              |cand AS (
+              |  SELECT p.vec_id AS qid, d.vec_id
+              |  FROM assign d
+              |  JOIN assign p ON p.cid = d.cid AND p.arnk <= 2
+              |       AND p.vec_id IN (${KnnQueryIds.mkString(", ")})
+              |       AND p.vec_id <> d.vec_id
+              |  WHERE d.arnk = 1),
+              |adc AS (
+              |  SELECT c.qid, c.vec_id,
+              |         CAST(SUM(CAST(l.pdot AS DECIMAL(30,18))) AS DOUBLE) AS adot
+              |  FROM cand c
+              |  JOIN codes k2 ON k2.vec_id = c.vec_id
+              |  JOIN qlut l ON l.qid = c.qid AND l.m = k2.m AND l.k = k2.k
+              |  GROUP BY c.qid, c.vec_id),
+              |short AS (
+              |  SELECT qid, vec_id, adot,
+              |         ROW_NUMBER() OVER (PARTITION BY qid
+              |             ORDER BY adot DESC, vec_id ASC) AS srnk
+              |  FROM adc),
+              |rer AS (
+              |  SELECT s.qid, s.vec_id, MAX(s.adot) AS adot,
+              |         MAX(v.nrm) AS vn, MAX(q.nrm) AS qn,
+              |         ${VectorOps.dotDecimalSql("v.embedding", "q.embedding")} AS dot
+              |  FROM short s
+              |  JOIN nrms v ON v.vec_id = s.vec_id
+              |  JOIN nrms q ON q.vec_id = s.qid,
+              |       range(1, ${VectorOps.Dim + 1}) t(i)
+              |  WHERE s.srnk <= 8
+              |  GROUP BY s.qid, s.vec_id)
+              |SELECT qid, vec_id, rnk, round(cos, 6) AS cos,
+              |       round(adot / (vn * qn), 6) AS acos
+              |FROM (SELECT qid, vec_id, adot, vn, qn, dot / (vn * qn) AS cos,
+              |             ROW_NUMBER() OVER (PARTITION BY qid
+              |                 ORDER BY dot / (vn * qn) DESC, vec_id ASC) AS rnk
+              |      FROM rer) r
+              |WHERE rnk <= 5""".stripMargin)
+    ),
+    QueryDef(
+      // Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+      // SIGIR 2009) — the RAG front door: for each query DOCUMENT
+      // (KnnQueryIds — each id is both a doc_id and its embedding's
+      // vec_id), a LEXICAL ranking (BM25 over the query doc's RrfQTerms
+      // rarest terms — max-idf "more like this") and a SEMANTIC ranking
+      // (exact cosine over embeddings) each produce a top-RrfDepth list,
+      // and the fused score is Σ 1/(RrfC + rank) over the lists a doc
+      // appears in. Scale shape: both sides are the already-proven
+      // retrieval plans (q147's postings equi-join, q44's broadcast
+      // query set), the fusion is a full-outer join of two
+      // O(queries·depth) frames — trivially broadcastable at any corpus
+      // size. Per-term BM25 contributions accumulate in decimal (3-term
+      // sums are NOT reorder-free in doubles; the 2-term q147 was).
+      "q150_hybrid_rrf",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = Tables.documents(s, d)
+        val (tf, dl) = bm25DocTf(docs)
+        val stats = dl.agg(count(lit(1)).as("n"),
+          (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+        val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+        // Per-query-doc rarest terms: df asc, word asc, top RrfQTerms.
+        val byQdf = Window.partitionBy("qid").orderBy(col("df").asc, col("word").asc)
+        val qt = dfreq.join(
+            broadcast(tf.filter(col("doc_id").isin(KnnQueryIds: _*))
+              .select(col("doc_id").as("qid"), col("word"))), Seq("word"))
+          .withColumn("trk", row_number().over(byQdf))
+          .filter(col("trk") <= RrfQTerms)
+          .select("qid", "word", "df")
+        val byLex = Window.partitionBy("qid")
+          .orderBy(col("score").desc, col("doc_id").asc)
+        val lex = tf.join(broadcast(qt), Seq("word"))
+          .filter(col("doc_id") =!= col("qid"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(stats))
+          .select(col("qid"), col("doc_id"),
+            (log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+              (col("tf") * 2.2) /
+              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+              .cast("decimal(30,18)").as("c"))
+          .groupBy("qid", "doc_id")
+          .agg(round(sum("c").cast("double"), 6).as("score"))
+          .withColumn("lrnk", row_number().over(byLex))
+          .filter(col("lrnk") <= RrfDepth)
+          .select("qid", "doc_id", "lrnk")
+        val e = embNorms(s, d)
+        val qv = e.filter(col("vec_id").isin(KnnQueryIds: _*))
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("nrm").as("qn"))
+        val sem = e.crossJoin(broadcast(qv))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("cos",
+            VectorOps.dotDecimal(col("embedding"), col("qe")) /
+              (col("nrm") * col("qn")))
+          .groupBy("qid")
+          .agg(graft.functions.GraftFunctions
+            .topKByScore(col("cos"), col("vec_id"), RrfDepth).as("top"))
+          .select(col("qid"), posexplode(col("top")))
+          .select(col("qid"), col("col.id").as("doc_id"),
+            (col("pos") + 1).as("srnk"))
+        val byRrf = Window.partitionBy("qid")
+          .orderBy(col("rrf").desc, col("doc_id").asc)
+        lex.join(sem, Seq("qid", "doc_id"), "full_outer")
+          .withColumn("rrf", round(
+            coalesce(lit(1.0) / (lit(RrfC) + col("lrnk")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(RrfC) + col("srnk")), lit(0.0)), 6))
+          .withColumn("rnk", row_number().over(byRrf))
+          .filter(col("rnk") <= RrfDepth)
+          .select(col("qid"), col("rnk"), col("doc_id"), col("rrf"),
+            col("lrnk"), col("srnk"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w),
+              |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              |                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+              |tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+              |       FROM (SELECT doc_id, unnest(w) AS word FROM w)
+              |       GROUP BY doc_id, word),
+              |dfreq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+              |          FROM tf GROUP BY word),
+              |qt AS (SELECT qid, word, df FROM (
+              |  SELECT t.doc_id AS qid, t.word, d.df,
+              |         ROW_NUMBER() OVER (PARTITION BY t.doc_id
+              |             ORDER BY d.df ASC, t.word ASC) AS trk
+              |  FROM tf t JOIN dfreq d USING (word)
+              |  WHERE t.doc_id IN (${KnnQueryIds.mkString(", ")})) r
+              |  WHERE trk <= $RrfQTerms),
+              |lexs AS (
+              |  SELECT qt.qid, tf.doc_id,
+              |         round(CAST(SUM(CAST(
+              |           ln((stats.n - qt.df + 0.5) / (qt.df + 0.5) + 1.0) *
+              |           (tf.tf * 2.2) /
+              |           (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+              |         AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
+              |  FROM tf JOIN qt USING (word) JOIN dl USING (doc_id) CROSS JOIN stats
+              |  WHERE tf.doc_id <> qt.qid
+              |  GROUP BY qt.qid, tf.doc_id),
+              |lex AS (SELECT qid, doc_id, lrnk FROM (
+              |  SELECT qid, doc_id,
+              |         ROW_NUMBER() OVER (PARTITION BY qid
+              |             ORDER BY score DESC, doc_id ASC) AS lrnk
+              |  FROM lexs) r WHERE lrnk <= $RrfDepth),
+              |${normsCte("nrms", "embeddings")},
+              |bq AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM nrms
+              |       WHERE vec_id IN (${KnnQueryIds.mkString(", ")})),
+              |bdots AS (
+              |  SELECT c.vec_id, q.qid, MAX(c.nrm) AS nrm, MAX(q.qn) AS qn,
+              |         ${VectorOps.dotDecimalSql("c.embedding", "q.qe")} AS dot
+              |  FROM nrms c CROSS JOIN bq q, range(1, ${VectorOps.Dim + 1}) t(i)
+              |  WHERE c.vec_id <> q.qid
+              |  GROUP BY c.vec_id, q.qid),
+              |sem AS (SELECT qid, doc_id, srnk FROM (
+              |  SELECT qid, vec_id AS doc_id,
+              |         ROW_NUMBER() OVER (PARTITION BY qid
+              |             ORDER BY dot / (nrm * qn) DESC, vec_id ASC) AS srnk
+              |  FROM bdots) r WHERE srnk <= $RrfDepth),
+              |f AS (
+              |  SELECT coalesce(l.qid, s.qid) AS qid,
+              |         coalesce(l.doc_id, s.doc_id) AS doc_id,
+              |         l.lrnk, s.srnk,
+              |         round(coalesce(1.0 / ($RrfC + l.lrnk), 0.0) +
+              |               coalesce(1.0 / ($RrfC + s.srnk), 0.0), 6) AS rrf
+              |  FROM lex l FULL OUTER JOIN sem s
+              |    ON s.qid = l.qid AND s.doc_id = l.doc_id)
+              |SELECT qid, rnk, doc_id, rrf, lrnk, srnk FROM (
+              |  SELECT qid, doc_id, rrf, lrnk, srnk,
+              |         ROW_NUMBER() OVER (PARTITION BY qid
+              |             ORDER BY rrf DESC, doc_id ASC) AS rnk
+              |  FROM f) r
+              |WHERE rnk <= $RrfDepth""".stripMargin)
+    ),
+    QueryDef(
+      // Temperature-resampled language mix (the multilingual-pretraining
+      // upsampler, Conneau & Lample 2019's p_l^(1/τ)): language weights
+      // w_l ∝ √p_l (τ = 2) renormalized to the corpus token budget give
+      // per-language rates r_l that DOWN-sample high-resource languages
+      // (r < 1) and UP-sample low-resource ones (r > 1, integer
+      // replication + hash-fraction remainder). q59 sampled DOWN to a
+      // budget; this is the op that also replicates. Scale shape: the
+      // rate table is one tiny two-level aggregate broadcast back, the
+      // corpus scans once with an explode fan-out of ⌈r_l⌉ ≤ √(N/n_l)
+      // copies, and the remainder-keep is a map-side hash compare — no
+      // shuffle beyond the language aggregate. All cross-engine rate
+      // arithmetic is a sqrt (correctly rounded IEEE) + decimal-summed
+      // weights + 2^48-scaled integer thresholds, so every kept
+      // (doc, copy) row reproduces bit-identically.
+      "q151_mix_temperature",
+      (s, d) => {
+        val toks = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          size(TextOps.words(col("text"))).cast("long").as("ntok"))
+        val ls = toks.groupBy("lang").agg(sum("ntok").as("nl"))
+        val tot = ls.agg(sum("nl").as("ntot"))
+        val w = ls.crossJoin(broadcast(tot))
+          .withColumn("wl",
+            sqrt(col("nl").cast("double") / col("ntot").cast("double"))
+              .cast("decimal(28,12)"))
+        val ws = w.agg(sum("wl").as("ws"))
+        val rates = w.crossJoin(broadcast(ws))
+          .withColumn("rl",
+            (col("wl").cast("double") / col("ws").cast("double")) *
+              (col("ntot").cast("double") / col("nl").cast("double")))
+          .withColumn("fl", floor(col("rl")))
+          .withColumn("thr",
+            floor((col("rl") - col("fl")) * lit(MixFracScale)).cast("long"))
+          .select("lang", "fl", "thr")
+        toks.join(broadcast(rates), Seq("lang"))
+          .select(col("doc_id"), col("lang"), col("fl"), col("thr"),
+            explode(sequence(lit(0L), col("fl"))).as("copy"))
+          .withColumn("h", TextOps.md5Fold48(
+            md5(concat(col("doc_id").cast("string"), lit(":"),
+              col("copy").cast("string"), lit(":mixT"))), 1))
+          .filter(col("copy") < col("fl") || col("h") < col("thr"))
+          .select(col("doc_id"), col("lang"), col("copy"))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, lang,
+              |         CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+              |  FROM documents),
+              |ls AS (SELECT lang, CAST(SUM(ntok) AS BIGINT) AS nl
+              |       FROM toks GROUP BY lang),
+              |tot AS (SELECT CAST(SUM(nl) AS BIGINT) AS ntot FROM ls),
+              |w AS (SELECT lang, nl, ntot,
+              |             CAST(sqrt(CAST(nl AS DOUBLE) / CAST(ntot AS DOUBLE))
+              |                  AS DECIMAL(28,12)) AS wl
+              |      FROM ls, tot),
+              |ws AS (SELECT SUM(wl) AS ws FROM w),
+              |rates AS (
+              |  SELECT lang, CAST(fl AS BIGINT) AS fl,
+              |         CAST(floor((rl - fl) * $MixFracScale) AS BIGINT) AS thr
+              |  FROM (SELECT lang, rl, floor(rl) AS fl FROM (
+              |          SELECT lang,
+              |                 (CAST(wl AS DOUBLE) / CAST(ws AS DOUBLE)) *
+              |                 (CAST(ntot AS DOUBLE) / CAST(nl AS DOUBLE)) AS rl
+              |          FROM w, ws) r1) r2),
+              |cop AS MATERIALIZED (
+              |  SELECT t.doc_id, t.lang, r.fl, r.thr,
+              |         unnest(range(0, r.fl + 1)) AS copy
+              |  FROM toks t JOIN rates r USING (lang)),
+              |hashed AS (
+              |  SELECT doc_id, lang, fl, thr, copy,
+              |         md5(CAST(doc_id AS VARCHAR) || ':' ||
+              |             CAST(copy AS VARCHAR) || ':mixT') AS mh
+              |  FROM cop)
+              |SELECT doc_id, lang, copy FROM (
+              |  SELECT doc_id, lang, fl, thr, copy,
+              |         ${TextOps.md5Fold48Sql("mh", 1)} AS h
+              |  FROM hashed) r
+              |WHERE copy < fl OR h < thr""".stripMargin)
     )
   )
 }

@@ -1054,4 +1054,99 @@ class PipelineQueriesSpec extends SparkTestBase {
         s"doc $id: removed $removed chars — more than the passage")
     }
   }
+
+  test("q149 PQ-ADC: contiguous ranks, descending rerank, exact codeword reconstruction") {
+    val rows = byName("q149_pq_adc").query(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length),
+        s"qid $qid: ranks not contiguous")
+      val byRnk = rs.sortBy(_._3).map(_._4)
+      assert(byRnk.zip(byRnk.tail).forall { case (a, b) => a >= b },
+        s"qid $qid: rerank cos not descending")
+    }
+    // Codebook-source vectors reconstruct exactly, so their ADC estimate
+    // equals the true cosine up to the per-subspace double round-trip
+    // (≤ 1 ulp per pdot) and the final round(·, 6).
+    val ids = Tables.embeddings(spark, sfDir).select("vec_id")
+      .collect().map(_.getLong(0)).sorted
+    val stride = math.max(1L, ids.length.toLong / 8L)
+    val trainIds = ids.filter(v => v % stride == 5L % stride).take(8).toSet
+    val trainRows = rows.filter(r => trainIds.contains(r._2))
+    trainRows.foreach { case (qid, vid, _, cos, acos) =>
+      assert(math.abs(acos - cos) <= 2e-6,
+        s"qid $qid vec $vid: codeword-source acos $acos != cos $cos")
+    }
+  }
+
+  test("q150 hybrid RRF: fused score recomputes from the two ranks, order pinned") {
+    val rows = byName("q150_hybrid_rrf").query(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val parsed = rows.map { r =>
+      val l = if (r.isNullAt(4)) None else Some(r.getInt(4))
+      val s = if (r.isNullAt(5)) None else Some(r.getInt(5))
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), l, s)
+    }
+    parsed.foreach { case (qid, _, doc, rrf, l, s) =>
+      val expect = BigDecimal(
+        l.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          s.map(r => 1.0 / (60 + r)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(rrf - expect) < 1e-9,
+        s"qid $qid doc $doc: rrf $rrf != 1/(60+l)+1/(60+s) = $expect")
+      assert(l.nonEmpty || s.nonEmpty, s"qid $qid doc $doc in neither list")
+    }
+    parsed.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length),
+        s"qid $qid: fused ranks not contiguous")
+      val byRnk = rs.sortBy(_._2)
+      byRnk.zip(byRnk.tail).foreach { case (a, b) =>
+        assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3),
+          s"qid $qid: fused order violates (rrf desc, doc asc)")
+      }
+      // A doc on BOTH lists at ranks (a, b) must outrank any doc whose
+      // single-list rank is >= max(a, b) — the fusion property.
+      val both = rs.filter(r => r._5.nonEmpty && r._6.nonEmpty)
+      val single = rs.filter(r => r._5.isEmpty != r._6.isEmpty)
+      for (b <- both; s <- single) {
+        val worst = math.max(b._5.get, b._6.get)
+        val sr = s._5.orElse(s._6).get
+        if (sr >= worst) assert(b._2 < s._2,
+          s"qid $qid: both-lists doc ${b._3} ranked below single-list doc ${s._3}")
+      }
+    }
+  }
+
+  test("q151 temperature mix: unique copies, flattened shares, budget preserved") {
+    import graft.operators.TextOps
+    val rows = byName("q151_mix_temperature").query(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.map(r => (r._1, r._3)).distinct.length == rows.length,
+      "duplicate (doc_id, copy) rows")
+    assert(rows.forall(_._3 >= 0))
+    val ntok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        size(TextOps.words(col("text"))).cast("long").as("ntok"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val nl = ntok.values.groupBy(_._1).map { case (l, vs) => l -> vs.map(_._2).sum }
+    val total = nl.values.sum
+    val keptTok = rows.groupBy(_._2).map { case (l, rs) =>
+      l -> rs.map(r => ntok(r._1)._2).sum
+    }
+    // Realized per-language rate must be monotone DECREASING in corpus
+    // share (the flattening) and the total token budget preserved within
+    // remainder-sampling noise.
+    val rates = nl.toSeq.sortBy(_._2).map { case (l, n) =>
+      (l, n, keptTok.getOrElse(l, 0L).toDouble / n) }
+    rates.zip(rates.tail).foreach { case ((la, na, ra), (lb, nb, rb)) =>
+      if (na < nb) assert(ra >= rb - 0.15,
+        s"rate($la, n=$na) = $ra not >= rate($lb, n=$nb) = $rb: no flattening")
+    }
+    val keptTotal = keptTok.values.sum.toDouble
+    assert(math.abs(keptTotal / total - 1.0) < 0.1,
+      s"token budget drifted: kept $keptTotal of $total")
+  }
 }
