@@ -4316,11 +4316,15 @@ object PipelineQueries {
       // (exact cosine over embeddings) each produce a top-RrfDepth list,
       // and the fused score is Σ 1/(RrfC + rank) over the lists a doc
       // appears in. Scale shape: both sides are the already-proven
-      // retrieval plans (q147's postings equi-join, q44's broadcast
-      // query set), the fusion is a full-outer join of two
-      // O(queries·depth) frames — trivially broadcastable at any corpus
-      // size. Per-term BM25 contributions accumulate in decimal (3-term
-      // sums are NOT reorder-free in doubles; the 2-term q147 was).
+      // PRODUCTION retrieval plans — the lexical side is q147's postings
+      // equi-join on broadcast query terms, the semantic side searches
+      // the q68 probe-2 IVF cells (the q131 candidate stage — NOT the
+      // q44 brute-force crossJoin, which is the baseline only) with the
+      // exact decimal rerank ordering the top-10 — and the fusion is a
+      // full-outer join of two O(queries·depth) frames, trivially
+      // broadcastable at any corpus size. Per-term BM25 contributions
+      // accumulate in decimal (3-term sums are NOT reorder-free in
+      // doubles; the 2-term q147 was).
       "q150_hybrid_rrf",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
@@ -4354,20 +4358,28 @@ object PipelineQueries {
           .filter(col("lrnk") <= RrfDepth)
           .select("qid", "doc_id", "lrnk")
         val e = embNorms(s, d)
+        val assign = ivfAssign(s, d)
+        val scand = assign.filter(col("arnk") === 1)
+          .select(col("vec_id"), col("cid"))
+          .join(assign
+            .filter(col("vec_id").isin(KnnQueryIds: _*) && col("arnk") <= 2)
+            .select(col("vec_id").as("qid"), col("cid")), Seq("cid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select("qid", "vec_id")
         val qv = e.filter(col("vec_id").isin(KnnQueryIds: _*))
           .select(col("vec_id").as("qid"), col("embedding").as("qe"),
             col("nrm").as("qn"))
-        val sem = e.crossJoin(broadcast(qv))
-          .filter(col("vec_id") =!= col("qid"))
+        val bySem = Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        val sem = scand
+          .join(e.select("vec_id", "embedding", "nrm"), Seq("vec_id"))
+          .join(broadcast(qv), Seq("qid"))
           .withColumn("cos",
             VectorOps.dotDecimal(col("embedding"), col("qe")) /
               (col("nrm") * col("qn")))
-          .groupBy("qid")
-          .agg(graft.functions.GraftFunctions
-            .topKByScore(col("cos"), col("vec_id"), RrfDepth).as("top"))
-          .select(col("qid"), posexplode(col("top")))
-          .select(col("qid"), col("col.id").as("doc_id"),
-            (col("pos") + 1).as("srnk"))
+          .withColumn("srnk", row_number().over(bySem))
+          .filter(col("srnk") <= RrfDepth)
+          .select(col("qid"), col("vec_id").as("doc_id"), col("srnk"))
         val byRrf = Window.partitionBy("qid")
           .orderBy(col("rrf").desc, col("doc_id").asc)
         lex.join(sem, Seq("qid", "doc_id"), "full_outer")
@@ -4411,19 +4423,27 @@ object PipelineQueries {
               |             ORDER BY score DESC, doc_id ASC) AS lrnk
               |  FROM lexs) r WHERE lrnk <= $RrfDepth),
               |${normsCte("nrms", "embeddings")},
-              |bq AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM nrms
-              |       WHERE vec_id IN (${KnnQueryIds.mkString(", ")})),
-              |bdots AS (
-              |  SELECT c.vec_id, q.qid, MAX(c.nrm) AS nrm, MAX(q.qn) AS qn,
-              |         ${VectorOps.dotDecimalSql("c.embedding", "q.qe")} AS dot
-              |  FROM nrms c CROSS JOIN bq q, range(1, ${VectorOps.Dim + 1}) t(i)
-              |  WHERE c.vec_id <> q.qid
-              |  GROUP BY c.vec_id, q.qid),
+              |$ivfAssignCtes,
+              |scand AS (
+              |  SELECT p.vec_id AS qid, d.vec_id
+              |  FROM assign d
+              |  JOIN assign p ON p.cid = d.cid AND p.arnk <= 2
+              |       AND p.vec_id IN (${KnnQueryIds.mkString(", ")})
+              |       AND p.vec_id <> d.vec_id
+              |  WHERE d.arnk = 1),
+              |sdots AS (
+              |  SELECT c.qid, c.vec_id, MAX(v.nrm) AS nrm, MAX(q.nrm) AS qn,
+              |         ${VectorOps.dotDecimalSql("v.embedding", "q.embedding")} AS dot
+              |  FROM scand c
+              |  JOIN nrms v ON v.vec_id = c.vec_id
+              |  JOIN nrms q ON q.vec_id = c.qid,
+              |       range(1, ${VectorOps.Dim + 1}) t(i)
+              |  GROUP BY c.qid, c.vec_id),
               |sem AS (SELECT qid, doc_id, srnk FROM (
               |  SELECT qid, vec_id AS doc_id,
               |         ROW_NUMBER() OVER (PARTITION BY qid
               |             ORDER BY dot / (nrm * qn) DESC, vec_id ASC) AS srnk
-              |  FROM bdots) r WHERE srnk <= $RrfDepth),
+              |  FROM sdots) r WHERE srnk <= $RrfDepth),
               |f AS (
               |  SELECT coalesce(l.qid, s.qid) AS qid,
               |         coalesce(l.doc_id, s.doc_id) AS doc_id,

@@ -26,9 +26,15 @@ object ScaleBench {
     "q36", "q37", "q38", "q39")
 
   /** Document-table dedup family — replicates at the full factor. */
+  // q150 reads BOTH tables (lexical side over documents, semantic side
+  // over embeddings); it sits in the document family because documents
+  // replicate at the full factor — when the embedding cap binds (100×),
+  // its printed exponent understates the semantic side and the BASELINE
+  // note says so.
   private val docDedupQueries: Seq[String] = Seq(
     "q40", "q41", "q42", "q43", "q52", "q56", "q104", "q133", "q134",
-    "q135", "q136", "q139", "q140", "q146", "q147", "q148")
+    "q135", "q136", "q139", "q140", "q146", "q147", "q148", "q150",
+    "q151")
 
   /** Embedding-table family — replication caps at the corpus/delta id
     * boundary (base ids must stay under the +100000 variant offset the
@@ -37,7 +43,8 @@ object ScaleBench {
     * factor, not the requested one.
     */
   private val embDedupQueries: Seq[String] = Seq(
-    "q44", "q45", "q51", "q68", "q123", "q124", "q127", "q131", "q132")
+    "q44", "q45", "q51", "q68", "q123", "q124", "q127", "q131", "q132",
+    "q149")
 
   private val dedupQueries: Seq[String] = docDedupQueries ++ embDedupQueries
 
