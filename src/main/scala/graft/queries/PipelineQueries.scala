@@ -1709,6 +1709,160 @@ object PipelineQueries {
        |    WHERE ga.source = gb.source AND abs(ga.n_chars - gb.n_chars) <= 20) t
        |  WHERE jaccard >= 0.5)""".stripMargin
 
+  // ---- q149 PQ-ADC builders (shared by q149 and the q152 recall audit) --
+
+  /** The PQ-ADC top-5 frame (qid, vec_id, rnk, cos, acos) — q149's body,
+    * factored so the recall eval (q152) measures the identical plan. See
+    * the q149 QueryDef scaladoc for the full design.
+    */
+  private def pqAdcTop5(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = embNorms(s, d)
+    // Sampled codebook: PqK training vectors stride-picked by id
+    // (codebook SIZE is fixed — a compression knob — while the pick
+    // stride derives from n so the sample spans the corpus).
+    val params = e.agg(count(lit(1)).as("n")).select(
+      greatest(lit(1L), (col("n") / lit(PqK)).cast("long")).as("cstride"))
+    val train = e.crossJoin(broadcast(params))
+      .filter(pmod(col("vec_id"), col("cstride")) ===
+        pmod(lit(5L), col("cstride")))
+      .withColumn("k", row_number().over(Window.orderBy(col("vec_id").asc)))
+      .filter(col("k") <= PqK)
+    val subStructs = (frame: Column) => array((0 until PqM).map(m =>
+      struct(lit(m).as("m"),
+        slice(frame, m * PqSubDim + 1, PqSubDim).as("sv"))): _*)
+    val cb = train
+      .select(col("k"), explode(subStructs(col("embedding"))).as("mc"))
+      .select(col("k"), col("mc.m").as("m"), col("mc.sv").as("cw"))
+    // Encode: per (vector, subspace) argmin-d2 codeword (k tiebreak).
+    // groupBy min(struct) = map-side partial argmin — no window
+    // shuffle of the n×M×K scored rows.
+    val codes = e
+      .select(col("vec_id"), explode(subStructs(col("embedding"))).as("ms"))
+      .select(col("vec_id"), col("ms.m").as("m"), col("ms.sv").as("sv"))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("m"), col("k"),
+        VectorOps.dist2Decimal(col("sv"), col("cw")).as("d2"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d2"), col("k"))).as("mk"))
+      .select(col("vec_id"), col("m"), col("mk.k").as("k"))
+    // ADC lookup table: query-subvector · codeword exact decimal
+    // dots — PqM·PqK rows per query, broadcast at any corpus size.
+    val qlut = e.filter(col("vec_id").isin(KnnQueryIds: _*))
+      .select(col("vec_id").as("qid"),
+        explode(subStructs(col("embedding"))).as("qs"))
+      .select(col("qid"), col("qs.m").as("m"), col("qs.sv").as("qsv"))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("qid"), col("m"), col("k"),
+        VectorOps.dotDecimal(col("qsv"), col("cw")).as("pdot"))
+    val assign = ivfAssign(s, d)
+    val cand = assign.filter(col("arnk") === 1)
+      .select(col("vec_id"), col("cid"))
+      .join(assign
+        .filter(col("vec_id").isin(KnnQueryIds: _*) && col("arnk") <= 2)
+        .select(col("vec_id").as("qid"), col("cid")), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id")
+    val byAdc = Window.partitionBy("qid")
+      .orderBy(col("adot").desc, col("vec_id").asc)
+    val short = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(qlut), Seq("qid", "m", "k"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("pdot").cast("decimal(30,18)")).cast("double").as("adot"))
+      .withColumn("srnk", row_number().over(byAdc))
+      .filter(col("srnk") <= 8)
+      .drop("srnk")
+    val qemb = e.filter(col("vec_id").isin(KnnQueryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val byCos = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    short.join(e.select("vec_id", "embedding", "nrm"), Seq("vec_id"))
+      .join(broadcast(qemb), Seq("qid"))
+      .withColumn("cos",
+        VectorOps.dotDecimal(col("embedding"), col("qe")) /
+          (col("nrm") * col("qn")))
+      .withColumn("rnk", row_number().over(byCos))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("vec_id"), col("rnk"),
+        round(col("cos"), 6).as("cos"),
+        round(col("adot") / (col("nrm") * col("qn")), 6).as("acos"))
+  }
+
+  /** SQL CTE chain mirroring [[pqAdcTop5]], ending in
+    * `pqtop(qid, vec_id, rnk, cos, acos)`; expects `nrms` and the
+    * [[ivfAssignCtes]] (`assign`) in scope. Shared by q149 and q152.
+    */
+  private def pqAdcCtes: String =
+    s"""params AS (SELECT greatest(1, COUNT(*) // $PqK) AS cstride FROM nrms),
+       |train AS (
+       |  SELECT vec_id, embedding,
+       |         ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS k
+       |  FROM nrms, params WHERE vec_id % cstride = 5 % cstride),
+       |cb AS (
+       |  SELECT k, m, embedding[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS cw
+       |  FROM train, range(0, $PqM) t(m) WHERE k <= $PqK),
+       |subs AS (
+       |  SELECT vec_id, m,
+       |         embedding[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS sv
+       |  FROM nrms, range(0, $PqM) t(m)),
+       |d2s AS (
+       |  SELECT s.vec_id, s.m, c.k,
+       |         ${VectorOps.dist2DecimalSql("s.sv", "c.cw")} AS d2
+       |  FROM subs s JOIN cb c ON c.m = s.m, range(1, ${PqSubDim + 1}) t(i)
+       |  GROUP BY s.vec_id, s.m, c.k),
+       |codes AS (
+       |  SELECT vec_id, m, k FROM (
+       |    SELECT vec_id, m, k,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |               ORDER BY d2 ASC, k ASC) AS rn
+       |    FROM d2s) r WHERE rn = 1),
+       |qlut AS (
+       |  SELECT q.vec_id AS qid, c.m, c.k,
+       |         CAST(SUM(CAST(CAST(q.embedding[c.m*$PqSubDim+i] AS DOUBLE) *
+       |                       CAST(c.cw[i] AS DOUBLE)
+       |                  AS DECIMAL(38,18))) AS DOUBLE) AS pdot
+       |  FROM nrms q CROSS JOIN cb c, range(1, ${PqSubDim + 1}) t(i)
+       |  WHERE q.vec_id IN (${KnnQueryIds.mkString(", ")})
+       |  GROUP BY q.vec_id, c.m, c.k),
+       |cand AS (
+       |  SELECT p.vec_id AS qid, d.vec_id
+       |  FROM assign d
+       |  JOIN assign p ON p.cid = d.cid AND p.arnk <= 2
+       |       AND p.vec_id IN (${KnnQueryIds.mkString(", ")})
+       |       AND p.vec_id <> d.vec_id
+       |  WHERE d.arnk = 1),
+       |adc AS (
+       |  SELECT c.qid, c.vec_id,
+       |         CAST(SUM(CAST(l.pdot AS DECIMAL(30,18))) AS DOUBLE) AS adot
+       |  FROM cand c
+       |  JOIN codes k2 ON k2.vec_id = c.vec_id
+       |  JOIN qlut l ON l.qid = c.qid AND l.m = k2.m AND l.k = k2.k
+       |  GROUP BY c.qid, c.vec_id),
+       |short AS (
+       |  SELECT qid, vec_id, adot,
+       |         ROW_NUMBER() OVER (PARTITION BY qid
+       |             ORDER BY adot DESC, vec_id ASC) AS srnk
+       |  FROM adc),
+       |rer AS (
+       |  SELECT s.qid, s.vec_id, MAX(s.adot) AS adot,
+       |         MAX(v.nrm) AS vn, MAX(q.nrm) AS qn,
+       |         ${VectorOps.dotDecimalSql("v.embedding", "q.embedding")} AS dot
+       |  FROM short s
+       |  JOIN nrms v ON v.vec_id = s.vec_id
+       |  JOIN nrms q ON q.vec_id = s.qid,
+       |       range(1, ${VectorOps.Dim + 1}) t(i)
+       |  WHERE s.srnk <= 8
+       |  GROUP BY s.qid, s.vec_id),
+       |pqtop AS (
+       |  SELECT qid, vec_id, rnk, round(cos, 6) AS cos,
+       |         round(adot / (vn * qn), 6) AS acos
+       |  FROM (SELECT qid, vec_id, adot, vn, qn, dot / (vn * qn) AS cos,
+       |               ROW_NUMBER() OVER (PARTITION BY qid
+       |                   ORDER BY dot / (vn * qn) DESC, vec_id ASC) AS rnk
+       |        FROM rer) r
+       |  WHERE rnk <= 5)""".stripMargin
+
   // ---- queries -----------------------------------------------------------
 
   val defs: Seq[QueryDef] = Seq(
@@ -4164,148 +4318,11 @@ object PipelineQueries {
       // that ARE codebook sources the reconstruction is exact and
       // acos == cos (PipelineQueriesSpec pins it).
       "q149_pq_adc",
-      (s, d) => {
-        graft.functions.GraftFunctions.register(s)
-        val e = embNorms(s, d)
-        // Sampled codebook: PqK training vectors stride-picked by id
-        // (codebook SIZE is fixed — a compression knob — while the pick
-        // stride derives from n so the sample spans the corpus).
-        val params = e.agg(count(lit(1)).as("n")).select(
-          greatest(lit(1L), (col("n") / lit(PqK)).cast("long")).as("cstride"))
-        val train = e.crossJoin(broadcast(params))
-          .filter(pmod(col("vec_id"), col("cstride")) ===
-            pmod(lit(5L), col("cstride")))
-          .withColumn("k", row_number().over(Window.orderBy(col("vec_id").asc)))
-          .filter(col("k") <= PqK)
-        val subStructs = (frame: Column) => array((0 until PqM).map(m =>
-          struct(lit(m).as("m"),
-            slice(frame, m * PqSubDim + 1, PqSubDim).as("sv"))): _*)
-        val cb = train
-          .select(col("k"), explode(subStructs(col("embedding"))).as("mc"))
-          .select(col("k"), col("mc.m").as("m"), col("mc.sv").as("cw"))
-        // Encode: per (vector, subspace) argmin-d2 codeword (k tiebreak).
-        // groupBy min(struct) = map-side partial argmin — no window
-        // shuffle of the n×M×K scored rows.
-        val codes = e
-          .select(col("vec_id"), explode(subStructs(col("embedding"))).as("ms"))
-          .select(col("vec_id"), col("ms.m").as("m"), col("ms.sv").as("sv"))
-          .join(broadcast(cb), Seq("m"))
-          .select(col("vec_id"), col("m"), col("k"),
-            VectorOps.dist2Decimal(col("sv"), col("cw")).as("d2"))
-          .groupBy("vec_id", "m")
-          .agg(min(struct(col("d2"), col("k"))).as("mk"))
-          .select(col("vec_id"), col("m"), col("mk.k").as("k"))
-        // ADC lookup table: query-subvector · codeword exact decimal
-        // dots — PqM·PqK rows per query, broadcast at any corpus size.
-        val qlut = e.filter(col("vec_id").isin(KnnQueryIds: _*))
-          .select(col("vec_id").as("qid"),
-            explode(subStructs(col("embedding"))).as("qs"))
-          .select(col("qid"), col("qs.m").as("m"), col("qs.sv").as("qsv"))
-          .join(broadcast(cb), Seq("m"))
-          .select(col("qid"), col("m"), col("k"),
-            VectorOps.dotDecimal(col("qsv"), col("cw")).as("pdot"))
-        val assign = ivfAssign(s, d)
-        val cand = assign.filter(col("arnk") === 1)
-          .select(col("vec_id"), col("cid"))
-          .join(assign
-            .filter(col("vec_id").isin(KnnQueryIds: _*) && col("arnk") <= 2)
-            .select(col("vec_id").as("qid"), col("cid")), Seq("cid"))
-          .filter(col("vec_id") =!= col("qid"))
-          .select("qid", "vec_id")
-        val byAdc = Window.partitionBy("qid")
-          .orderBy(col("adot").desc, col("vec_id").asc)
-        val short = cand.join(codes, Seq("vec_id"))
-          .join(broadcast(qlut), Seq("qid", "m", "k"))
-          .groupBy("qid", "vec_id")
-          .agg(sum(col("pdot").cast("decimal(30,18)")).cast("double").as("adot"))
-          .withColumn("srnk", row_number().over(byAdc))
-          .filter(col("srnk") <= 8)
-          .drop("srnk")
-        val qemb = e.filter(col("vec_id").isin(KnnQueryIds: _*))
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-            col("nrm").as("qn"))
-        val byCos = Window.partitionBy("qid")
-          .orderBy(col("cos").desc, col("vec_id").asc)
-        short.join(e.select("vec_id", "embedding", "nrm"), Seq("vec_id"))
-          .join(broadcast(qemb), Seq("qid"))
-          .withColumn("cos",
-            VectorOps.dotDecimal(col("embedding"), col("qe")) /
-              (col("nrm") * col("qn")))
-          .withColumn("rnk", row_number().over(byCos))
-          .filter(col("rnk") <= 5)
-          .select(col("qid"), col("vec_id"), col("rnk"),
-            round(col("cos"), 6).as("cos"),
-            round(col("adot") / (col("nrm") * col("qn")), 6).as("acos"))
-      },
+      (s, d) => pqAdcTop5(s, d),
       Some(s"""WITH ${normsCte("nrms", "embeddings")},
               |$ivfAssignCtes,
-              |params AS (SELECT greatest(1, COUNT(*) // $PqK) AS cstride FROM nrms),
-              |train AS (
-              |  SELECT vec_id, embedding,
-              |         ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS k
-              |  FROM nrms, params WHERE vec_id % cstride = 5 % cstride),
-              |cb AS (
-              |  SELECT k, m, embedding[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS cw
-              |  FROM train, range(0, $PqM) t(m) WHERE k <= $PqK),
-              |subs AS (
-              |  SELECT vec_id, m,
-              |         embedding[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS sv
-              |  FROM nrms, range(0, $PqM) t(m)),
-              |d2s AS (
-              |  SELECT s.vec_id, s.m, c.k,
-              |         ${VectorOps.dist2DecimalSql("s.sv", "c.cw")} AS d2
-              |  FROM subs s JOIN cb c ON c.m = s.m, range(1, ${PqSubDim + 1}) t(i)
-              |  GROUP BY s.vec_id, s.m, c.k),
-              |codes AS (
-              |  SELECT vec_id, m, k FROM (
-              |    SELECT vec_id, m, k,
-              |           ROW_NUMBER() OVER (PARTITION BY vec_id, m
-              |               ORDER BY d2 ASC, k ASC) AS rn
-              |    FROM d2s) r WHERE rn = 1),
-              |qlut AS (
-              |  SELECT q.vec_id AS qid, c.m, c.k,
-              |         CAST(SUM(CAST(CAST(q.embedding[c.m*$PqSubDim+i] AS DOUBLE) *
-              |                       CAST(c.cw[i] AS DOUBLE)
-              |                  AS DECIMAL(38,18))) AS DOUBLE) AS pdot
-              |  FROM nrms q CROSS JOIN cb c, range(1, ${PqSubDim + 1}) t(i)
-              |  WHERE q.vec_id IN (${KnnQueryIds.mkString(", ")})
-              |  GROUP BY q.vec_id, c.m, c.k),
-              |cand AS (
-              |  SELECT p.vec_id AS qid, d.vec_id
-              |  FROM assign d
-              |  JOIN assign p ON p.cid = d.cid AND p.arnk <= 2
-              |       AND p.vec_id IN (${KnnQueryIds.mkString(", ")})
-              |       AND p.vec_id <> d.vec_id
-              |  WHERE d.arnk = 1),
-              |adc AS (
-              |  SELECT c.qid, c.vec_id,
-              |         CAST(SUM(CAST(l.pdot AS DECIMAL(30,18))) AS DOUBLE) AS adot
-              |  FROM cand c
-              |  JOIN codes k2 ON k2.vec_id = c.vec_id
-              |  JOIN qlut l ON l.qid = c.qid AND l.m = k2.m AND l.k = k2.k
-              |  GROUP BY c.qid, c.vec_id),
-              |short AS (
-              |  SELECT qid, vec_id, adot,
-              |         ROW_NUMBER() OVER (PARTITION BY qid
-              |             ORDER BY adot DESC, vec_id ASC) AS srnk
-              |  FROM adc),
-              |rer AS (
-              |  SELECT s.qid, s.vec_id, MAX(s.adot) AS adot,
-              |         MAX(v.nrm) AS vn, MAX(q.nrm) AS qn,
-              |         ${VectorOps.dotDecimalSql("v.embedding", "q.embedding")} AS dot
-              |  FROM short s
-              |  JOIN nrms v ON v.vec_id = s.vec_id
-              |  JOIN nrms q ON q.vec_id = s.qid,
-              |       range(1, ${VectorOps.Dim + 1}) t(i)
-              |  WHERE s.srnk <= 8
-              |  GROUP BY s.qid, s.vec_id)
-              |SELECT qid, vec_id, rnk, round(cos, 6) AS cos,
-              |       round(adot / (vn * qn), 6) AS acos
-              |FROM (SELECT qid, vec_id, adot, vn, qn, dot / (vn * qn) AS cos,
-              |             ROW_NUMBER() OVER (PARTITION BY qid
-              |                 ORDER BY dot / (vn * qn) DESC, vec_id ASC) AS rnk
-              |      FROM rer) r
-              |WHERE rnk <= 5""".stripMargin)
+              |$pqAdcCtes
+              |SELECT qid, vec_id, rnk, cos, acos FROM pqtop""".stripMargin)
     ),
     QueryDef(
       // Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
@@ -4536,6 +4553,125 @@ object PipelineQueries {
               |         ${TextOps.md5Fold48Sql("mh", 1)} AS h
               |  FROM hashed) r
               |WHERE copy < fl OR h < thr""".stripMargin)
+    ),
+    QueryDef(
+      // PQ-ADC recall eval (q89's shape for the q149 index): recall@5 of
+      // the IVF-PQ pipeline against the exact brute-force truth, per
+      // query. The eval isolates the COMPOUND loss of the three
+      // approximations stacked in q149 — probe-2 cell candidates, ADC
+      // shortlist, full-precision rerank — the number a deployment
+      // watches when trading codebook width against recall. Same scale
+      // shape as q89: both sides are O(queries·k) frames.
+      "q152_pq_recall",
+      (s, d) => {
+        val t = bruteTop5(s, d).select("qid", "vec_id")
+        val a = pqAdcTop5(s, d).select(col("qid"), col("vec_id"), lit(1).as("hit"))
+        t.join(a, Seq("qid", "vec_id"), "left")
+          .groupBy("qid")
+          .agg(count(col("hit")).as("n_hits"))
+          .select(col("qid"), col("n_hits"),
+            round(col("n_hits").cast("double") / lit(5.0), 6).as("recall_at_5"))
+      },
+      Some(s"""WITH ${normsCte("nrms", "embeddings")},
+              |$bruteKnnTailCtes,
+              |$ivfAssignCtes,
+              |$pqAdcCtes
+              |SELECT t.qid, COUNT(a.vec_id) AS n_hits,
+              |       round(CAST(COUNT(a.vec_id) AS DOUBLE) / 5.0, 6) AS recall_at_5
+              |FROM truth t LEFT JOIN pqtop a
+              |  ON t.qid = a.qid AND t.vec_id = a.vec_id
+              |GROUP BY t.qid""".stripMargin)
+    ),
+    QueryDef(
+      // Gopher-style heuristic quality GATES (Rae et al. 2021 §A1.1, the
+      // rule bundle C4/RefinedWeb-class corpora apply before model-based
+      // scoring): named boolean rules — word-count bounds, mean-word-
+      // length bounds, stopword floor, top-word concentration cap,
+      // adjacent-repetition cap — each reported per doc alongside its
+      // metric, keep = AND of all. Thresholds are quality-policy
+      // constants (not occupancy knobs — nothing here grows with the
+      // corpus). Scale shape: one scan; the only shuffle is the per-doc
+      // word-mode aggregate (top_frac), map-side combined on (doc, word).
+      "q153_gopher_gates",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val topw = docs
+          .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
+          .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(max("c").as("maxc"))
+        val w = col("w")
+        val adjacentDups = when(size(w) <= 1, lit(0)).otherwise(
+          size(filter(
+            zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+              (a, b) => a === b),
+            x => x)))
+        val m = docs
+          .select(col("doc_id"), col("text"), TextOps.words(col("text")).as("w"))
+          .select(col("doc_id"), size(w).as("nw"),
+            adjacentDups.as("nadj"),
+            TextOps.stopwordHits(col("text"), TextOps.stopwords.head._2).as("nstop"),
+            length(col("text")).as("nchars"))
+          .join(topw, Seq("doc_id"))
+        m.select(col("doc_id"), col("nw").as("n_words"),
+            round((col("nchars") - col("nw") + 1).cast("double") /
+              col("nw").cast("double"), 6).as("mean_wlen"),
+            round(col("nstop").cast("double") / col("nw").cast("double"), 6)
+              .as("stop_ratio"),
+            round(col("maxc").cast("double") / col("nw").cast("double"), 6)
+              .as("top_frac"),
+            when(col("nw") <= 1, lit(0.0)).otherwise(
+              round(col("nadj").cast("double") / (col("nw") - 1).cast("double"), 6))
+              .as("rep_ratio"))
+          .select(col("doc_id"), col("n_words"), col("mean_wlen"),
+            col("stop_ratio"), col("top_frac"), col("rep_ratio"),
+            (col("n_words") >= 10 && col("n_words") <= 100000).as("r_len"),
+            (col("mean_wlen") >= 2.0 && col("mean_wlen") <= 12.0).as("r_wlen"),
+            (col("stop_ratio") >= 0.005).as("r_stop"),
+            (col("top_frac") <= 0.20).as("r_top"),
+            (col("rep_ratio") <= 0.30).as("r_rep"))
+          .withColumn("keep",
+            col("r_len") && col("r_wlen") && col("r_stop") &&
+              col("r_top") && col("r_rep"))
+      },
+      Some {
+        val stops = TextOps.stopwordHitsSql("text", TextOps.stopwords.head._2)
+        s"""WITH ws AS (
+           |  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+           |topw AS (
+           |  SELECT doc_id, MAX(c) AS maxc FROM (
+           |    SELECT doc_id, word, COUNT(*) AS c
+           |    FROM (SELECT doc_id, unnest(w) AS word FROM ws)
+           |    GROUP BY doc_id, word) t
+           |  GROUP BY doc_id),
+           |m AS (
+           |  SELECT ws.doc_id,
+           |         CAST(len(ws.w) AS INTEGER) AS nw,
+           |         len([i FOR i IN range(1, len(ws.w)) IF ws.w[i] = ws.w[i+1]]) AS nadj,
+           |         $stops AS nstop,
+           |         length(ws.text) AS nchars,
+           |         topw.maxc
+           |  FROM ws JOIN topw USING (doc_id)),
+           |g AS (
+           |  SELECT doc_id, nw AS n_words,
+           |         round(CAST(nchars - nw + 1 AS DOUBLE) / CAST(nw AS DOUBLE), 6) AS mean_wlen,
+           |         round(CAST(nstop AS DOUBLE) / CAST(nw AS DOUBLE), 6) AS stop_ratio,
+           |         round(CAST(maxc AS DOUBLE) / CAST(nw AS DOUBLE), 6) AS top_frac,
+           |         CASE WHEN nw <= 1 THEN 0.0
+           |              ELSE round(CAST(nadj AS DOUBLE) / CAST(nw - 1 AS DOUBLE), 6)
+           |         END AS rep_ratio
+           |  FROM m)
+           |SELECT doc_id, n_words, mean_wlen, stop_ratio, top_frac, rep_ratio,
+           |       (n_words >= 10 AND n_words <= 100000) AS r_len,
+           |       (mean_wlen >= 2.0 AND mean_wlen <= 12.0) AS r_wlen,
+           |       (stop_ratio >= 0.005) AS r_stop,
+           |       (top_frac <= 0.20) AS r_top,
+           |       (rep_ratio <= 0.30) AS r_rep,
+           |       ((n_words >= 10 AND n_words <= 100000) AND
+           |        (mean_wlen >= 2.0 AND mean_wlen <= 12.0) AND
+           |        (stop_ratio >= 0.005) AND (top_frac <= 0.20) AND
+           |        (rep_ratio <= 0.30)) AS keep
+           |FROM g""".stripMargin
+      }
     )
   )
 }

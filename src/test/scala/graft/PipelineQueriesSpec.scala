@@ -1149,4 +1149,41 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(math.abs(keptTotal / total - 1.0) < 0.1,
       s"token budget drifted: kept $keptTotal of $total")
   }
+
+  test("q152 PQ recall: one row per query, recall arithmetic consistent and nonzero") {
+    val rows = byName("q152_pq_recall").query(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).distinct.length == rows.length, "duplicate qid rows")
+    assert(rows.length == graft.queries.PipelineQueries.KnnQueryIds.length)
+    rows.foreach { case (qid, hits, rec) =>
+      assert(hits >= 0 && hits <= 5, s"qid $qid: n_hits $hits out of range")
+      assert(math.abs(rec - hits / 5.0) < 1e-9, s"qid $qid: recall != hits/5")
+    }
+    // The approximation stack must retrieve SOMETHING true overall — a
+    // zero-recall index is a wiring bug, not an approximation trade.
+    assert(rows.map(_._2).sum > 0, "PQ-ADC retrieved no true neighbors at all")
+  }
+
+  test("q153 gopher gates: keep is the AND of its rules, metrics recompute") {
+    val rows = byName("q153_gopher_gates").query(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.length == nDocs, "one row per document expected")
+    rows.foreach { r =>
+      val Seq(rLen, rWlen, rStop, rTop, rRep, keep) =
+        (6 to 11).map(r.getBoolean)
+      assert(keep == (rLen && rWlen && rStop && rTop && rRep),
+        s"doc ${r.getLong(0)}: keep != AND(rules)")
+      val nWords = r.getInt(1)
+      assert(rLen == (nWords >= 10 && nWords <= 100000))
+      assert(rTop == (r.getDouble(4) <= 0.20))
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0,
+        s"doc ${r.getLong(0)}: top_frac out of (0,1]")
+    }
+    // The gate must be discriminative on the synthetic corpus (neither
+    // all-pass nor all-drop) — q47's score analog keeps a spread too.
+    val kept = rows.count(_.getBoolean(11))
+    assert(kept > 0 && kept < rows.length,
+      s"gate degenerate: kept $kept of ${rows.length}")
+  }
 }

@@ -34,7 +34,7 @@ object ScaleBench {
   private val docDedupQueries: Seq[String] = Seq(
     "q40", "q41", "q42", "q43", "q52", "q56", "q104", "q133", "q134",
     "q135", "q136", "q139", "q140", "q146", "q147", "q148", "q150",
-    "q151")
+    "q151", "q153")
 
   /** Embedding-table family — replication caps at the corpus/delta id
     * boundary (base ids must stay under the +100000 variant offset the
@@ -44,7 +44,7 @@ object ScaleBench {
     */
   private val embDedupQueries: Seq[String] = Seq(
     "q44", "q45", "q51", "q68", "q123", "q124", "q127", "q131", "q132",
-    "q149")
+    "q149", "q152")
 
   private val dedupQueries: Seq[String] = docDedupQueries ++ embDedupQueries
 
