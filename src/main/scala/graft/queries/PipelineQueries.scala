@@ -1863,6 +1863,54 @@ object PipelineQueries {
        |        FROM rer) r
        |  WHERE rnk <= 5)""".stripMargin
 
+  // ---- q151 temperature-mix builders (shared with StreamingSelect) ------
+
+  /** Per-doc token counts (doc_id, lang, ntok) — q151's scan projection. */
+  private[graft] def mixTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      size(TextOps.words(col("text"))).cast("long").as("ntok"))
+
+  /** Fit the per-language replication rates (lang, fl, thr) from token
+    * counts: w_l ∝ √p_l renormalized to the corpus token budget, split
+    * into the integer replication count `fl` and the 2^48-scaled
+    * remainder threshold `thr`. Two tiny aggregates — broadcast-sized at
+    * any corpus scale. See the q151 QueryDef scaladoc for the
+    * cross-engine arithmetic contract.
+    */
+  private[graft] def mixRates(toks: DataFrame): DataFrame = {
+    val ls = toks.groupBy("lang").agg(sum("ntok").as("nl"))
+    val tot = ls.agg(sum("nl").as("ntot"))
+    val w = ls.crossJoin(broadcast(tot))
+      .withColumn("wl",
+        sqrt(col("nl").cast("double") / col("ntot").cast("double"))
+          .cast("decimal(28,12)"))
+    val ws = w.agg(sum("wl").as("ws"))
+    w.crossJoin(broadcast(ws))
+      .withColumn("rl",
+        (col("wl").cast("double") / col("ws").cast("double")) *
+          (col("ntot").cast("double") / col("nl").cast("double")))
+      .withColumn("fl", floor(col("rl")))
+      .withColumn("thr",
+        floor((col("rl") - col("fl")) * lit(MixFracScale)).cast("long"))
+      .select("lang", "fl", "thr")
+  }
+
+  /** Apply fitted rates to a token frame: explode `fl + 1` copies per
+    * doc, keep the integer copies plus the hash-fraction remainder. A
+    * doc's kept copies depend only on (doc_id, lang) and the rates, so
+    * per-batch application is batch-independent (the streaming twin's
+    * parity property).
+    */
+  private[graft] def mixKeep(toks: DataFrame, rates: DataFrame): DataFrame =
+    toks.join(broadcast(rates), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("fl"), col("thr"),
+        explode(sequence(lit(0L), col("fl"))).as("copy"))
+      .withColumn("h", TextOps.md5Fold48(
+        md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("copy").cast("string"), lit(":mixT"))), 1))
+      .filter(col("copy") < col("fl") || col("h") < col("thr"))
+      .select(col("doc_id"), col("lang"), col("copy"))
+
   // ---- queries -----------------------------------------------------------
 
   val defs: Seq[QueryDef] = Seq(
@@ -4493,31 +4541,8 @@ object PipelineQueries {
       // (doc, copy) row reproduces bit-identically.
       "q151_mix_temperature",
       (s, d) => {
-        val toks = Tables.documents(s, d).select(col("doc_id"), col("lang"),
-          size(TextOps.words(col("text"))).cast("long").as("ntok"))
-        val ls = toks.groupBy("lang").agg(sum("ntok").as("nl"))
-        val tot = ls.agg(sum("nl").as("ntot"))
-        val w = ls.crossJoin(broadcast(tot))
-          .withColumn("wl",
-            sqrt(col("nl").cast("double") / col("ntot").cast("double"))
-              .cast("decimal(28,12)"))
-        val ws = w.agg(sum("wl").as("ws"))
-        val rates = w.crossJoin(broadcast(ws))
-          .withColumn("rl",
-            (col("wl").cast("double") / col("ws").cast("double")) *
-              (col("ntot").cast("double") / col("nl").cast("double")))
-          .withColumn("fl", floor(col("rl")))
-          .withColumn("thr",
-            floor((col("rl") - col("fl")) * lit(MixFracScale)).cast("long"))
-          .select("lang", "fl", "thr")
-        toks.join(broadcast(rates), Seq("lang"))
-          .select(col("doc_id"), col("lang"), col("fl"), col("thr"),
-            explode(sequence(lit(0L), col("fl"))).as("copy"))
-          .withColumn("h", TextOps.md5Fold48(
-            md5(concat(col("doc_id").cast("string"), lit(":"),
-              col("copy").cast("string"), lit(":mixT"))), 1))
-          .filter(col("copy") < col("fl") || col("h") < col("thr"))
-          .select(col("doc_id"), col("lang"), col("copy"))
+        val toks = mixTokens(Tables.documents(s, d))
+        mixKeep(toks, mixRates(toks))
       },
       Some(s"""WITH toks AS (
               |  SELECT doc_id, lang,

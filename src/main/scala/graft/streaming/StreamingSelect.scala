@@ -97,4 +97,25 @@ object StreamingSelect {
     val (tf, dl) = PipelineQueries.bm25DocTf(arrivals)
     PipelineQueries.bm25Score(tf, dl, qt, stats)
   }
+
+  /** Fit the temperature-mix replication rates on the reference corpus —
+    * the streaming deployment of q151: the language mix is a property of
+    * the CORPUS the run is balancing toward, so the per-language
+    * (fl, thr) rate table freezes at fit time (refitting per batch would
+    * re-derive rates from each batch's accidental language skew and
+    * replicate the same document differently across replays). The rate
+    * table is O(languages) rows — broadcast-sized at any corpus scale.
+    */
+  def mixFit(corpus: DataFrame): DataFrame =
+    PipelineQueries.mixRates(PipelineQueries.mixTokens(corpus))
+      .localCheckpoint()
+
+  /** Replicate/sample one arriving micro-batch of (doc_id, text, lang)
+    * rows by the fitted rates: (doc_id, lang, copy) kept rows. Stateless
+    * — a doc's kept copies depend only on (doc_id, lang) plus the frozen
+    * rates, so per-batch outputs union to exactly the batch q151 result
+    * under any replay split (StreamingSpec pins it).
+    */
+  def mixSampleBatch(rates: DataFrame, arrivals: DataFrame): DataFrame =
+    PipelineQueries.mixKeep(PipelineQueries.mixTokens(arrivals), rates)
 }

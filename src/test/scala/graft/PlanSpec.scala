@@ -70,7 +70,14 @@ class PlanSpec extends SparkTestBase {
       // 1-row corpus-derived minted-id offset (both broadcast).
       "q42_simhash", "q145_corpus_diff",
       // q147 attaches the 1-row (n, avgdl) corpus-stats frame (broadcast).
-      "q147_bm25_topk")
+      "q147_bm25_topk",
+      // q149/q152 attach the 1-row derived-cstride params frame and ride
+      // the ivfAssign broadcast-centroid scorer (q152 also reuses the
+      // q44 brute truth builder); q150 attaches the 1-row BM25 stats
+      // frame + ivfAssign; q151 attaches the 1-row corpus-total and
+      // weight-sum frames (all broadcast).
+      "q149_pq_adc", "q150_hybrid_rrf", "q151_mix_temperature",
+      "q152_pq_recall")
     SparkEntry.queries.keys.filterNot(intendedCross).foreach { name =>
       val p = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")

@@ -699,6 +699,43 @@ class StreamingSpec extends SparkTestBase {
         s"only-batch=${(batch -- out.toSet).take(3)}")
   }
 
+  test("streaming temperature-mix sampling agrees with the batch q151 under replay") {
+    import graft.queries.PipelineQueries
+    import graft.streaming.StreamingSelect
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
+    // Rates are FITTED once on the corpus, like the DSIR/BPE/BM25 twins.
+    val rates = StreamingSelect.mixFit(docs)
+    val stream = MemoryStream[(Long, String, String)]
+    val arrivals = stream.toDF().toDF("doc_id", "text", "lang")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val query = arrivals.writeStream.outputMode("append")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        out ++= StreamingSelect.mixSampleBatch(rates, df)
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        ()
+      }.start()
+    try {
+      val rows = docs.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sortBy(_._1)
+      rows.grouped(math.max(1, (rows.length + 2) / 3)).foreach { g =>
+        stream.addData(g.toIndexedSeq)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    val batch = PipelineQueries.defs.find(_.name == "q151_mix_temperature").get
+      .query(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty)
+    assert(out.toSet == batch,
+      s"streaming vs batch temperature mix differ: " +
+        s"only-streaming=${(out.toSet -- batch).take(3)} " +
+        s"only-batch=${(batch -- out.toSet).take(3)}")
+  }
+
   test("streaming BPE token counts agree with the batch q135 under replay") {
     import graft.operators.Bpe
     import graft.queries.PipelineQueries
