@@ -270,4 +270,52 @@ class EdgeSpec extends SparkTestBase {
     assert(parsed("JOHN Q SMITH JR") == ((null, "JOHN", "Q", "SMITH", "JR")))
     assert(parsed("DR JOHN SMITH") == (("DR", "JOHN", null, "SMITH", null)))
   }
+
+  test("temperature mix: a single-language corpus reproduces itself exactly once") {
+    import graft.queries.PipelineQueries
+    import spark.implicits._
+    // p = 1 ⇒ w = √1 = 1 ⇒ rate = exactly 1.0: fl = 1 with a ZERO
+    // remainder threshold, so every doc keeps copy 0 and never copy 1 —
+    // the identity resample, with no hash-boundary wobble possible.
+    val docs = Seq((1L, "en", "a b c"), (2L, "en", "d e"), (3L, "en", "f"))
+      .toDF("doc_id", "lang", "text")
+    val toks = PipelineQueries.mixTokens(docs)
+    val rates = PipelineQueries.mixRates(toks).collect()
+    assert(rates.length == 1)
+    assert(rates(0).getLong(1) == 1L && rates(0).getLong(2) == 0L,
+      s"single-lang rates not the identity: ${rates(0)}")
+    val kept = PipelineQueries.mixKeep(toks, PipelineQueries.mixRates(toks))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(kept.sorted.toSeq == Seq((1L, 0L), (2L, 0L), (3L, 0L)),
+      s"identity resample changed the corpus: ${kept.toSeq}")
+  }
+
+  test("temperature mix: 90/10 two-language corpus gets the exact sqrt rates") {
+    import graft.queries.PipelineQueries
+    import spark.implicits._
+    // en: 90 tokens, de: 10 ⇒ w = (√.9, √.1), rates = (w/Σw)·(N/n_l)
+    // = (0.8333…, 2.5): en DOWN-samples (fl 0, thr ≈ 0.8333·2^48) and
+    // de UP-samples (fl 2, thr ≈ 0.5·2^48). Replays the arithmetic
+    // independently in plain scala and bounds the threshold to ±1 of
+    // the engine's value (double→decimal(28,12) rounding in the w
+    // terms can move the product by at most an ulp).
+    val docs = (
+      (1 to 9).map(i => (i.toLong, "en", (1 to 10).map(j => s"w$i$j").mkString(" "))) :+
+        (100L, "de", (1 to 10).map(j => s"d$j").mkString(" "))
+    ).toDF("doc_id", "lang", "text")
+    val rates = PipelineQueries.mixRates(PipelineQueries.mixTokens(docs))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val wEn = BigDecimal(math.sqrt(0.9)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val wDe = BigDecimal(math.sqrt(0.1)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val ws = (wEn + wDe).toDouble
+    val rEn = (wEn.toDouble / ws) * (100.0 / 90.0)
+    val rDe = (wDe.toDouble / ws) * (100.0 / 10.0)
+    val scale = 281474976710656L // 2^48
+    assert(rates("en")._1 == math.floor(rEn).toLong)
+    assert(rates("de")._1 == math.floor(rDe).toLong && rates("de")._1 == 2L)
+    assert(math.abs(rates("en")._2 - ((rEn - math.floor(rEn)) * scale).toLong) <= 1,
+      s"en threshold off: ${rates("en")._2}")
+    assert(math.abs(rates("de")._2 - ((rDe - math.floor(rDe)) * scale).toLong) <= 1,
+      s"de threshold off: ${rates("de")._2}")
+  }
 }
