@@ -130,6 +130,18 @@ object PipelineQueries {
   private[graft] val RrfC = 60
   private[graft] val RrfQTerms = 3
 
+  /** q154 count-min sketch geometry: CmRows independent hash rows ×
+    * CmBuckets buckets. The sketch is O(rows·buckets) REGARDLESS of
+    * corpus size — the point of the op: heavy-hitter counts at 100 TB
+    * without carrying the vocabulary. Error bound: overestimate only,
+    * ≤ corpus_tokens·e/buckets with prob 1−e^−rows (Cormode &
+    * Muthukrishnan 2005). Demo geometry 4×1024; production widens
+    * buckets, same plan.
+    */
+  private[graft] val CmRows = 4
+  private[graft] val CmBuckets = 1024L
+  private[graft] val CmTopK = 20
+
   /** q151 temperature resampling: τ = 2 — sampled language weight
     * w_l ∝ p_l^(1/τ) = √p_l. τ = 2 keeps the power a SINGLE sqrt, which
     * is correctly rounded (IEEE) in both engines, so the per-language
@@ -4697,6 +4709,70 @@ object PipelineQueries {
            |        (rep_ratio <= 0.30)) AS keep
            |FROM g""".stripMargin
       }
+    ),
+    QueryDef(
+      // Count-min sketch heavy-hitter estimation (Cormode & Muthukrishnan
+      // 2005) — the frequency-sketch path of the q69 family, but with a
+      // HASH-EXACT oracle (the md5 bucket hashes replay in DuckDB, unlike
+      // HLL registers): the per-word counts fold into a CmRows×CmBuckets
+      // grid in one vocabulary-sized aggregate, and a word's estimate is
+      // the MIN over its CmRows bucket sums — an overestimate by
+      // construction (collisions only ADD). The fixture estimates the
+      // exact top-CmTopK words so the overestimate error is observable
+      // per word; PRODUCTION reads only the 4096-cell sketch (heavy
+      // hitters over 100 TB without carrying the vocabulary), the exact
+      // side here is the audit. Scale shape: one map-side-combined word
+      // count, a ×CmRows explode of the VOCABULARY (not the corpus), a
+      // broadcast of the O(1) sketch, and a distributed partial top-k.
+      "q154_countmin_words",
+      (s, d) => {
+        val jb = (word: Column) => array((0 until CmRows).map(j =>
+          struct(lit(j).as("j"),
+            pmod(TextOps.md5Fold48(md5(concat(word, lit(s":cm$j"))), 1),
+              lit(CmBuckets)).as("bucket"))): _*)
+        val wc = Tables.documents(s, d)
+          .select(explode(TextOps.words(col("text"))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("c"))
+        val sketch = wc
+          .select(col("c"), explode(jb(col("word"))).as("jb"))
+          .select(col("jb.j").as("j"), col("jb.bucket").as("bucket"), col("c"))
+          .groupBy("j", "bucket").agg(sum("c").as("cnt"))
+        val top = wc.orderBy(col("c").desc, col("word").asc).limit(CmTopK)
+        top.select(col("word"), col("c").as("exact"),
+            explode(jb(col("word"))).as("jb"))
+          .select(col("word"), col("exact"),
+            col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+          .join(broadcast(sketch), Seq("j", "bucket"))
+          .groupBy("word", "exact")
+          .agg(min("cnt").as("est"))
+          .select(col("word"), col("exact"), col("est"),
+            (col("est") - col("exact")).as("overest"))
+      },
+      Some(s"""WITH wc AS (
+              |  SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+              |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+              |        FROM documents)
+              |  GROUP BY word),
+              |hashed AS (
+              |  SELECT word, c, j,
+              |         md5(word || ':cm' || CAST(j AS VARCHAR)) AS mh
+              |  FROM wc, range(0, $CmRows) t(j)),
+              |jb AS (
+              |  SELECT word, c, j,
+              |         (${TextOps.md5Fold48Sql("mh", 1)}) % $CmBuckets AS bucket
+              |  FROM hashed),
+              |sketch AS (
+              |  SELECT j, bucket, CAST(SUM(c) AS BIGINT) AS cnt
+              |  FROM jb GROUP BY j, bucket),
+              |top AS (
+              |  SELECT word, c AS exact FROM wc
+              |  ORDER BY c DESC, word ASC LIMIT $CmTopK)
+              |SELECT t.word, t.exact, MIN(s.cnt) AS est,
+              |       MIN(s.cnt) - t.exact AS overest
+              |FROM top t
+              |JOIN jb ON jb.word = t.word
+              |JOIN sketch s ON s.j = jb.j AND s.bucket = jb.bucket
+              |GROUP BY t.word, t.exact""".stripMargin)
     )
   )
 }

@@ -1186,4 +1186,32 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(kept > 0 && kept < rows.length,
       s"gate degenerate: kept $kept of ${rows.length}")
   }
+
+  test("q154 count-min: estimates overestimate-only, exact side recomputes, tight on heavy hitters") {
+    import graft.operators.TextOps
+    val rows = byName("q154_countmin_words").query(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == graft.queries.PipelineQueries.CmTopK)
+    rows.foreach { case (w, exact, est, over) =>
+      assert(est >= exact, s"'$w': count-min UNDERestimated ($est < $exact)")
+      assert(over == est - exact, s"'$w': overest bookkeeping off")
+    }
+    // Exact side must be the true top-K word counts.
+    val truth = Tables.documents(spark, sfDir)
+      .select(explode(TextOps.words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy { case (w, c) => (-c, w) }.take(rows.length)
+    assert(rows.map(r => (r._1, r._2)).sortBy { case (w, c) => (-c, w) }.toSeq ==
+      truth.toSeq, "exact top-K side disagrees with a direct recount")
+    // Error bound sanity: with 4×1024 cells over this corpus the top
+    // words' relative overestimate must stay small (collisions add at
+    // most ~tokens/buckets per row; min over 4 rows keeps heavy hitters
+    // tight). 50% is far above the expected error yet far below the
+    // degenerate all-in-one-bucket failure.
+    rows.foreach { case (w, exact, est, _) =>
+      assert(est <= exact * 3 / 2,
+        s"'$w': overestimate $est vs $exact — sketch geometry broken")
+    }
+  }
 }

@@ -34,7 +34,7 @@ object ScaleBench {
   private val docDedupQueries: Seq[String] = Seq(
     "q40", "q41", "q42", "q43", "q52", "q56", "q104", "q133", "q134",
     "q135", "q136", "q139", "q140", "q146", "q147", "q148", "q150",
-    "q151", "q153")
+    "q151", "q153", "q154")
 
   /** Embedding-table family — replication caps at the corpus/delta id
     * boundary (base ids must stay under the +100000 variant offset the
