@@ -32,6 +32,30 @@ object Pipeline {
     */
   def stages: Seq[(String, Seq[(String, (SparkSession, String) => DataFrame)])] = {
     def q(name: String): (SparkSession, String) => DataFrame = SparkEntry.queries(name)
+    // Per-pass model-report artifact (the reference persists a Splink
+    // HTML report per cascade pass under diagnostics/splink_reports/
+    // <module>__<pass>.html; its 03 notebook calls match_weights_chart /
+    // m_u_parameters_chart per pass): the model's per-(comparison,
+    // gamma) m/u/Bayes-factor/weight rows (q75) scoped by the pass's
+    // own scoring configuration (q76 — scored flag, blocking-implied
+    // constant gammas, weight offset), one artifact per pass. Both
+    // inputs are memoized O(model)-sized frames, so the 15 artifacts
+    // cost 15 tiny broadcast joins, not 15 cascade runs.
+    def passReport(passName: String): (SparkSession, String) => DataFrame =
+      (s, d) => q("q75_model_report")(s, d)
+        .join(q("q76_pass_matrix")(s, d)
+          .filter(col("pass") === passName)
+          .select(col("pass"), col("ordinal"), col("ref_file"),
+            col("block_keys"), col("comparison"), col("scored"),
+            col("const_gamma"), col("weight_offset")), Seq("comparison"))
+    val passReports: Seq[(String, (SparkSession, String) => DataFrame)] = {
+      import graft.queries.LinkageQueries
+      (LinkageQueries.passes ++ LinkageQueries.hhPasses).map { p =>
+        val refFile =
+          if (LinkageQueries.hhPasses.contains(p)) "hhcomp" else p.ref
+        s"splink_reports/${refFile}__${p.name}" -> passReport(p.name)
+      }
+    }
     Seq(
       "02_reference_files" -> Seq(
         "alternate_names" -> q("q71_alternate_names"),
@@ -39,7 +63,7 @@ object Pipeline {
         "ssn_to_pik" -> q("q73_ssn_to_pik"),
         "geobase_reference" -> q("q117_geobase_reference"),
         "addresses_by_ssn" -> q("q121_addresses_by_ssn")),
-      "03_link_datasets" -> Seq(
+      "03_link_datasets" -> (Seq(
         "best_links" -> q("q32_cascade_best_link"),
         "confirmed_links" -> q("q37_confirm_links"),
         "pass_matrix" -> q("q76_pass_matrix"),
@@ -58,7 +82,17 @@ object Pipeline {
               BigDecimal(r.maxDelta).setScale(9, BigDecimal.RoundingMode.HALF_UP)
                 .toDouble)))
             .toDF("session", "iterations", "converged", "max_delta")
-        })),
+        })) ++ passReports ++ Seq(
+        // The global chart-data tables the reference's per-pass HTML
+        // reports render (waterfall rows, distinct comparison patterns,
+        // weight histogram, the EM m-trajectory and the Splink
+        // parameter_estimate_comparisons data) — computed once over the
+        // memoized demo-blocking scored frame.
+        "splink_reports/waterfall" -> q("q87_waterfall"),
+        "splink_reports/comparison_patterns" -> q("q88_comparison_patterns"),
+        "splink_reports/weight_histogram" -> q("q93_weight_histogram"),
+        "splink_reports/em_history" -> q("q105_em_history"),
+        "splink_reports/param_compare" -> q("q107_param_compare"))),
       "04_accuracy" -> Seq(
         "accuracy_eval" -> q("q33_accuracy_eval"),
         "accuracy_by_module" -> q("q112_accuracy_by_module"),

@@ -107,6 +107,27 @@ object TextOps {
     s"len(list_filter(string_split($textExpr, ' '), w -> list_contains($list, w)))"
   }
 
+  /** Stopword hits against the document's OWN language list — the gate
+    * input a quality rule needs: scoring every doc against the English
+    * list zeroes stop_ratio for non-English docs, so a stopword-floor
+    * GATE (q153's r_stop) would hard-drop them regardless of quality.
+    * Languages outside the table fall back to the English list (the
+    * unknown-language behavior is then explicit, not accidental). The
+    * dispatch is a codegen'd CASE over the O(1) static lists — no join.
+    */
+  def stopwordHitsByLang(text: Column, lang: Column): Column =
+    stopwords.foldRight(stopwordHits(text, stopwords.head._2)) {
+      case ((l, stops), acc) =>
+        when(lang === l, stopwordHits(text, stops)).otherwise(acc)
+    }
+
+  /** DuckDB rendering of [[stopwordHitsByLang]]. */
+  def stopwordHitsByLangSql(textExpr: String, langExpr: String): String =
+    stopwords.map { case (l, stops) =>
+      s"WHEN $langExpr = '$l' THEN ${stopwordHitsSql(textExpr, stops)}"
+    }.mkString("CASE ", " ",
+      s" ELSE ${stopwordHitsSql(textExpr, stopwords.head._2)} END")
+
   /** Polynomial rolling hash of the whole document (base 31, mod 1e9+7) —
     * an order-sensitive fingerprint, unlike the bag-of-words hashes.
     *

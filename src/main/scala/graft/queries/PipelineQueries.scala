@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.operators.{Multimodal, TextOps, VectorOps}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -115,13 +115,24 @@ object PipelineQueries {
     * query — both linear in n at any K). Demo K = 8; production uses 256
     * (1 byte/subspace, the FAISS PQ8 shape) — the values change, the
     * plan doesn't. Candidate generation still derives from the corpus:
-    * q149 searches the q68 probe-2 IVF cells (IVF-PQ), so PQ compresses
-    * the candidate stage the way SQ8 does in q131 — 64 float32 → 8
-    * 3-bit codes here, 64× smaller at production widths.
+    * q149 searches the q68 derived-probe IVF cells (IVF-PQ), so PQ
+    * compresses the candidate stage the way SQ8 does in q131 — 64
+    * float32 (256 bytes) → 8 3-bit codes here (~85× smaller); at
+    * production widths (M=8, K=256) the code is 8 bytes, 32× smaller.
     */
   private[graft] val PqM = 8
   private[graft] val PqSubDim = VectorOps.Dim / PqM
   private[graft] val PqK = 8
+
+  /** q149 ADC shortlist budget PER DERIVED PROBE: the rerank shortlist
+    * is PqShortPerProbe × the realized probe count (8·topk·probes), so
+    * it covers a STABLE fraction of the ~occupancy×probes candidate
+    * volume at every decade — a fixed shortlist covers a shrinking
+    * fraction as probes grow with k and recall decays with scale
+    * (measured: shortlist-8 kept 16% of what the candidates admit at
+    * 1×, 14% at 30×; 40·probes keeps 87.5% / 92.9% — RetrProbe).
+    */
+  private[graft] val PqShortPerProbe = 40
 
   /** q150 hybrid retrieval: fused result depth, per-list rank depth and
     * the RRF smoothing constant (Cormack et al. 2009's k = 60).
@@ -204,6 +215,306 @@ object PipelineQueries {
           .as("c"))
       .groupBy("query_id", "doc_id")
       .agg(round(sum("c"), 6).as("score"))
+
+  /** Candidate generation + exact verify for ANY 60-bit signature frame
+    * (doc_id, sig): chunk-GROUP buckets ([[simhashCombos]] — 6×10-bit
+    * chunks, group size g derived from the corpus count IN-PLAN via the
+    * ivfCentroids broadcast-params idiom), hub-capped ([[SimHubCap]]),
+    * self-joined on bucket keys and verified by Hamming distance
+    * (bit_count of xor, <= 3 — the pigeonhole guarantee's bound).
+    * Shared by q42 (text SimHash) and q155 (image dHash) so the two
+    * near-dup families ride one audited scheme. Output
+    * (doc_a, doc_b, hamming).
+    */
+  private[graft] def hamming3Pairs(sig: DataFrame): DataFrame = {
+    val params = sig.agg(count(lit(1)).as("n")).select(
+      when(col("n") <= lit(1L << 10), 1)
+        .when(col("n") <= lit(1L << 20), 2).otherwise(3).as("g"))
+    val comboArr = array(simhashCombos.map { case (g, tbl, comb) =>
+      struct(lit(g).as("gg"), lit(tbl).as("tbl"),
+        comb.foldLeft(lit(0L)) { (acc, c) =>
+          acc * 1024L + pmod(shiftrightunsigned(col("sig"), c * 10), lit(1024L))
+        }.as("k"))
+    }: _*)
+    val keys = sig.crossJoin(broadcast(params))
+      .select(col("doc_id"), col("sig"),
+        explode(filter(comboArr, cc => cc.getField("gg") === col("g"))).as("ck"))
+      .select(col("doc_id"), col("sig"),
+        col("ck.tbl").as("tbl"), col("ck.k").as("k"))
+    // Hub cap (q134's idiom): a bucket shared by > SimHubCap docs is
+    // boilerplate mass — drop it before the quadratic-in-occupancy
+    // self-join. (doc, tbl) pairs are unique, so COUNT(*) = doc count.
+    val ok = keys.groupBy("tbl", "k").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") <= SimHubCap).select("tbl", "k")
+    val kk = keys.join(ok, Seq("tbl", "k"))
+    kk.as("a").join(kk.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.k") === col("b.k") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
+  /** SQL mirror of [[hamming3Pairs]]'s candidate CTEs over a signature
+    * relation `sigRel(doc_id, sig)` — gsel/combos/keys/hub/kk, ending in
+    * `kk`; pair with [[hamming3SelectSql]]. The combo VALUES rows render
+    * from the SAME [[simhashCombos]] list the Spark side explodes, so
+    * the schemes cannot drift.
+    */
+  private[graft] def hamming3PairsSql(sigRel: String): String = {
+    val comboValues = simhashCombos.map { case (g, tbl, comb) =>
+      val cs = comb.padTo(3, 0)
+      s"($g, $tbl, ${cs(0)}, ${cs(1)}, ${cs(2)})"
+    }.mkString(",\n    ")
+    def chv(c: String) = s"((s.sig >> ($c * 10)) & 1023)"
+    s"""gsel AS (
+       |  SELECT CASE WHEN COUNT(*) <= ${1L << 10} THEN 1
+       |              WHEN COUNT(*) <= ${1L << 20} THEN 2 ELSE 3 END AS g
+       |  FROM $sigRel),
+       |combos(gg, tbl, c1, c2, c3) AS (
+       |  SELECT * FROM (VALUES
+       |    $comboValues) v),
+       |keys AS (
+       |  SELECT s.doc_id, s.sig, m.tbl,
+       |         CASE WHEN m.gg = 1 THEN ${chv("m.c1")}
+       |              WHEN m.gg = 2 THEN ${chv("m.c1")} * 1024 + ${chv("m.c2")}
+       |              ELSE (${chv("m.c1")} * 1024 + ${chv("m.c2")}) * 1024 + ${chv("m.c3")}
+       |         END AS k
+       |  FROM $sigRel s, combos m, gsel WHERE m.gg = gsel.g),
+       |hub AS (SELECT tbl, k FROM keys GROUP BY tbl, k HAVING COUNT(*) <= $SimHubCap),
+       |kk AS (SELECT ky.doc_id, ky.sig, ky.tbl, ky.k FROM keys ky JOIN hub USING (tbl, k))""".stripMargin
+  }
+
+  /** Final SELECT over [[hamming3PairsSql]]'s `kk` CTE. */
+  private[graft] val hamming3SelectSql: String =
+    """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+      |FROM kk a JOIN kk b ON a.tbl = b.tbl AND a.k = b.k AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin
+
+  /** Class-collapsed variant of [[hamming3Pairs]] for signature spaces
+    * with POPULAR identical signatures (q155's images: ~1/16 of docs are
+    * single-pixel payloads whose dHash is 0): identical-signature docs
+    * form exact-dup CLASSES found by hash-groupBy (the q40 shape), the
+    * output carries one STAR edge per member to its class representative
+    * (min doc_id) plus one edge per near-dup REPRESENTATIVE pair, and
+    * the chunk-group banding runs over DISTINCT signatures only.
+    * Feeding the raw doc rows through [[hamming3Pairs]] instead floods
+    * the popular signatures' buckets past the hub cap and loses their
+    * pairs (measured at 30×: 6832 planted image pairs lost to the sig-0
+    * hub), and its all-pairs output is quadratic in class size. Here
+    * bucket occupancy counts distinct SIGNATURES (true boilerplate
+    * diversity — what the cap exists for), the output is linear
+    * (members + signature pairs), and connectivity is preserved: two
+    * docs with hamming ≤ 3 are joined through their stars and the
+    * rep-rep edge, so downstream clustering (the q52 CC shape) sees the
+    * same components. Output (doc_a, doc_b, hamming); stars are
+    * hamming 0 by construction.
+    */
+  private[graft] def hammingClassPairs(sig: DataFrame): DataFrame = {
+    val reps = sig.groupBy("sig").agg(min("doc_id").as("rep"))
+      .localCheckpoint()
+    val stars = sig.join(reps, Seq("sig"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"),
+        lit(0).cast("int").as("hamming"))
+    val params = reps.agg(count(lit(1)).as("n")).select(
+      when(col("n") <= lit(1L << 10), 1)
+        .when(col("n") <= lit(1L << 20), 2).otherwise(3).as("g"))
+    val comboArr = array(simhashCombos.map { case (g, tbl, comb) =>
+      struct(lit(g).as("gg"), lit(tbl).as("tbl"),
+        comb.foldLeft(lit(0L)) { (acc, c) =>
+          acc * 1024L + pmod(shiftrightunsigned(col("sig"), c * 10), lit(1024L))
+        }.as("k"))
+    }: _*)
+    val keys = reps.crossJoin(broadcast(params))
+      .select(col("sig"), col("rep"),
+        explode(filter(comboArr, cc => cc.getField("gg") === col("g"))).as("ck"))
+      .select(col("sig"), col("rep"),
+        col("ck.tbl").as("tbl"), col("ck.k").as("k"))
+    val ok = keys.groupBy("tbl", "k").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") <= SimHubCap).select("tbl", "k")
+    val kk = keys.join(ok, Seq("tbl", "k"))
+    val rpairs = kk.as("a").join(kk.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.k") === col("b.k") &&
+          col("a.sig") < col("b.sig"))
+      .select(least(col("a.rep"), col("b.rep")).as("doc_a"),
+        greatest(col("a.rep"), col("b.rep")).as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+    stars.unionByName(rpairs)
+  }
+
+  /** SQL mirror of [[hammingClassPairs]] over `sigRel(doc_id, sig)` —
+    * reps/stars/gsel/combos/keys/hub/kk/rpairs CTEs; the final result is
+    * `SELECT * FROM stars UNION ALL SELECT * FROM rpairs`.
+    */
+  private[graft] def hammingClassPairsSql(sigRel: String): String = {
+    val comboValues = simhashCombos.map { case (g, tbl, comb) =>
+      val cs = comb.padTo(3, 0)
+      s"($g, $tbl, ${cs(0)}, ${cs(1)}, ${cs(2)})"
+    }.mkString(",\n    ")
+    def chv(c: String) = s"((s.sig >> ($c * 10)) & 1023)"
+    s"""reps AS (SELECT sig, MIN(doc_id) AS rep FROM $sigRel GROUP BY sig),
+       |stars AS (
+       |  SELECT r.rep AS doc_a, d.doc_id AS doc_b, CAST(0 AS INTEGER) AS hamming
+       |  FROM $sigRel d JOIN reps r USING (sig) WHERE d.doc_id <> r.rep),
+       |gsel AS (
+       |  SELECT CASE WHEN COUNT(*) <= ${1L << 10} THEN 1
+       |              WHEN COUNT(*) <= ${1L << 20} THEN 2 ELSE 3 END AS g
+       |  FROM reps),
+       |combos(gg, tbl, c1, c2, c3) AS (
+       |  SELECT * FROM (VALUES
+       |    $comboValues) v),
+       |keys AS (
+       |  SELECT s.sig, s.rep, m.tbl,
+       |         CASE WHEN m.gg = 1 THEN ${chv("m.c1")}
+       |              WHEN m.gg = 2 THEN ${chv("m.c1")} * 1024 + ${chv("m.c2")}
+       |              ELSE (${chv("m.c1")} * 1024 + ${chv("m.c2")}) * 1024 + ${chv("m.c3")}
+       |         END AS k
+       |  FROM reps s, combos m, gsel WHERE m.gg = gsel.g),
+       |hub AS (SELECT tbl, k FROM keys GROUP BY tbl, k HAVING COUNT(*) <= $SimHubCap),
+       |kk AS (SELECT ky.sig, ky.rep, ky.tbl, ky.k FROM keys ky JOIN hub USING (tbl, k)),
+       |rpairs AS (
+       |  SELECT DISTINCT least(a.rep, b.rep) AS doc_a,
+       |         greatest(a.rep, b.rep) AS doc_b,
+       |         CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       |  FROM kk a JOIN kk b ON a.tbl = b.tbl AND a.k = b.k AND a.sig < b.sig
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= 3)""".stripMargin
+  }
+
+  /** Corner-artifact size for the planted image variants (q155): the
+    * first bytes of the decoded pixel buffer are overwritten with 255 —
+    * a small localized edit, the perceptual-near-dup positive (the
+    * variant's dHash differs from its base in only the bits whose grid
+    * cells sample the patched corner).
+    */
+  private[graft] val ImageArtifactBytes = 9
+
+  /** The image corpus for perceptual dedup: every doc's synthetic PPM
+    * payload (the [[Multimodal.mediaRecords]] construction — pixels
+    * cycle the doc's text bytes, dimensions derive from n_chars) ∪
+    * corner-artifact variants (+300000, doc_id%9==0, see
+    * [[ImageArtifactBytes]]) ∪ exact copies (+200000, doc_id%7==0).
+    */
+  private[graft] def imageRecordsWithDups(s: SparkSession, d: String)
+      : Dataset[Multimodal.MediaRecord] = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .flatMap { case (id, text, n) =>
+        val w = (n % 16 + 1).toInt
+        val h = (n * 3 % 12 + 1).toInt
+        val base = Multimodal.MediaRecord(id,
+          Multimodal.encodePpm(w, h, text.getBytes("UTF-8")), w, h, "ppm")
+        val out = Seq.newBuilder[Multimodal.MediaRecord]
+        out += base
+        if (id % 9 == 0) {
+          val px = Multimodal.decodePpm(base.content).pixels
+          var i = 0
+          while (i < math.min(ImageArtifactBytes, px.length)) {
+            px(i) = 255.toByte; i += 1
+          }
+          out += Multimodal.MediaRecord(id + 300000L,
+            Multimodal.encodePpm(w, h, px), w, h, "ppm")
+        }
+        if (id % 7 == 0) out += base.copy(doc_id = id + 200000L)
+        out.result()
+      }
+  }
+
+  /** 60-bit dHash signatures (doc_id, sig) over the image corpus — the
+    * perceptual-image twin of [[simhashSigs]]. The Spark side runs the
+    * REAL codec (the sanctioned multimodal mapPartitions path — no
+    * Expression decodes binary payloads): decode the PPM payload, true
+    * nearest-neighbor resample to an 11×6 grid
+    * ([[Multimodal.resizePpm]]), then pack bit y·10+x = 1 iff
+    * gray(x,y) > gray(x+1,y) with gray = r+g+b — 10 horizontal
+    * comparisons × 6 rows = 60 bits, monotone under uniform brightness
+    * shifts (the perceptual property byte-exact hashing lacks). 60 bits
+    * keeps the packed long positive (cross-engine %/>>/& agreement) and
+    * reuses q42's 6×10-bit chunk-group candidate scheme UNCHANGED. The
+    * oracle replays the synthetic pixel construction arithmetically
+    * (the q50 idiom). Repartitioned before the per-record decode so
+    * local parquet's 1-2 input partitions don't serialize the codec
+    * work; localCheckpoint'd because the candidate self-join reads the
+    * frame on both sides plus the hub aggregate.
+    */
+  private[graft] def imageDhashSigs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    imageRecordsWithDups(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+      .mapPartitions(_.map { r =>
+        val img = Multimodal.resizePpm(Multimodal.decodePpm(r.content), 11, 6)
+        def gray(x: Int, y: Int): Int = {
+          val i = (y * 11 + x) * 3
+          (img.pixels(i) & 0xff) + (img.pixels(i + 1) & 0xff) +
+            (img.pixels(i + 2) & 0xff)
+        }
+        var sig = 0L
+        var y = 0
+        while (y < 6) {
+          var x = 0
+          while (x < 10) {
+            if (gray(x, y) > gray(x + 1, y)) sig |= 1L << (y * 10 + x)
+            x += 1
+          }
+          y += 1
+        }
+        (r.doc_id, sig)
+      })
+      .toDF("doc_id", "sig")
+      .localCheckpoint()
+  }
+
+  /** SQL CTE chain ending in `dsig(doc_id, sig)` ≡ [[imageDhashSigs]]:
+    * the synthetic PPM pixel at byte index i is the doc's text byte
+    * i % len(text) (255 over the patched corner for artifact variants),
+    * the 11×6 nearest-neighbor sample replays [[Multimodal.resizePpm]]'s
+    * integer arithmetic (sx = x·w/11, sy = y·h/6, floor), gray = r+g+b,
+    * and the 60 comparison bits join exact power-of-two literals.
+    */
+  private[graft] def imageDhashSigCtes: String = {
+    def byteSql(c: Int): String =
+      s"""CASE WHEN artifact = 1 AND bi + $c < $ImageArtifactBytes THEN 255
+         |              ELSE ascii(substr(text, CAST((bi + $c) % l AS INT) + 1, 1)) END""".stripMargin
+    val pwValues = (0 until 60).map(j => s"($j, ${1L << j})").mkString(",\n    ")
+    s"""imgs AS (
+       |  SELECT doc_id, text, CAST(len(text) AS BIGINT) AS l,
+       |         n_chars % 16 + 1 AS w, n_chars * 3 % 12 + 1 AS h, 0 AS artifact
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 300000, text, CAST(len(text) AS BIGINT),
+       |         n_chars % 16 + 1, n_chars * 3 % 12 + 1, 1
+       |  FROM documents WHERE doc_id % 9 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 200000, text, CAST(len(text) AS BIGINT),
+       |         n_chars % 16 + 1, n_chars * 3 % 12 + 1, 0
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |pw(j, p) AS (
+       |  SELECT * FROM (VALUES
+       |    $pwValues) v),
+       |cells AS (
+       |  SELECT doc_id, text, l, artifact, x, y,
+       |         ((y * h // 6) * w + (x * w // 11)) * 3 AS bi
+       |  FROM imgs, range(0, 11) tx(x), range(0, 6) ty(y)),
+       |grid AS (
+       |  SELECT doc_id, x, y,
+       |         (${byteSql(0)}) +
+       |         (${byteSql(1)}) +
+       |         (${byteSql(2)}) AS gray
+       |  FROM cells),
+       |dsig AS (
+       |  SELECT a.doc_id,
+       |         CAST(SUM(CASE WHEN a.gray > b.gray THEN pw.p ELSE 0 END) AS BIGINT) AS sig
+       |  FROM grid a
+       |  JOIN grid b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+       |  JOIN pw ON pw.j = a.y * 10 + a.x
+       |  WHERE a.x < 10
+       |  GROUP BY a.doc_id)""".stripMargin
+  }
 
   /** 60-bit SimHash signatures (doc_id, sig) over docsWithDups — the
     * builder q42 and ScaleBench's planted-pair recall audit share. Each
@@ -845,14 +1156,22 @@ object PipelineQueries {
        |    FROM bdots) r
        |  WHERE rnk <= 5)""".stripMargin
 
-  /** q68's IVF probe-2 top-5 (qid, vec_id, rnk, cos) — the approximate
+  /** q68's IVF derived-probe top-5 (qid, vec_id, rnk, cos) — the approximate
     * side of the q89 recall eval. Assignment is a broadcast-16 scoring
     * pass; search is a bucket equi-join.
     */
-  /** The IVF assignment frame (vec_id, embedding, nrm, cid, arnk): every
-    * vector scored against the 16 broadcast centroids, ranked by cosine.
-    * arnk = 1 is the hard assignment (q68's buckets, q110's clusters);
-    * arnk <= p gives probe lists.
+  /** The IVF assignment frame (vec_id, embedding, nrm, cid, arnk,
+    * probes): every vector scored against the broadcast corpus-derived
+    * centroid set, ranked by cosine. arnk = 1 is the hard assignment
+    * (q68's buckets, q110's clusters); arnk <= probes gives the probe
+    * list, with the probe count DERIVED from the realized centroid
+    * count by the same [[derivedProbes]] rule the dedup path pinned —
+    * the repo's own 30×/100× audits proved a fixed probe count loses
+    * recall exactly as k grows (probe-3 missed 64/4408 at k≈493), and
+    * retrieval inherits the identical geometry. The derived count rides
+    * the frame as a constant `probes` column so every retrieval
+    * consumer (q68/q89/q131/q132/q149/q150/q152) filters against the
+    * same realized value, mirrored in SQL by [[derivedProbesSql]].
     */
   // Memoized like the norm frame: q68, q89 and q110 all need the same
   // assignment, and the broadcast-16 decimal scoring (vectors × 16 × Dim
@@ -880,7 +1199,8 @@ object PipelineQueries {
               (col("nrm") * col("cn"))).as("csim"),
             col("cid"))
           .withColumn("arnk", row_number().over(byVec))
-          .filter(col("arnk") <= 2)
+          .crossJoin(broadcast(derivedProbes(cents)))
+          .filter(col("arnk") <= col("probes"))
           .join(e, Seq("vec_id"))
           .cache()
         assignFrames.put((s, d), df)
@@ -893,7 +1213,8 @@ object PipelineQueries {
     val data = assign.filter(col("arnk") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
     val qprobe = assign
-      .filter(col("vec_id").isin(KnnQueryIds: _*) && col("arnk") <= 2)
+      .filter(col("vec_id").isin(KnnQueryIds: _*) &&
+        col("arnk") <= col("probes"))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("cid"))
     val byQ = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
@@ -908,7 +1229,9 @@ object PipelineQueries {
 
   /** SQL CTEs for the IVF assignment (cents/csims/assign; expects `nrms`
     * in scope) — the shared prefix of every query that searches the q68
-    * probe index (q68, q89, q131).
+    * probe index (q68, q89, q131, q132, q149, q150, q152). Probe-side
+    * consumers bound `arnk` by [[retrievalProbesSql]], the scalar mirror
+    * of the derived probe count baked into the `assign` frame.
     */
   private def ivfAssignCtes: String =
     s"""${centsCteSql("nrms")},
@@ -923,6 +1246,13 @@ object PipelineQueries {
        |             ORDER BY cdot / (nrm * cn) DESC, cid ASC) AS arnk
        |  FROM csims)""".stripMargin
 
+  /** Scalar-subquery mirror of the derived retrieval probe count over
+    * the `cents` CTE — every SQL-side `arnk <=` bound on the probe
+    * index uses this, in lockstep with the `probes` column [[ivfAssign]]
+    * carries.
+    */
+  private def retrievalProbesSql: String = derivedProbesSql
+
   /** SQL tail for ivfTop5 (CTE names cents/csims/assign/ipairs/approx;
     * expects `nrms` in scope). Shared by q68 and q89.
     */
@@ -933,7 +1263,7 @@ object PipelineQueries {
        |         ${VectorOps.dotDecimalSql("v.embedding", "q.embedding")} AS dot
        |  FROM assign d
        |  JOIN nrms v ON v.vec_id = d.vec_id
-       |  JOIN assign p ON p.cid = d.cid AND p.arnk <= 2
+       |  JOIN assign p ON p.cid = d.cid AND p.arnk <= $retrievalProbesSql
        |       AND p.vec_id IN (${KnnQueryIds.mkString(", ")})
        |       AND p.vec_id <> d.vec_id
        |  JOIN nrms q ON q.vec_id = p.vec_id,
@@ -1771,19 +2101,25 @@ object PipelineQueries {
     val cand = assign.filter(col("arnk") === 1)
       .select(col("vec_id"), col("cid"))
       .join(assign
-        .filter(col("vec_id").isin(KnnQueryIds: _*) && col("arnk") <= 2)
+        .filter(col("vec_id").isin(KnnQueryIds: _*) &&
+            col("arnk") <= col("probes"))
         .select(col("vec_id").as("qid"), col("cid")), Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
       .select("qid", "vec_id")
     val byAdc = Window.partitionBy("qid")
       .orderBy(col("adot").desc, col("vec_id").asc)
+    // Shortlist bound = PqShortPerProbe × the derived probe count the
+    // assign frame already carries — in-plan, so the rerank budget
+    // tracks the candidate volume at every scale.
+    val pframe = assign.select(col("probes")).distinct()
     val short = cand.join(codes, Seq("vec_id"))
       .join(broadcast(qlut), Seq("qid", "m", "k"))
       .groupBy("qid", "vec_id")
       .agg(sum(col("pdot").cast("decimal(30,18)")).cast("double").as("adot"))
       .withColumn("srnk", row_number().over(byAdc))
-      .filter(col("srnk") <= 8)
-      .drop("srnk")
+      .crossJoin(broadcast(pframe))
+      .filter(col("srnk") <= lit(PqShortPerProbe) * col("probes"))
+      .drop("srnk", "probes")
     val qemb = e.filter(col("vec_id").isin(KnnQueryIds: _*))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("nrm").as("qn"))
@@ -1840,7 +2176,7 @@ object PipelineQueries {
        |cand AS (
        |  SELECT p.vec_id AS qid, d.vec_id
        |  FROM assign d
-       |  JOIN assign p ON p.cid = d.cid AND p.arnk <= 2
+       |  JOIN assign p ON p.cid = d.cid AND p.arnk <= $retrievalProbesSql
        |       AND p.vec_id IN (${KnnQueryIds.mkString(", ")})
        |       AND p.vec_id <> d.vec_id
        |  WHERE d.arnk = 1),
@@ -1864,7 +2200,7 @@ object PipelineQueries {
        |  JOIN nrms v ON v.vec_id = s.vec_id
        |  JOIN nrms q ON q.vec_id = s.qid,
        |       range(1, ${VectorOps.Dim + 1}) t(i)
-       |  WHERE s.srnk <= 8
+       |  WHERE s.srnk <= $PqShortPerProbe * $retrievalProbesSql
        |  GROUP BY s.qid, s.vec_id),
        |pqtop AS (
        |  SELECT qid, vec_id, rnk, round(cos, 6) AS cos,
@@ -1874,6 +2210,96 @@ object PipelineQueries {
        |                   ORDER BY dot / (vn * qn) DESC, vec_id ASC) AS rnk
        |        FROM rer) r
        |  WHERE rnk <= 5)""".stripMargin
+
+  /** q150's hybrid-RRF fused top-RrfDepth frame (qid, rnk, doc_id, rrf,
+    * lrnk, srnk) — factored so ScaleBench's retrieval audit can fuse the
+    * SAME lexical side with a BRUTE-FORCE semantic side (`bruteSem`) and
+    * measure the fused-list overlap the derived-probe candidate stage
+    * costs, at every scale decade. See the q150 QueryDef scaladoc for
+    * the full design.
+    */
+  private[graft] def hybridRrfTop(s: SparkSession, d: String,
+      bruteSem: Boolean = false): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, d)
+    val (tf, dl) = bm25DocTf(docs)
+    val stats = dl.agg(count(lit(1)).as("n"),
+      (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    // Per-query-doc rarest terms: df asc, word asc, top RrfQTerms.
+    // Floor at df >= 2 — a df=1 term's only occurrence is the query
+    // document itself, which the scorer excludes (doc_id <> qid), so
+    // it contributes nothing and can silently empty the lexical list.
+    val byQdf = Window.partitionBy("qid").orderBy(col("df").asc, col("word").asc)
+    val qt = dfreq.join(
+        broadcast(tf.filter(col("doc_id").isin(KnnQueryIds: _*))
+          .select(col("doc_id").as("qid"), col("word"))), Seq("word"))
+      .filter(col("df") >= 2)
+      .withColumn("trk", row_number().over(byQdf))
+      .filter(col("trk") <= RrfQTerms)
+      .select("qid", "word", "df")
+    val byLex = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val lex = tf.join(broadcast(qt), Seq("word"))
+      .filter(col("doc_id") =!= col("qid"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"),
+        (log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .cast("decimal(30,18)").as("c"))
+      .groupBy("qid", "doc_id")
+      .agg(round(sum("c").cast("double"), 6).as("score"))
+      .withColumn("lrnk", row_number().over(byLex))
+      .filter(col("lrnk") <= RrfDepth)
+      .select("qid", "doc_id", "lrnk")
+    val e = embNorms(s, d)
+    val scand =
+      if (bruteSem)
+        // Audit arm: every (query, vector) pair — the exact semantic
+        // ranking the probed candidate stage approximates.
+        e.select("vec_id").crossJoin(
+            broadcast(e.filter(col("vec_id").isin(KnnQueryIds: _*))
+              .select(col("vec_id").as("qid"))))
+          .filter(col("vec_id") =!= col("qid"))
+          .select("qid", "vec_id")
+      else {
+        val assign = ivfAssign(s, d)
+        assign.filter(col("arnk") === 1)
+          .select(col("vec_id"), col("cid"))
+          .join(assign
+            .filter(col("vec_id").isin(KnnQueryIds: _*) &&
+              col("arnk") <= col("probes"))
+            .select(col("vec_id").as("qid"), col("cid")), Seq("cid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select("qid", "vec_id")
+      }
+    val qv = e.filter(col("vec_id").isin(KnnQueryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val bySem = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val sem = scand
+      .join(e.select("vec_id", "embedding", "nrm"), Seq("vec_id"))
+      .join(broadcast(qv), Seq("qid"))
+      .withColumn("cos",
+        VectorOps.dotDecimal(col("embedding"), col("qe")) /
+          (col("nrm") * col("qn")))
+      .withColumn("srnk", row_number().over(bySem))
+      .filter(col("srnk") <= RrfDepth)
+      .select(col("qid"), col("vec_id").as("doc_id"), col("srnk"))
+    val byRrf = Window.partitionBy("qid")
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    lex.join(sem, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(RrfC) + col("lrnk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfC) + col("srnk")), lit(0.0)), 6))
+      .withColumn("rnk", row_number().over(byRrf))
+      .filter(col("rnk") <= RrfDepth)
+      .select(col("qid"), col("rnk"), col("doc_id"), col("rrf"),
+        col("lrnk"), col("srnk"))
+  }
 
   // ---- q151 temperature-mix builders (shared with StreamingSelect) ------
 
@@ -1957,41 +2383,7 @@ object PipelineQueries {
       // hub-capped ([[SimHubCap]]) and verified by Hamming distance
       // (bit_count of xor).
       "q42_simhash",
-      (s, d) => {
-        val sig = simhashSigs(s, d)
-        // g derives from the corpus count IN-PLAN (the ivfCentroids
-        // broadcast-params idiom — no driver action); the C(6,g) group
-        // tables explode from ONE literal combo array filtered to the
-        // selected g, so the explode fan-out is exactly the selected
-        // scheme's table count.
-        val params = docsWithDups(s, d).agg(count(lit(1)).as("n")).select(
-          when(col("n") <= lit(1L << 10), 1)
-            .when(col("n") <= lit(1L << 20), 2).otherwise(3).as("g"))
-        val comboArr = array(simhashCombos.map { case (g, tbl, comb) =>
-          struct(lit(g).as("gg"), lit(tbl).as("tbl"),
-            comb.foldLeft(lit(0L)) { (acc, c) =>
-              acc * 1024L + pmod(shiftrightunsigned(col("sig"), c * 10), lit(1024L))
-            }.as("k"))
-        }: _*)
-        val keys = sig.crossJoin(broadcast(params))
-          .select(col("doc_id"), col("sig"),
-            explode(filter(comboArr, cc => cc.getField("gg") === col("g"))).as("ck"))
-          .select(col("doc_id"), col("sig"),
-            col("ck.tbl").as("tbl"), col("ck.k").as("k"))
-        // Hub cap (q134's idiom): a bucket shared by > SimHubCap docs is
-        // boilerplate mass — drop it before the quadratic-in-occupancy
-        // self-join. (doc, tbl) pairs are unique, so COUNT(*) = doc count.
-        val ok = keys.groupBy("tbl", "k").agg(count(lit(1)).as("nd"))
-          .filter(col("nd") <= SimHubCap).select("tbl", "k")
-        val kk = keys.join(ok, Seq("tbl", "k"))
-        kk.as("a").join(kk.as("b"),
-            col("a.tbl") === col("b.tbl") && col("a.k") === col("b.k") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int").as("hamming"))
-          .distinct()
-          .filter(col("hamming") <= 3)
-      },
+      (s, d) => hamming3Pairs(simhashSigs(s, d)),
       Some {
         val bitSums = (0 until 60).map { j =>
           val (src, sh) = if (j < 48) ("h1", j) else ("h2", j - 48)
@@ -2000,13 +2392,6 @@ object PipelineQueries {
         val pack = (0 until 60)
           .map(j => s"CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
           .mkString(" + ")
-        // The combo VALUES rows render from the SAME simhashCombos list
-        // the Spark side explodes, so the schemes cannot drift.
-        val comboValues = simhashCombos.map { case (g, tbl, comb) =>
-          val cs = comb.padTo(3, 0)
-          s"($g, $tbl, ${cs(0)}, ${cs(1)}, ${cs(2)})"
-        }.mkString(",\n    ")
-        def chv(c: String) = s"((s.sig >> ($c * 10)) & 1023)"
         s"""WITH $docs2Cte,
            |h AS (
            |  SELECT doc_id, ${TextOps.md5Fold48Sql("mh", 1)} AS h1,
@@ -2019,26 +2404,8 @@ object PipelineQueries {
            |         $bitSums
            |  FROM h GROUP BY doc_id),
            |sig AS (SELECT doc_id, $pack AS sig FROM bits),
-           |gsel AS (
-           |  SELECT CASE WHEN COUNT(*) <= ${1L << 10} THEN 1
-           |              WHEN COUNT(*) <= ${1L << 20} THEN 2 ELSE 3 END AS g
-           |  FROM docs2),
-           |combos(gg, tbl, c1, c2, c3) AS (
-           |  SELECT * FROM (VALUES
-           |    $comboValues) v),
-           |keys AS (
-           |  SELECT s.doc_id, s.sig, m.tbl,
-           |         CASE WHEN m.gg = 1 THEN ${chv("m.c1")}
-           |              WHEN m.gg = 2 THEN ${chv("m.c1")} * 1024 + ${chv("m.c2")}
-           |              ELSE (${chv("m.c1")} * 1024 + ${chv("m.c2")}) * 1024 + ${chv("m.c3")}
-           |         END AS k
-           |  FROM sig s, combos m, gsel WHERE m.gg = gsel.g),
-           |hub AS (SELECT tbl, k FROM keys GROUP BY tbl, k HAVING COUNT(*) <= $SimHubCap),
-           |kk AS (SELECT ky.doc_id, ky.sig, ky.tbl, ky.k FROM keys ky JOIN hub USING (tbl, k))
-           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
-           |FROM kk a JOIN kk b ON a.tbl = b.tbl AND a.k = b.k AND a.doc_id < b.doc_id
-           |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin
+           |${hamming3PairsSql("sig")}
+           |$hamming3SelectSql""".stripMargin
       }
     ),
     QueryDef(
@@ -2344,8 +2711,8 @@ object PipelineQueries {
     ),
     QueryDef(
       // Embedding near-dup pairs as BUCKETED candidates -> exact verify:
-      // candidate generation assigns every vector to its probe-2 IVF
-      // cells (the q68 index over the same 16 fixed centroids) and
+      // candidate generation assigns every vector to its derived-probe
+      // IVF cells (the q68 index geometry) and
       // equi-joins on (label, cell) over ids only, then survivors re-join
       // their embeddings by id and pay TWO-PHASE scoring — the codegen'd
       // plain-double dot prefilters at a 1e-6-slack threshold (strictly
@@ -2353,9 +2720,9 @@ object PipelineQueries {
       // and only near-threshold survivors pay the decimal-boxed exact dot
       // the cross-engine hash requires. The previous label-only self-join
       // was quadratic within a label block (the inventory's one 100 TB
-      // scale-killer); probe-2 cells keep candidates ~linear when the
+      // scale-killer); probed cells keep candidates ~linear when the
       // centroid count is trained to track corpus size (VectorOps.kmeans
-      // is that trainer), and measured probe-2 coverage of the >=0.9 pair
+      // is that trainer), and measured probe coverage of the >=0.9 pair
       // set is 100% at every test scale factor (hyperplane banding was
       // tried first and structurally misses single-coordinate
       // perturbations: a cos-0.92 planted pair agreed on only 184/256
@@ -3013,7 +3380,7 @@ object PipelineQueries {
       }
     ),
     QueryDef(
-      // ANN quality eval: recall@5 of the IVF probe-2 search (q68)
+      // ANN quality eval: recall@5 of the IVF derived-probe search (q68)
       // against the exact brute-force truth (q44), per query point. The
       // "measure, don't guess" loop for approximate search: before
       // swapping brute force for IVF at 100 TB, this query prices the
@@ -3476,7 +3843,7 @@ object PipelineQueries {
     ),
     QueryDef(
       // Int8 scalar-quantized ANN with full-precision rerank (the FAISS
-      // SQ8 shape): candidates come from the SAME probe-2 IVF index as
+      // SQ8 shape): candidates come from the SAME derived-probe IVF index as
       // q68, but the candidate stage ranks by the exact INTEGER dot of
       // int8Quant codes — 1 byte/component instead of 4, integer MACs
       // instead of decimal — and only the top-8 shortlist per query pays
@@ -3494,7 +3861,8 @@ object PipelineQueries {
           .select(col("vec_id"), col("cid"),
             int8Quant(col("embedding"), col("nrm")).as("qv"))
         val qprobe = assign
-          .filter(col("vec_id").isin(KnnQueryIds: _*) && col("arnk") <= 2)
+          .filter(col("vec_id").isin(KnnQueryIds: _*) &&
+            col("arnk") <= col("probes"))
           .select(col("vec_id").as("qid"), col("cid"),
             int8Quant(col("embedding"), col("nrm")).as("qq"))
         val byIdot = Window.partitionBy("qid")
@@ -3534,7 +3902,7 @@ object PipelineQueries {
               |         CAST(SUM(x.qv[i] * y.qv[i]) AS BIGINT) AS idot
               |  FROM assign d
               |  JOIN quant x ON x.vec_id = d.vec_id
-              |  JOIN assign p ON p.cid = d.cid AND p.arnk <= 2
+              |  JOIN assign p ON p.cid = d.cid AND p.arnk <= $retrievalProbesSql
               |       AND p.vec_id IN (${KnnQueryIds.mkString(", ")})
               |       AND p.vec_id <> d.vec_id
               |  JOIN quant y ON y.vec_id = p.vec_id,
@@ -3583,7 +3951,8 @@ object PipelineQueries {
           .select(col("vec_id"), col("cid"), col("label"),
             col("embedding"), col("nrm"))
         val qprobe = assign
-          .filter(col("vec_id").isin(KnnQueryIds: _*) && col("arnk") <= 2)
+          .filter(col("vec_id").isin(KnnQueryIds: _*) &&
+            col("arnk") <= col("probes"))
           .select(col("vec_id").as("qid"), col("cid"), col("label"),
             col("embedding").as("qe"), col("nrm").as("qn"))
         val byQ = Window.partitionBy("qid")
@@ -3610,7 +3979,7 @@ object PipelineQueries {
               |         ${VectorOps.dotDecimalSql("v.embedding", "q.embedding")} AS dot
               |  FROM assign d
               |  JOIN nrms v ON v.vec_id = d.vec_id
-              |  JOIN assign p ON p.cid = d.cid AND p.arnk <= 2
+              |  JOIN assign p ON p.cid = d.cid AND p.arnk <= $retrievalProbesSql
               |       AND p.vec_id IN (${KnnQueryIds.mkString(", ")})
               |       AND p.vec_id <> d.vec_id
               |  JOIN nrms q ON q.vec_id = p.vec_id AND q.label = v.label,
@@ -4370,9 +4739,11 @@ object PipelineQueries {
       // instead of Dim floats. Queries precompute an ADC lookup table
       // (query-subvector · codeword dots — PqM·PqK entries per query,
       // broadcast), candidate scoring is PqM table lookups summed
-      // (decimal — order-free), and only the top-8 ADC shortlist pays
-      // the full-precision rerank that orders the final top-5.
-      // Candidates come from the SAME probe-2 IVF cells as q68/q131, so
+      // (decimal — order-free), and only the ADC shortlist — sized
+      // PqShortPerProbe × the derived probe count, a stable fraction of
+      // the candidate volume at every decade — pays the full-precision
+      // rerank that orders the final top-5.
+      // Candidates come from the SAME derived-probe IVF cells as q68/q131, so
       // generation stays bucketed; `acos` (the ADC estimate of cosine)
       // rides along so quantization error is observable — for vectors
       // that ARE codebook sources the reconstruction is exact and
@@ -4395,7 +4766,7 @@ object PipelineQueries {
       // appears in. Scale shape: both sides are the already-proven
       // PRODUCTION retrieval plans — the lexical side is q147's postings
       // equi-join on broadcast query terms, the semantic side searches
-      // the q68 probe-2 IVF cells (the q131 candidate stage — NOT the
+      // the q68 derived-probe IVF cells (the q131 candidate stage — NOT the
       // q44 brute-force crossJoin, which is the baseline only) with the
       // exact decimal rerank ordering the top-10 — and the fusion is a
       // full-outer join of two O(queries·depth) frames, trivially
@@ -4403,71 +4774,7 @@ object PipelineQueries {
       // accumulate in decimal (3-term sums are NOT reorder-free in
       // doubles; the 2-term q147 was).
       "q150_hybrid_rrf",
-      (s, d) => {
-        graft.functions.GraftFunctions.register(s)
-        val docs = Tables.documents(s, d)
-        val (tf, dl) = bm25DocTf(docs)
-        val stats = dl.agg(count(lit(1)).as("n"),
-          (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
-        val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
-        // Per-query-doc rarest terms: df asc, word asc, top RrfQTerms.
-        val byQdf = Window.partitionBy("qid").orderBy(col("df").asc, col("word").asc)
-        val qt = dfreq.join(
-            broadcast(tf.filter(col("doc_id").isin(KnnQueryIds: _*))
-              .select(col("doc_id").as("qid"), col("word"))), Seq("word"))
-          .withColumn("trk", row_number().over(byQdf))
-          .filter(col("trk") <= RrfQTerms)
-          .select("qid", "word", "df")
-        val byLex = Window.partitionBy("qid")
-          .orderBy(col("score").desc, col("doc_id").asc)
-        val lex = tf.join(broadcast(qt), Seq("word"))
-          .filter(col("doc_id") =!= col("qid"))
-          .join(dl, Seq("doc_id"))
-          .crossJoin(broadcast(stats))
-          .select(col("qid"), col("doc_id"),
-            (log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
-              (col("tf") * 2.2) /
-              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-              .cast("decimal(30,18)").as("c"))
-          .groupBy("qid", "doc_id")
-          .agg(round(sum("c").cast("double"), 6).as("score"))
-          .withColumn("lrnk", row_number().over(byLex))
-          .filter(col("lrnk") <= RrfDepth)
-          .select("qid", "doc_id", "lrnk")
-        val e = embNorms(s, d)
-        val assign = ivfAssign(s, d)
-        val scand = assign.filter(col("arnk") === 1)
-          .select(col("vec_id"), col("cid"))
-          .join(assign
-            .filter(col("vec_id").isin(KnnQueryIds: _*) && col("arnk") <= 2)
-            .select(col("vec_id").as("qid"), col("cid")), Seq("cid"))
-          .filter(col("vec_id") =!= col("qid"))
-          .select("qid", "vec_id")
-        val qv = e.filter(col("vec_id").isin(KnnQueryIds: _*))
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-            col("nrm").as("qn"))
-        val bySem = Window.partitionBy("qid")
-          .orderBy(col("cos").desc, col("vec_id").asc)
-        val sem = scand
-          .join(e.select("vec_id", "embedding", "nrm"), Seq("vec_id"))
-          .join(broadcast(qv), Seq("qid"))
-          .withColumn("cos",
-            VectorOps.dotDecimal(col("embedding"), col("qe")) /
-              (col("nrm") * col("qn")))
-          .withColumn("srnk", row_number().over(bySem))
-          .filter(col("srnk") <= RrfDepth)
-          .select(col("qid"), col("vec_id").as("doc_id"), col("srnk"))
-        val byRrf = Window.partitionBy("qid")
-          .orderBy(col("rrf").desc, col("doc_id").asc)
-        lex.join(sem, Seq("qid", "doc_id"), "full_outer")
-          .withColumn("rrf", round(
-            coalesce(lit(1.0) / (lit(RrfC) + col("lrnk")), lit(0.0)) +
-              coalesce(lit(1.0) / (lit(RrfC) + col("srnk")), lit(0.0)), 6))
-          .withColumn("rnk", row_number().over(byRrf))
-          .filter(col("rnk") <= RrfDepth)
-          .select(col("qid"), col("rnk"), col("doc_id"), col("rrf"),
-            col("lrnk"), col("srnk"))
-      },
+      (s, d) => hybridRrfTop(s, d),
       Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
               |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w),
               |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -4482,7 +4789,8 @@ object PipelineQueries {
               |         ROW_NUMBER() OVER (PARTITION BY t.doc_id
               |             ORDER BY d.df ASC, t.word ASC) AS trk
               |  FROM tf t JOIN dfreq d USING (word)
-              |  WHERE t.doc_id IN (${KnnQueryIds.mkString(", ")})) r
+              |  WHERE t.doc_id IN (${KnnQueryIds.mkString(", ")})
+              |    AND d.df >= 2) r
               |  WHERE trk <= $RrfQTerms),
               |lexs AS (
               |  SELECT qt.qid, tf.doc_id,
@@ -4504,7 +4812,7 @@ object PipelineQueries {
               |scand AS (
               |  SELECT p.vec_id AS qid, d.vec_id
               |  FROM assign d
-              |  JOIN assign p ON p.cid = d.cid AND p.arnk <= 2
+              |  JOIN assign p ON p.cid = d.cid AND p.arnk <= $retrievalProbesSql
               |       AND p.vec_id IN (${KnnQueryIds.mkString(", ")})
               |       AND p.vec_id <> d.vec_id
               |  WHERE d.arnk = 1),
@@ -4595,7 +4903,7 @@ object PipelineQueries {
       // PQ-ADC recall eval (q89's shape for the q149 index): recall@5 of
       // the IVF-PQ pipeline against the exact brute-force truth, per
       // query. The eval isolates the COMPOUND loss of the three
-      // approximations stacked in q149 — probe-2 cell candidates, ADC
+      // approximations stacked in q149 — derived-probe cell candidates, ADC
       // shortlist, full-precision rerank — the number a deployment
       // watches when trading codebook width against recall. Same scale
       // shape as q89: both sides are O(queries·k) frames.
@@ -4642,11 +4950,17 @@ object PipelineQueries {
             zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
               (a, b) => a === b),
             x => x)))
+        // Stopword hits against each doc's OWN language list — scoring
+        // every doc against the English list zeroes stop_ratio for
+        // non-en docs and the r_stop GATE would hard-drop them
+        // regardless of quality (q47's lang-blind idiom only
+        // soft-scores; a gate cannot afford it).
         val m = docs
-          .select(col("doc_id"), col("text"), TextOps.words(col("text")).as("w"))
+          .select(col("doc_id"), col("text"), col("lang"),
+            TextOps.words(col("text")).as("w"))
           .select(col("doc_id"), size(w).as("nw"),
             adjacentDups.as("nadj"),
-            TextOps.stopwordHits(col("text"), TextOps.stopwords.head._2).as("nstop"),
+            TextOps.stopwordHitsByLang(col("text"), col("lang")).as("nstop"),
             length(col("text")).as("nchars"))
           .join(topw, Seq("doc_id"))
         m.select(col("doc_id"), col("nw").as("n_words"),
@@ -4671,9 +4985,9 @@ object PipelineQueries {
               col("r_top") && col("r_rep"))
       },
       Some {
-        val stops = TextOps.stopwordHitsSql("text", TextOps.stopwords.head._2)
+        val stops = TextOps.stopwordHitsByLangSql("text", "lang")
         s"""WITH ws AS (
-           |  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+           |  SELECT doc_id, text, lang, string_split(text, ' ') AS w FROM documents),
            |topw AS (
            |  SELECT doc_id, MAX(c) AS maxc FROM (
            |    SELECT doc_id, word, COUNT(*) AS c
@@ -4773,6 +5087,30 @@ object PipelineQueries {
               |JOIN jb ON jb.word = t.word
               |JOIN sketch s ON s.j = jb.j AND s.bucket = jb.bucket
               |GROUP BY t.word, t.exact""".stripMargin)
+    ),
+    QueryDef(
+      // Perceptual image dedup — dHash over DECODED pixels (the
+      // multimodal family's near-dup op, the image twin of q42): every
+      // payload decodes through the real PPM codec, resamples to an
+      // 11×6 grid and hashes horizontal gray gradients
+      // ([[imageDhashSigs]]); identical-hash images collapse into
+      // exact-dup classes (star edges to the min-id representative) and
+      // near-dup candidates ride q42's corpus-derived chunk-group
+      // scheme over DISTINCT signatures ([[hammingClassPairs]] — 60-bit
+      // signatures share the 6×10-bit chunk geometry), hub-capped and
+      // verified by exact Hamming distance. Scale shape: decode is one
+      // batched map pass (the mapPartitions the codec boundary
+      // sanctions), signatures are two longs per image, the banding is
+      // linear in DISTINCT signatures (popular degenerate images — a
+      // single-pixel payload hashes to sig 0 — cannot flood buckets or
+      // blow the output quadratic), and ScaleBench asserts every
+      // planted hamming<=3 pair is connected through its stars and
+      // rep-rep edge (pigeonhole, not probabilistic).
+      "q155_image_dhash",
+      (s, d) => hammingClassPairs(imageDhashSigs(s, d)),
+      Some(s"""WITH $imageDhashSigCtes,
+              |${hammingClassPairsSql("dsig")}
+              |SELECT * FROM stars UNION ALL SELECT * FROM rpairs""".stripMargin)
     )
   )
 }

@@ -129,6 +129,82 @@ class PipelineQueriesSpec extends SparkTestBase {
     sig.unpersist()
   }
 
+  test("q155 image dHash: star+rep edges induce the exact hamming<=3 components") {
+    // q155 compresses the hamming<=3 pair relation into star edges (one
+    // per class member) + one edge per near-dup representative pair —
+    // linear output. The compression must be LOSSLESS for clustering:
+    // the connected components of q155's edge set equal those of the
+    // full all-pairs hamming<=3 graph (both computed here by driver
+    // union-find over the sf test corpus).
+    val sig = PipelineQueries.imageDhashSigs(spark, sfDir).cache()
+    val sigRows = sig.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val full = for {
+      (a, sa) <- sigRows; (b, sb) <- sigRows
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)
+    val got = byName("q155_image_dhash").query(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // Every emitted edge is a true hamming<=3 pair with its true hamming.
+    val sigMap = sigRows.toMap
+    got.foreach { case (a, b, h) =>
+      val real = java.lang.Long.bitCount(sigMap(a) ^ sigMap(b))
+      assert(real == h && h <= 3, s"edge ($a,$b,$h) real hamming $real")
+    }
+    def components(edges: Iterable[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      sigRows.foreach { case (id, _) => find(id) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      sigRows.map { case (id, _) => id -> find(id) }.toMap
+    }
+    val cFull = components(full)
+    val cGot = components(got.map(e => (e._1, e._2)))
+    assert(cFull == cGot, "q155's compressed edges changed the hamming<=3 components")
+    // Exact copies (doc_id%7, +200000) share a signature, so each must sit
+    // in its base's component.
+    val docIds = Tables.documents(spark, sfDir).select("doc_id")
+      .collect().map(_.getLong(0))
+    docIds.filter(_ % 7 == 0).foreach { id =>
+      assert(cGot(id) == cGot(id + 200000L), s"exact image copy $id disconnected")
+    }
+    sig.unpersist()
+  }
+
+  test("q155 dHash is invariant under uniform brightness shift, sensitive to the artifact") {
+    import graft.operators.Multimodal
+    // gray = r+g+b compares ADJACENT grid cells, so adding a constant to
+    // every pixel byte (no wraparound) leaves every comparison — and the
+    // hash — unchanged: the perceptual property byte hashing lacks.
+    def dhash(content: Array[Byte]): Long = {
+      val img = Multimodal.resizePpm(Multimodal.decodePpm(content), 11, 6)
+      def gray(x: Int, y: Int): Int = {
+        val i = (y * 11 + x) * 3
+        (img.pixels(i) & 0xff) + (img.pixels(i + 1) & 0xff) + (img.pixels(i + 2) & 0xff)
+      }
+      var sig = 0L
+      for (y <- 0 until 6; x <- 0 until 10)
+        if (gray(x, y) > gray(x + 1, y)) sig |= 1L << (y * 10 + x)
+      sig
+    }
+    val seed = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+    val base = Multimodal.encodePpm(12, 9, seed)
+    val brighter = Multimodal.encodePpm(12, 9, seed.map(b => (b + 40).toByte))
+    assert(dhash(base) == dhash(brighter), "uniform brightness shift changed the dHash")
+    // The corner artifact moves only the bits whose grid cells sample the
+    // patched pixels — a near-dup, not a distinct image.
+    val px = Multimodal.decodePpm(base).pixels
+    (0 until 9).foreach(i => px(i) = 255.toByte)
+    val artifact = Multimodal.encodePpm(12, 9, px)
+    val d = java.lang.Long.bitCount(dhash(base) ^ dhash(artifact))
+    assert(d <= 6, s"corner artifact moved $d bits — not a near-dup signature")
+  }
+
   test("bpe training releases superseded checkpoints: <= 2 live, none after") {
     import graft.operators.Bpe
     // Synthetic wide-vocabulary corpus (3000 distinct ~8-char words): the
