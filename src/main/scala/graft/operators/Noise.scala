@@ -278,4 +278,60 @@ object Noise {
 
   def omitRowsSql(key: String, rowProbability: Double, seed: Int): String =
     s"NOT (${gateSql(key, rowProbability, seed)})"
+
+  // ---- config-driven surface ----------------------------------------------
+
+  /** One configured noise operation — the reference's notebook 01 drives
+    * pseudopeople from a noise CONFIG (which noise types at which rates
+    * per column); this makes that configuration surface DATA rather than
+    * a hard-wired call chain. Every case maps 1:1 to an operator above,
+    * so a config is exactly as expressive as hand-chaining and
+    * [[applyConfig]] folding entry i is definitionally identical to
+    * calling operator i — a query that switches from the chain to the
+    * equivalent config cannot change its output (q77's oracle hash pins
+    * this for the default config).
+    */
+  sealed trait NoiseOp
+  final case class MakeTypos(column: String, cellProbability: Double,
+      tokenProbability: Double, seed: Int) extends NoiseOp
+  final case class WrongDigits(column: String, cellProbability: Double,
+      tokenProbability: Double, seed: Int) extends NoiseOp
+  final case class SwapCols(c1: String, c2: String, rowProbability: Double,
+      seed: Int) extends NoiseOp
+  final case class PerturbIntOp(column: String, cellProbability: Double,
+      deltas: Seq[Int], seed: Int) extends NoiseOp
+  final case class Blank(column: String, cellProbability: Double,
+      seed: Int) extends NoiseOp
+  final case class WrongOption(column: String, domain: Seq[String],
+      cellProbability: Double, seed: Int) extends NoiseOp
+  final case class Truncate(column: String, cellProbability: Double,
+      len: Int, seed: Int) extends NoiseOp
+  final case class ShuffleCols(cols: Seq[String], rowProbability: Double,
+      seed: Int) extends NoiseOp
+  final case class SplitCols(cols: Seq[String], rowProbability: Double,
+      seed: Int) extends NoiseOp
+  final case class OmitRows(rowProbability: Double, seed: Int) extends NoiseOp
+
+  /** Interpret a noise config over a frame: fold the entries in order,
+    * each dispatching to its operator. Entries compose the way the
+    * operators compose (each is one simultaneous codegen'd projection or
+    * a filter), so an N-entry config is N stacked projections — the
+    * optimizer collapses adjacent projections, leaving one scan at any
+    * config size.
+    */
+  def applyConfig(df: DataFrame, key: String, ops: Seq[NoiseOp]): DataFrame =
+    ops.foldLeft(df) { (d, op) =>
+      op match {
+        case MakeTypos(c, cp, tp, s)    => makeTypos(d, c, key, cp, tp, s)
+        case WrongDigits(c, cp, tp, s)  => writeWrongDigits(d, c, key, cp, tp, s)
+        case SwapCols(c1, c2, rp, s)    => swapColumns(d, c1, c2, key, rp, s)
+        case PerturbIntOp(c, cp, ds, s) => perturbInt(d, c, key, cp, ds, s)
+        case Blank(c, cp, s)            => leaveBlank(d, c, key, cp, s)
+        case WrongOption(c, dom, cp, s) => chooseWrongOption(d, c, key, dom, cp, s)
+        case Truncate(c, cp, l, s)      => truncateColumn(d, c, key, cp, l, s)
+        case ShuffleCols(cs, rp, s)     => shuffleColumns(d, cs, key, rp, s)
+        case SplitCols(cs, rp, s)       => splitColumnsIncorrectly(d, cs, key, rp, s)
+        case OmitRows(rp, s)            => omitRows(d, key, rp, s)
+      }
+    }
 }

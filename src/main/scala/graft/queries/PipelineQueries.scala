@@ -78,6 +78,98 @@ object PipelineQueries {
     for { g <- 1 to 3; comb <- (0 until 6).combinations(g).toSeq }
       yield (g, Seq(0, 100, 1000)(g - 1) + comb.foldLeft(0)(_ * 6 + _), comb)
 
+  /** Signature-scheme selector — the DOCUMENTED GROWTH PATH past the
+    * 60-bit scheme's capacity bound. The derived-g rule needs
+    * 2^(chunkBits·g) ≥ n with g ≤ 3 (pigeonhole: 6 chunks, hamming ≤ 3
+    * corrupts at most 3); at 10-bit chunks that caps at n = 2^30.
+    * Past it the scheme widens the CHUNKS, not g (Manku et al. 2007's
+    * move: bigger blocks as the corpus grows, same block-combination
+    * table geometry): a 120-bit signature in 6 chunks of 20 bits keeps
+    * the identical C(6,g) tables and pigeonhole guarantee while the
+    * derived-g capacity extends to 2^60 rows. Selection is pure
+    * integer arithmetic on the corpus count — spec-pinned at synthetic
+    * counts (PipelineQueriesSpec).
+    */
+  final case class SimScheme(sigBits: Int, chunkBits: Int, g: Int, tables: Int)
+
+  def simhashSchemeFor(n: Long): SimScheme = {
+    val chunkBits = if (n <= (1L << 30)) 10 else 20
+    val g = (1 to 3).find(g => BigInt(2).pow(chunkBits * g) >= BigInt(n))
+      .getOrElse(3)
+    SimScheme(6 * chunkBits, chunkBits, g, Seq(6, 15, 20)(g - 1))
+  }
+
+  /** 120-bit SimHash signatures (doc_id, sig_hi, sig_lo) — the widened
+    * variant [[simhashSchemeFor]] selects past n = 2^30. Each word
+    * contributes three md5 folds (hex 1-12, 13-24, and a second md5 at
+    * salt ':w2' for the high 24+48 bits); each 60-bit half packs three
+    * 20-bit chunks, so both packed longs stay positive (the cross-engine
+    * `%`/`>>`/`&` agreement the 60-bit scheme relies on).
+    */
+  private[graft] def simhashSigsWide(s: SparkSession, d: String): DataFrame = {
+    val h = fanOut(docsWithDups(s, d))
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
+      .select(col("doc_id"), md5(col("word")).as("mh"),
+        md5(concat(col("word"), lit(":w2"))).as("mh2"))
+      .select(col("doc_id"),
+        TextOps.md5Fold48(col("mh"), 1).as("h1"),
+        TextOps.md5Fold48(col("mh"), 13).as("h2"),
+        TextOps.md5Fold48(col("mh2"), 1).as("h3"))
+    val bitAggs = (0 until 120).map { j =>
+      val (src, sh) =
+        if (j < 48) (col("h1"), j)
+        else if (j < 96) (col("h2"), j - 48)
+        else (col("h3"), j - 96)
+      sum(when(pmod(shiftrightunsigned(src, sh), lit(2L)) === 1L, 1L).otherwise(-1L))
+        .as(s"b$j")
+    }
+    def pack(lo: Int): Column =
+      (0 until 60).map(j =>
+        when(col(s"b${lo + j}") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ bitwiseOR _)
+    h.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"), pack(60).as("sig_hi"), pack(0).as("sig_lo"))
+      .localCheckpoint()
+  }
+
+  /** [[hamming3Pairs]] for the widened 120-bit/20-bit-chunk scheme: the
+    * SAME [[simhashCombos]] subset tables (6 chunks, derived g), chunk c
+    * read from the packed half that holds it, keys folded at 2^20 per
+    * chunk (g = 3 keys are 60 bits — still positive), verified by the
+    * two-word Hamming distance. The g selector reads the corpus count
+    * against the widened capacity (2^(20g)).
+    */
+  private[graft] def hamming3PairsWide(sig: DataFrame): DataFrame = {
+    def chunk(c: Int): Column = {
+      val (src, off) = if (c < 3) (col("sig_lo"), c * 20) else (col("sig_hi"), (c - 3) * 20)
+      pmod(shiftrightunsigned(src, off), lit(1L << 20))
+    }
+    val params = sig.agg(count(lit(1)).as("n")).select(
+      when(col("n") <= lit(1L << 20), 1)
+        .when(col("n") <= lit(1L << 40), 2).otherwise(3).as("g"))
+    val comboArr = array(simhashCombos.map { case (g, tbl, comb) =>
+      struct(lit(g).as("gg"), lit(tbl).as("tbl"),
+        comb.foldLeft(lit(0L)) { (acc, c) => acc * (1L << 20) + chunk(c) }.as("k"))
+    }: _*)
+    val keys = sig.crossJoin(broadcast(params))
+      .select(col("doc_id"), col("sig_hi"), col("sig_lo"),
+        explode(filter(comboArr, cc => cc.getField("gg") === col("g"))).as("ck"))
+      .select(col("doc_id"), col("sig_hi"), col("sig_lo"),
+        col("ck.tbl").as("tbl"), col("ck.k").as("k"))
+    val ok = keys.groupBy("tbl", "k").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") <= SimHubCap).select("tbl", "k")
+    val kk = keys.join(ok, Seq("tbl", "k"))
+    kk.as("a").join(kk.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.k") === col("b.k") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (bit_count(col("a.sig_hi").bitwiseXOR(col("b.sig_hi"))) +
+          bit_count(col("a.sig_lo").bitwiseXOR(col("b.sig_lo")))).cast("int")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
   /** Bucket-occupancy cap for SimHash candidate buckets — q134's
     * WinnowHubCap rationale: a bucket shared by more docs than this is
     * template/boilerplate mass whose pairs grow quadratically in hub

@@ -32,6 +32,24 @@ import org.apache.spark.sql.functions._
 object RefFileQueries {
 
   private val nameCols = Seq("first_name", "middle_initial", "last_name")
+
+  /** The reference's very_noisy pseudopeople settings (notebook 01 cell
+    * 16) as a noise CONFIG — the configuration surface notebook 01 feeds
+    * pseudopeople, as data a caller can replace wholesale (q77 interprets
+    * this default; NoiseSpec runs an alternate).
+    */
+  val veryNoisyConfig: Seq[Noise.NoiseOp] = Seq(
+    Noise.MakeTypos("first_name", 0.10, 0.10, 11),
+    Noise.MakeTypos("last_name", 0.10, 0.10, 13),
+    Noise.MakeTypos("middle_initial", 0.05, 1.0, 15),
+    Noise.WrongDigits("street_num", 0.10, 0.10, 17),
+    Noise.WrongDigits("zipcode", 0.10, 0.10, 19),
+    Noise.SwapCols("dob_day", "dob_month", 0.02, 21),
+    Noise.PerturbIntOp("dob_year", 0.01, Seq(-3, -2, -1, 1, 2, 3), 23),
+    Noise.Blank("middle_initial", 0.02, 25),
+    Noise.WrongOption("state", People.states, 0.03, 27),
+    Noise.OmitRows(0.01, 29))
+
   private val addrCols = Seq("street_num", "street_std", "city", "state", "zipcode")
   private val taxYears = Seq(2025, 2026, 2027, 2028, 2029)
 
@@ -676,17 +694,12 @@ object RefFileQueries {
         val base = People.persons(s, d).select("k", "first_name", "last_name",
           "middle_initial", "street_num", "zipcode", "state",
           "dob_day", "dob_month", "dob_year")
-        val t1 = Noise.makeTypos(base, "first_name", "k", 0.10, 0.10, 11)
-        val t2 = Noise.makeTypos(t1, "last_name", "k", 0.10, 0.10, 13)
-        val t3 = Noise.makeTypos(t2, "middle_initial", "k", 0.05, 1.0, 15)
-        val t4 = Noise.writeWrongDigits(t3, "street_num", "k", 0.10, 0.10, 17)
-        val t5 = Noise.writeWrongDigits(t4, "zipcode", "k", 0.10, 0.10, 19)
-        val t6 = Noise.swapColumns(t5, "dob_day", "dob_month", "k", 0.02, 21)
-        val t7 = Noise.perturbInt(t6, "dob_year", "k", 0.01,
-          Seq(-3, -2, -1, 1, 2, 3), 23)
-        val t8 = Noise.leaveBlank(t7, "middle_initial", "k", 0.02, 25)
-        val t9 = Noise.chooseWrongOption(t8, "state", "k", People.states, 0.03, 27)
-        Noise.omitRows(t9, "k", 0.01, 29)
+        // Interpreted from the CONFIG (notebook 01's pseudopeople shape —
+        // which noise types at which rates per column, as data);
+        // Noise.applyConfig folds the entries through the same operators
+        // the chain called, so the oracle hash is unchanged. An alternate
+        // config is just another value — NoiseSpec exercises one.
+        Noise.applyConfig(base, "k", veryNoisyConfig)
       }, {
         val sw = Noise.swapColumnsSql("dob_day", "dob_month", "k", 0.02, 21)
         Some(s"""WITH ${People.personsCte},

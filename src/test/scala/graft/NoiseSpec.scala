@@ -149,6 +149,61 @@ class NoiseSpec extends SparkTestBase {
     assert(rate > 0.05 && rate < 0.15, s"omit rate $rate far from 0.1")
   }
 
+  test("noise config: default config equals the operator chain; alternate config obeys its own entries") {
+    import graft.operators.Noise
+    import graft.queries.People
+    graft.functions.GraftFunctions.register(spark)
+    val base = People.persons(spark, sfDir).select("k", "first_name",
+      "last_name", "middle_initial", "street_num", "zipcode", "state",
+      "dob_day", "dob_month", "dob_year")
+    // Interpreting the default config is definitionally the hand-built
+    // chain — identical rows (q77's oracle hash pins this end-to-end;
+    // here the equality is checked frame-to-frame).
+    val viaConfig = Noise.applyConfig(base, "k",
+      graft.queries.RefFileQueries.veryNoisyConfig)
+    val viaChain = {
+      val t1 = Noise.makeTypos(base, "first_name", "k", 0.10, 0.10, 11)
+      val t2 = Noise.makeTypos(t1, "last_name", "k", 0.10, 0.10, 13)
+      val t3 = Noise.makeTypos(t2, "middle_initial", "k", 0.05, 1.0, 15)
+      val t4 = Noise.writeWrongDigits(t3, "street_num", "k", 0.10, 0.10, 17)
+      val t5 = Noise.writeWrongDigits(t4, "zipcode", "k", 0.10, 0.10, 19)
+      val t6 = Noise.swapColumns(t5, "dob_day", "dob_month", "k", 0.02, 21)
+      val t7 = Noise.perturbInt(t6, "dob_year", "k", 0.01,
+        Seq(-3, -2, -1, 1, 2, 3), 23)
+      val t8 = Noise.leaveBlank(t7, "middle_initial", "k", 0.02, 25)
+      val t9 = Noise.chooseWrongOption(t8, "state", "k", People.states, 0.03, 27)
+      Noise.omitRows(t9, "k", 0.01, 29)
+    }
+    assert(viaConfig.except(viaChain).count() == 0 &&
+      viaChain.except(viaConfig).count() == 0,
+      "config interpretation diverged from the hand-built chain")
+    // An ALTERNATE config is just another value: different ops, rates and
+    // seeds — untouched columns stay bit-identical to the input, touched
+    // columns obey their own entries.
+    val alt = Noise.applyConfig(base, "k", Seq(
+      Noise.Truncate("last_name", 0.5, 4, 101),
+      Noise.Blank("state", 0.10, 103)))
+    val joined = alt.as("a").join(base.as("b"), col("a.k") === col("b.k"))
+      .select(col("a.first_name").as("fn_a"), col("b.first_name").as("fn_b"),
+        col("a.last_name").as("ln_a"), col("b.last_name").as("ln_b"),
+        col("a.state").as("st_a"), col("a.dob_year").as("y_a"),
+        col("b.dob_year").as("y_b"))
+      .collect()
+    assert(joined.length == base.count(), "alternate config dropped rows (no OmitRows entry)")
+    joined.foreach { r =>
+      assert(r.getAs[String]("fn_a") == r.getAs[String]("fn_b"),
+        "alternate config touched first_name without an entry for it")
+      assert(r.getAs[Int]("y_a") == r.getAs[Int]("y_b"),
+        "alternate config touched dob_year without an entry for it")
+      val (la, lb) = (r.getAs[String]("ln_a"), r.getAs[String]("ln_b"))
+      assert(la == lb || (la.length == math.min(4, lb.length) && lb.startsWith(la)),
+        s"truncate entry violated: $lb -> $la")
+    }
+    val nBlank = joined.count(_.getAs[String]("st_a") == null)
+    assert(nBlank > 0 && nBlank < joined.length / 4,
+      s"blank-state rate implausible for cell 0.10: $nBlank/${joined.length}")
+  }
+
   test("q77 chain: dob day/month multiset kept, year within ±3, blanks near rate") {
     val persons = People.persons(spark, sfDir)
       .select("k", "dob_day", "dob_month", "dob_year", "middle_initial")

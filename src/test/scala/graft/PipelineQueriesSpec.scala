@@ -205,6 +205,48 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(d <= 6, s"corner artifact moved $d bits — not a near-dup signature")
   }
 
+  test("simhash scheme selector: widened chunks past 2^30, g derived, pigeonhole holds end-to-end") {
+    import graft.queries.PipelineQueries.{simhashSchemeFor, SimScheme}
+    // Selection pinned at synthetic counts: 10-bit chunks up to 2^30
+    // with the derived g, then 20-bit chunks with g re-derived against
+    // the widened capacity — same 6-chunk geometry and C(6,g) tables.
+    assert(simhashSchemeFor(1000L) == SimScheme(60, 10, 1, 6))
+    assert(simhashSchemeFor(1L << 10) == SimScheme(60, 10, 1, 6))
+    assert(simhashSchemeFor((1L << 10) + 1) == SimScheme(60, 10, 2, 15))
+    assert(simhashSchemeFor(1L << 20) == SimScheme(60, 10, 2, 15))
+    assert(simhashSchemeFor((1L << 20) + 1) == SimScheme(60, 10, 3, 20))
+    assert(simhashSchemeFor(1L << 30) == SimScheme(60, 10, 3, 20))
+    assert(simhashSchemeFor((1L << 30) + 1) == SimScheme(120, 20, 2, 15))
+    assert(simhashSchemeFor(1L << 40) == SimScheme(120, 20, 2, 15))
+    assert(simhashSchemeFor((1L << 40) + 1) == SimScheme(120, 20, 3, 20))
+    assert(simhashSchemeFor(1L << 59) == SimScheme(120, 20, 3, 20))
+    // The widened signature + banding machinery runs TODAY at the test
+    // SF and satisfies the same exactness the 60-bit spec pins: the
+    // candidate scheme emits exactly the hamming<=3 pairs of the
+    // all-pairs reference over the 120-bit signatures.
+    val sig = PipelineQueries.simhashSigsWide(spark, sfDir).cache()
+    val rows = sig.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (_, hi, lo) =>
+      assert(hi >= 0 && lo >= 0, "packed signature half went negative")
+    }
+    val exact = (for {
+      (a, ha, la) <- rows; (b, hb, lb) <- rows
+      if a < b &&
+        java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb) <= 3
+    } yield (a, b)).toSet
+    val got = PipelineQueries.hamming3PairsWide(sig)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exact, s"wide scheme diverged from the exact hamming<=3 set: " +
+      s"missed=${(exact -- got).take(5)} extra=${(got -- exact).take(5)}")
+    // Planted exact copies hash identically in the wide scheme too.
+    val docIds = Tables.documents(spark, sfDir).select("doc_id")
+      .collect().map(_.getLong(0))
+    docIds.filter(_ % 7 == 0).foreach { id =>
+      assert(got.contains((id, id + 200000L)), s"wide scheme missed exact copy $id")
+    }
+    sig.unpersist()
+  }
+
   test("bpe training releases superseded checkpoints: <= 2 live, none after") {
     import graft.operators.Bpe
     // Synthetic wide-vocabulary corpus (3000 distinct ~8-char words): the
