@@ -77,7 +77,10 @@ class PlanSpec extends SparkTestBase {
       // frame + ivfAssign; q151 attaches the 1-row corpus-total and
       // weight-sum frames (all broadcast).
       "q149_pq_adc", "q150_hybrid_rrf", "q151_mix_temperature",
-      "q152_pq_recall")
+      "q152_pq_recall",
+      // q155 attaches the 1-row derived-g params frame over the distinct
+      // image signatures (the q42 shape).
+      "q155_image_dhash")
     SparkEntry.queries.keys.filterNot(intendedCross).foreach { name =>
       val p = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
