@@ -1249,8 +1249,8 @@ object PipelineQueries {
        |  WHERE rnk <= 5)""".stripMargin
 
   /** q68's IVF derived-probe top-5 (qid, vec_id, rnk, cos) — the approximate
-    * side of the q89 recall eval. Assignment is a broadcast-16 scoring
-    * pass; search is a bucket equi-join.
+    * side of the q89 recall eval. Assignment is a broadcast-centroid
+    * scoring pass (corpus-derived k); search is a bucket equi-join.
     */
   /** The IVF assignment frame (vec_id, embedding, nrm, cid, arnk,
     * probes): every vector scored against the broadcast corpus-derived
@@ -1266,8 +1266,9 @@ object PipelineQueries {
     * same realized value, mirrored in SQL by [[derivedProbesSql]].
     */
   // Memoized like the norm frame: q68, q89 and q110 all need the same
-  // assignment, and the broadcast-16 decimal scoring (vectors × 16 × Dim
-  // decimal ops) is the dominant cost — pay it once per (session, dir).
+  // assignment, and the broadcast-centroid decimal scoring (vectors ×
+  // k × Dim decimal ops) is the dominant cost — pay it once per
+  // (session, dir).
   private val assignFrames =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
@@ -3236,12 +3237,13 @@ object PipelineQueries {
       }
     ),
     QueryDef(
-      // IVF-style ANN: assign every vector to its nearest of 16 fixed
-      // centroids (argmax cosine; at real scale the centroids come from
-      // k-means — here they're deterministic seed vectors so the oracle
-      // can reproduce them), then answer each query from its top-2
-      // probed buckets only. The IVF shape: assignment is a broadcast-16
-      // scoring pass (linear, map-side), search is a bucket equi-join —
+      // IVF-style ANN: assign every vector to its nearest of the
+      // corpus-derived centroids (argmax cosine; at real scale the
+      // centroids come from k-means — here they're deterministic
+      // stride-picked vectors so the oracle can reproduce them), then
+      // answer each query from its derived-probe buckets only. The IVF
+      // shape: assignment is a broadcast-centroid scoring pass (linear,
+      // map-side), search is a bucket equi-join —
       // candidates shrink by ~#centroids/probes vs brute force. All dots
       // are exact DECIMAL so bucket assignment cannot drift between
       // engines; ties break on centroid/vector id.
@@ -3256,7 +3258,7 @@ object PipelineQueries {
       // turns q68's seed centroids into trained ones, and the clustering
       // half of SemDeDup-style semantic dedup (cluster embeddings, then
       // near-dup within clusters — q51/q45 are the within-cluster half).
-      // Shape: assignment is the broadcast-16 scoring pass; the update is
+      // Shape: assignment is the broadcast-centroid scoring pass; the update is
       // ONE hash-aggregate over (cluster, component) with map-side
       // partials — at 100 TB the only shuffle carries k×Dim partial sums,
       // not vectors. Component sums go through DECIMAL so the means are
