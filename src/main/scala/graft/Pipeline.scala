@@ -50,7 +50,19 @@ object Pipeline {
             col("const_gamma"), col("weight_offset")), Seq("comparison"))
     val passReports: Seq[(String, (SparkSession, String) => DataFrame)] = {
       import graft.queries.LinkageQueries
-      (LinkageQueries.passes ++ LinkageQueries.hhPasses).map { p =>
+      val allPasses = LinkageQueries.passes ++ LinkageQueries.hhPasses
+      // The artifact list keys on pass NAME (the q76 `pass` column and
+      // the hhPasses membership test) — a future pass whose name
+      // collides across the two lists would silently merge or mislabel
+      // report artifacts. Fail the stage build instead.
+      locally {
+        val dups = allPasses.groupBy(_.name).collect {
+          case (n, ps) if ps.size > 1 => n
+        }
+        require(dups.isEmpty,
+          s"pass names must be unique across passes ++ hhPasses: ${dups.mkString(", ")}")
+      }
+      allPasses.map { p =>
         val refFile =
           if (LinkageQueries.hhPasses.contains(p)) "hhcomp" else p.ref
         s"splink_reports/${refFile}__${p.name}" -> passReport(p.name)

@@ -159,6 +159,15 @@ object Multimodal {
     docs.select(col("doc_id"), col("text"), col("n_chars"))
       .as[(Long, String, Long)]
       .map { case (id, text, n) =>
+        // Cross-engine pixel-parity pin: the DuckDB oracles replay the
+        // pixel bytes as ascii(substr(text, i % len + 1, 1)), which
+        // equals text.getBytes("UTF-8")(i % len) ONLY for non-empty
+        // ASCII text (a multi-byte codepoint desyncs the byte index; an
+        // empty text makes % len NULL in SQL while encodePpm falls back
+        // to its i.toByte ramp). Fail loudly at the codec boundary
+        // rather than silently diverge the two engines' signatures.
+        require(text.nonEmpty && text.forall(_ < 128),
+          s"documents.text must be non-empty ASCII for oracle pixel parity (doc_id=$id)")
         val w = (n % 16 + 1).toInt
         val h = (n * 3 % 12 + 1).toInt
         MediaRecord(id, encodePpm(w, h, text.getBytes("UTF-8")), w, h, "ppm")

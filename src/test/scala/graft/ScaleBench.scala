@@ -365,10 +365,19 @@ object ScaleBench {
         .filter(col("rnk") <= 5).select("qid", "vec_id").cache()
       val cents = PipelineQueries.ivfCentroids(e).cache()
       val k = cents.count()
-      val pDer = math.max(3, math.ceil(3 * math.sqrt(k / 160.0)).toInt + 1)
-      val home = PipelineQueries.cellAssignments(e, cents, 1)
-      val qpr = PipelineQueries.cellAssignments(
-          e.filter(col("vec_id").isin(qids: _*)), cents, pDer)
+      val pDer = PipelineQueries.derivedProbesFor(k)
+      // The candidate ceiling derives from the PRODUCTION assignment
+      // (flat below LadderK, trained ladder above) — the exact frame
+      // the retrieval queries probe — so the gate measures the
+      // geometry the queries run, whichever arm the scale point
+      // selects (the round-17 audit hard-wired the flat arm, which
+      // would have silently mis-measured the ladder decades).
+      val ranked = PipelineQueries
+        .productionAssignmentsRanked(e, cents).cache()
+      val home = ranked.filter(col("arnk") === 1)
+      val qpr = ranked
+        .filter(col("vec_id").isin(qids: _*) &&
+          col("arnk") <= col("probes"))
         .select(col("vec_id").as("qid"), col("cid"))
       val cand = home.select("vec_id", "cid").join(qpr, Seq("cid"))
         .filter(col("vec_id") =!= col("qid"))
@@ -383,7 +392,7 @@ object ScaleBench {
       assert(ratio >= 0.80,
         f"q152 recall/ceiling ratio $ratio%.4f below the 0.80 floor at $dir " +
           "(the PQ stack is losing candidates the probes admitted)")
-      truth.unpersist(); cents.unpersist(); e.unpersist()
+      truth.unpersist(); ranked.unpersist(); cents.unpersist(); e.unpersist()
       // q150: fused-top-10 overlap between the production hybrid (probed
       // semantic side) and the same fusion with a brute-force semantic
       // side — the fused-list cost of the semantic approximation (the
@@ -523,10 +532,8 @@ object ScaleBench {
       // tiebreaks on ids), so auditing this arm every run re-gates the
       // derived rule at each new scale point rather than sampling a
       // jitter distribution.
-      val k = fine.count().toInt
-      val kc = math.ceil(math.sqrt(3.0 * k)).toInt
-      val cp = math.max(3, math.ceil(kc / 5.0).toInt)
-      val fp = math.max(3, math.ceil(3 * math.sqrt(k / 160.0)).toInt + 1)
+      val k = fine.count()
+      val (_, cp, fp) = PipelineQueries.ladderParamsFor(k)
       Seq(
         "flat" -> (() => PipelineQueries.cellAssignments(e, fine, 3)),
         "hier" -> (() => PipelineQueries.hierarchicalCellAssignments(e, fine, 2, 3)),
