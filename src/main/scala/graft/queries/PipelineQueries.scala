@@ -477,6 +477,121 @@ object PipelineQueries {
        |  WHERE bit_count(xor(a.sig, b.sig)) <= 3)""".stripMargin
   }
 
+  /** Incremental image-dedup probe — arriving dHash signatures vs the
+    * persisted corpus signature-class index (the q155 structures:
+    * per-sig class representatives + chunk-group band keys over DISTINCT
+    * corpus sigs). Exact-sig arrivals join their class rep at hamming 0
+    * (the star semantics — the new image joins the existing class);
+    * near arrivals band-join the corpus rep keys using the INDEX'S OWN
+    * derived scheme (g from the corpus rep count — the keys the index
+    * persisted, so a probe never rebuilds the index geometry) with the
+    * hub cap applied at PROBE time over combined corpus + batch
+    * occupancy (the winnow probe idiom: the index is built uncapped, a
+    * hub bucket is dropped before the candidate join; the only
+    * divergence from a single-batch replay is arrivals split across
+    * micro-batches under-counting each other near the cap). Output
+    * (corpus_id, new_id, hamming), corpus_id = the corpus class rep.
+    * Shared by the batch q157 and the streaming twin
+    * ([[graft.streaming.StreamingDedup.imageMatchesBatch]]) so the two
+    * cannot drift.
+    */
+  private[graft] def imageProbeMatches(corpusSigs: DataFrame,
+      newSigs: DataFrame): DataFrame = {
+    val reps = corpusSigs.groupBy("sig").agg(min("doc_id").as("rep"))
+    val exact = newSigs.join(reps, Seq("sig"))
+      .select(col("rep").as("corpus_id"), col("doc_id").as("new_id"),
+        lit(0).cast("int").as("hamming"))
+    val params = reps.agg(count(lit(1)).as("n")).select(
+      when(col("n") <= lit(1L << 10), 1)
+        .when(col("n") <= lit(1L << 20), 2).otherwise(3).as("g"))
+    val comboArr = array(simhashCombos.map { case (g, tbl, comb) =>
+      struct(lit(g).as("gg"), lit(tbl).as("tbl"),
+        comb.foldLeft(lit(0L)) { (acc, c) =>
+          acc * 1024L + pmod(shiftrightunsigned(col("sig"), c * 10), lit(1024L))
+        }.as("k"))
+    }: _*)
+    def keysOf(sigRel: DataFrame): DataFrame =
+      sigRel.crossJoin(broadcast(params))
+        .withColumn("ck",
+          explode(filter(comboArr, cc => cc.getField("gg") === col("g"))))
+        .withColumn("tbl", col("ck.tbl")).withColumn("k", col("ck.k"))
+        .drop("ck", "g")
+    val ckeys = keysOf(reps)
+    val nkeys = keysOf(newSigs.select("sig").distinct()
+      .select(col("sig").as("nsig")).withColumn("sig", col("nsig")))
+      .select(col("nsig"), col("tbl"), col("k"))
+    // Probe-time hub cap over TRUE combined occupancy (corpus reps +
+    // batch distinct sigs per bucket); buckets with no corpus or no
+    // batch rows yield no candidates, so the inner join is exact.
+    val ok = ckeys.groupBy("tbl", "k").agg(count(lit(1)).as("nc"))
+      .join(nkeys.groupBy("tbl", "k").agg(count(lit(1)).as("nn")),
+        Seq("tbl", "k"))
+      .filter(col("nc") + col("nn") <= SimHubCap)
+      .select("tbl", "k")
+    val near = ckeys.join(ok, Seq("tbl", "k"))
+      .join(nkeys, Seq("tbl", "k"))
+      .select(col("rep").as("corpus_id"), col("nsig"),
+        bit_count(col("sig").bitwiseXOR(col("nsig"))).cast("int").as("hamming"))
+      .filter(col("hamming").between(1, 3))
+      .distinct()
+      .join(newSigs.select(col("sig").as("nsig"), col("doc_id").as("new_id")),
+        Seq("nsig"))
+      .select("corpus_id", "new_id", "hamming")
+    exact.unionByName(near)
+  }
+
+  /** SQL mirror of [[imageProbeMatches]] over `corpRel`/`newRel`
+    * (doc_id, sig) relations — CTE chain ending in `imatches(corpus_id,
+    * new_id, hamming)`.
+    */
+  private[graft] def imageProbeSql(corpRel: String, newRel: String): String = {
+    val comboValues = simhashCombos.map { case (g, tbl, comb) =>
+      val cs = comb.padTo(3, 0)
+      s"($g, $tbl, ${cs(0)}, ${cs(1)}, ${cs(2)})"
+    }.mkString(",\n    ")
+    def chv(c: String) = s"((s.sig >> ($c * 10)) & 1023)"
+    val kExpr =
+      s"""CASE WHEN m.gg = 1 THEN ${chv("m.c1")}
+         |              WHEN m.gg = 2 THEN ${chv("m.c1")} * 1024 + ${chv("m.c2")}
+         |              ELSE (${chv("m.c1")} * 1024 + ${chv("m.c2")}) * 1024 + ${chv("m.c3")}
+         |         END AS k""".stripMargin
+    s"""ireps AS (SELECT sig, MIN(doc_id) AS rep FROM $corpRel GROUP BY sig),
+       |iexact AS (
+       |  SELECT r.rep AS corpus_id, n.doc_id AS new_id,
+       |         CAST(0 AS INTEGER) AS hamming
+       |  FROM $newRel n JOIN ireps r USING (sig)),
+       |igsel AS (
+       |  SELECT CASE WHEN COUNT(*) <= ${1L << 10} THEN 1
+       |              WHEN COUNT(*) <= ${1L << 20} THEN 2 ELSE 3 END AS g
+       |  FROM ireps),
+       |icombos(gg, tbl, c1, c2, c3) AS (
+       |  SELECT * FROM (VALUES
+       |    $comboValues) v),
+       |ickeys AS (
+       |  SELECT s.sig, s.rep, m.tbl, $kExpr
+       |  FROM ireps s, icombos m, igsel WHERE m.gg = igsel.g),
+       |inkeys AS (
+       |  SELECT s.sig AS nsig, m.tbl, $kExpr
+       |  FROM (SELECT DISTINCT sig FROM $newRel) s, icombos m, igsel
+       |  WHERE m.gg = igsel.g),
+       |iok AS (
+       |  SELECT c.tbl, c.k
+       |  FROM (SELECT tbl, k, COUNT(*) AS nc FROM ickeys GROUP BY tbl, k) c
+       |  JOIN (SELECT tbl, k, COUNT(*) AS nn FROM inkeys GROUP BY tbl, k) n
+       |    USING (tbl, k)
+       |  WHERE c.nc + n.nn <= $SimHubCap),
+       |inear AS (
+       |  SELECT DISTINCT a.rep AS corpus_id, b.nsig,
+       |         CAST(bit_count(xor(a.sig, b.nsig)) AS INTEGER) AS hamming
+       |  FROM ickeys a JOIN iok USING (tbl, k) JOIN inkeys b USING (tbl, k)
+       |  WHERE bit_count(xor(a.sig, b.nsig)) BETWEEN 1 AND 3),
+       |imatches AS (
+       |  SELECT * FROM iexact
+       |  UNION ALL
+       |  SELECT e.corpus_id, n.doc_id AS new_id, e.hamming
+       |  FROM inear e JOIN $newRel n ON n.sig = e.nsig)""".stripMargin
+  }
+
   /** Corner-artifact size for the planted image variants (q155): the
     * first bytes of the decoded pixel buffer are overwritten with 255 —
     * a small localized edit, the perceptual-near-dup positive (the
@@ -536,10 +651,34 @@ object PipelineQueries {
     * work; localCheckpoint'd because the candidate self-join reads the
     * frame on both sides plus the hub aggregate.
     */
-  private[graft] def imageDhashSigs(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    imageRecordsWithDups(s, d)
-      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+  private val imageSigFrames =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def imageDhashSigs(s: SparkSession, d: String): DataFrame =
+    imageSigFrames.synchronized {
+      imageSigFrames.getOrElse((s, d), {
+        imageSigFrames.clear()
+        val df = dhashSigsOf(
+          imageRecordsWithDups(s, d)
+            .repartition(s.sessionState.conf.numShufflePartitions,
+              col("doc_id")))
+          .localCheckpoint()
+        imageSigFrames.put((s, d), df)
+        df
+      })
+    }
+
+  /** The shared decode→resample→dHash kernel over a media-record frame —
+    * ONE home for the signature arithmetic so the batch corpus build
+    * ([[imageDhashSigs]]), the incremental probe (q157) and the
+    * streaming twin ([[graft.streaming.StreamingDedup.imageMatchesBatch]])
+    * cannot drift. Caller owns partitioning (fan out BEFORE the per-
+    * record codec work) and materialization.
+    */
+  private[graft] def dhashSigsOf(
+      records: Dataset[Multimodal.MediaRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    records
       .mapPartitions(_.map { r =>
         val img = Multimodal.resizePpm(Multimodal.decodePpm(r.content), 11, 6)
         def gray(x: Int, y: Int): Int = {
@@ -560,7 +699,6 @@ object PipelineQueries {
         (r.doc_id, sig)
       })
       .toDF("doc_id", "sig")
-      .localCheckpoint()
   }
 
   /** SQL CTE chain ending in `dsig(doc_id, sig)` ≡ [[imageDhashSigs]]:
@@ -1902,6 +2040,13 @@ object PipelineQueries {
     }),
     "emb_corpus_cells" -> ((s: SparkSession, d: String) => {
       corpusCellIndex(s, d).count(); ()
+    }),
+    // The image signature frame (decode → resample → dHash over every
+    // media record) feeds q155/q156/q157 and the scale audits; building
+    // it once here keeps the codec pass off whichever consumer runs
+    // first.
+    "image_sigs" -> ((s: SparkSession, d: String) => {
+      imageDhashSigs(s, d).count(); ()
     }),
     // The BPE merge list feeds q135/q82/q59; training it in the warm
     // phase keeps its 16-iteration loop off whichever consumer runs
@@ -5276,6 +5421,82 @@ object PipelineQueries {
       Some(s"""WITH $imageDhashSigCtes,
               |${hammingClassPairsSql("dsig")}
               |SELECT * FROM stars UNION ALL SELECT * FROM rpairs""".stripMargin)
+    ),
+    QueryDef(
+      // IMAGE keep policy — the curation decision over q155's near-dup
+      // components (the q124/q126 analog for the multimodal family):
+      // within each connected component of the image edge set, keep the
+      // HIGHEST-RESOLUTION copy (w·h — the proxy for "most complete
+      // payload" a real pipeline ranks variants by), id tiebreak. Shape:
+      // the checkpoint-truncated CC loop + ONE window over the shuffle
+      // on cluster_id; dims ride the same media-record frame the
+      // signatures decode, so the geometry formula stays in its one
+      // Scala home (Multimodal.mediaRecords).
+      "q156_image_keep",
+      (s, d) => {
+        import s.implicits._
+        val imgs = imageRecordsWithDups(s, d)
+          .map(r => (r.doc_id, r.width.toLong * r.height))
+          .toDF("node", "res")
+        val edges = hammingClassPairs(imageDhashSigs(s, d))
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        val cc = graft.operators.Components.connectedComponents(
+          imgs.select("node"), edges)
+        val byCluster = Window.partitionBy("cluster_id")
+          .orderBy(col("res").desc, col("node").asc)
+        cc.join(imgs, Seq("node"))
+          .withColumn("rk", row_number().over(byCluster))
+          .select(col("node").as("doc_id"), col("cluster_id"), col("res"),
+            (col("rk") === 1).as("is_kept"))
+      },
+      Some(s"""WITH RECURSIVE $imageDhashSigCtes,
+              |${hammingClassPairsSql("dsig")},
+              |iedges AS (SELECT doc_a, doc_b FROM stars
+              |           UNION ALL SELECT doc_a, doc_b FROM rpairs),
+              |isym AS (SELECT doc_a AS a, doc_b AS b FROM iedges
+              |         UNION SELECT doc_b, doc_a FROM iedges),
+              |ireach(src, dst) AS (
+              |  SELECT a, b FROM isym
+              |  UNION
+              |  SELECT r.src, s.b FROM ireach r JOIN isym s ON r.dst = s.a),
+              |iminreach AS (SELECT src, MIN(dst) AS m FROM ireach GROUP BY src),
+              |ifeat AS (SELECT doc_id AS node, CAST(w * h AS BIGINT) AS res
+              |          FROM imgs),
+              |iclusters AS (
+              |  SELECT f.node, least(f.node, coalesce(m.m, f.node)) AS cluster_id
+              |  FROM ifeat f LEFT JOIN iminreach m ON f.node = m.src)
+              |SELECT c.node AS doc_id, c.cluster_id, f.res,
+              |       (ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+              |            ORDER BY f.res DESC, c.node ASC)) = 1 AS is_kept
+              |FROM iclusters c JOIN ifeat f ON c.node = f.node""".stripMargin)
+    ),
+    QueryDef(
+      // INCREMENTAL image dedup — the q100/q123 shape for the image
+      // family: the corpus (the base documents' images — identified by
+      // semi-join against the documents table, exact at every scale
+      // because variant ids are minted past the replication stride)
+      // keeps its signature-class index, and only the ARRIVING images
+      // (the minted variants/copies) pay decode + dHash + probe. The
+      // probe is [[imageProbeMatches]] — exact-sig star membership at
+      // hamming 0 plus banded near-dup rep pairs with the probe-time
+      // combined hub cap — shared verbatim with the streaming twin
+      // (StreamingDedup.imageMatchesBatch), which StreamingSpec pins to
+      // this query by single-batch replay.
+      "q157_incremental_image_dedup",
+      (s, d) => {
+        val sigs = imageDhashSigs(s, d)
+        val baseIds = Tables.documents(s, d).select("doc_id")
+        val corpusSigs = sigs.join(baseIds, Seq("doc_id"), "left_semi")
+        val newSigs = sigs.join(baseIds, Seq("doc_id"), "left_anti")
+        imageProbeMatches(corpusSigs, newSigs)
+      },
+      Some(s"""WITH $imageDhashSigCtes,
+              |icorp AS (SELECT doc_id, sig FROM dsig
+              |          WHERE doc_id IN (SELECT doc_id FROM documents)),
+              |inew AS (SELECT doc_id, sig FROM dsig
+              |         WHERE doc_id NOT IN (SELECT doc_id FROM documents)),
+              |${imageProbeSql("icorp", "inew")}
+              |SELECT * FROM imatches""".stripMargin)
     )
   )
 }

@@ -147,4 +147,29 @@ object StreamingDedup {
       .select("corpus_id", "new_id").distinct()
     PipelineQueries.verifyPairs(cand, corpus, e, "corpus_id", "new_id", 0.9)
   }
+
+  /** IMAGE variant — the streaming deployment of q157's incremental
+    * shape: the corpus keeps its dHash signature-class index
+    * (`corpusSigs(doc_id, sig)` — at scale: the per-sig class reps plus
+    * the banded distinct-sig keys persisted as bucketed tables on
+    * (tbl, k)), and each arriving micro-batch of media records is
+    * PPM-decoded + dHashed with the SAME kernel
+    * ([[PipelineQueries.dhashSigsOf]]) and probed with the SAME probe
+    * machinery ([[PipelineQueries.imageProbeMatches]]: exact-sig star
+    * membership at hamming 0, banded near-dup rep pairs, probe-time
+    * combined hub cap) — so streaming and batch matches cannot drift
+    * (StreamingSpec asserts single-batch replay equality against the
+    * batch q157). Stateless per batch; the documented residual
+    * divergence is arrivals split across separate micro-batches
+    * under-counting each other's bucket occupancy near the hub cap,
+    * the same cross-batch bound as the winnow variant.
+    *
+    * Output: (corpus_id, new_id, hamming) — corpus_id is the corpus
+    * signature-class representative the arrival matched.
+    */
+  def imageMatchesBatch(corpusSigs: DataFrame,
+      arrivals: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord])
+      : DataFrame =
+    PipelineQueries.imageProbeMatches(corpusSigs,
+      PipelineQueries.dhashSigsOf(arrivals))
 }

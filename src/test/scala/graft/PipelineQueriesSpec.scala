@@ -1332,4 +1332,68 @@ class PipelineQueriesSpec extends SparkTestBase {
         s"'$w': overestimate $est vs $exact — sketch geometry broken")
     }
   }
+
+  test("q156 image keep: clusters equal q155 connectivity, keep rule recomputes") {
+    import spark.implicits._
+    val kept = PipelineQueries.defs.find(_.name == "q156_image_keep").get
+      .query(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    // Exactly one survivor per cluster.
+    val perCluster = kept.groupBy(_._2)
+    perCluster.foreach { case (cid, members) =>
+      assert(members.count(_._4) == 1, s"cluster $cid kept != 1")
+      // The survivor is the max-resolution member, min-id tiebreak.
+      val winner = members.minBy(m => (-m._3, m._1))
+      assert(members.find(_._4).get._1 == winner._1,
+        s"cluster $cid kept ${members.find(_._4).get._1}, rule says ${winner._1}")
+      // cluster_id is the min member id (CC contract).
+      assert(cid == members.map(_._1).min, s"cluster $cid not min member id")
+    }
+    // Cluster partition matches a driver-side union-find over q155 edges.
+    val edges = PipelineQueries.defs.find(_.name == "q155_image_dhash").get
+      .query(spark, sfDir).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = kept.map(_._1).map(n => n -> find(n)).toMap
+    kept.foreach { case (n, cid, _, _) =>
+      assert(cid == expected(n), s"node $n: cluster $cid != union-find ${expected(n)}")
+    }
+  }
+
+  test("q157 incremental image dedup: exact copies hit their base class at hamming 0") {
+    import spark.implicits._
+    val matches = PipelineQueries.defs
+      .find(_.name == "q157_incremental_image_dedup").get
+      .query(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(matches.nonEmpty)
+    // Every +200000 exact copy must match at hamming 0 (identical
+    // payload ⇒ identical signature ⇒ corpus class membership), and the
+    // matched rep must share the copy's signature.
+    val sigs = PipelineQueries.imageDhashSigs(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val copies = sigs.keys.filter(id => id >= 200000L && id < 300000L)
+    val exactByNew = matches.filter(_._3 == 0).groupBy(_._2)
+    copies.foreach { id =>
+      val hits = exactByNew.getOrElse(id, Array.empty)
+      assert(hits.nonEmpty, s"copy $id found no hamming-0 corpus class")
+      hits.foreach { case (rep, _, _) =>
+        assert(sigs(rep) == sigs(id), s"copy $id matched rep $rep with a different sig")
+      }
+    }
+    // Near matches (hamming 1-3) recompute from the signatures.
+    matches.filter(_._3 > 0).foreach { case (rep, nid, h) =>
+      assert(java.lang.Long.bitCount(sigs(rep) ^ sigs(nid)) == h,
+        s"($rep,$nid) reported hamming $h, sigs say ${java.lang.Long.bitCount(sigs(rep) ^ sigs(nid))}")
+    }
+  }
 }

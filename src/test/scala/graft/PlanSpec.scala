@@ -79,8 +79,9 @@ class PlanSpec extends SparkTestBase {
       "q149_pq_adc", "q150_hybrid_rrf", "q151_mix_temperature",
       "q152_pq_recall",
       // q155 attaches the 1-row derived-g params frame over the distinct
-      // image signatures (the q42 shape).
-      "q155_image_dhash")
+      // image signatures (the q42 shape); q157's probe attaches the same
+      // frame to both the corpus-rep and arrival key builds.
+      "q155_image_dhash", "q157_incremental_image_dedup")
     SparkEntry.queries.keys.filterNot(intendedCross).foreach { name =>
       val p = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")

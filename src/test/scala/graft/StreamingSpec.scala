@@ -880,4 +880,54 @@ class StreamingSpec extends SparkTestBase {
         s"$tpe: approx median $aMedian vs exact $median out of bounds")
     }
   }
+
+  test("streaming image dedup agrees with the batch q157 probe") {
+    import graft.operators.Multimodal
+    import graft.queries.PipelineQueries
+    import graft.streaming.StreamingDedup
+    import org.apache.spark.sql.Dataset
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // The corpus signature-class index is built once (at scale: reps +
+    // banded distinct-sig keys as bucketed tables); arrivals (the minted
+    // variant/copy images) are decoded + dHashed per micro-batch with
+    // the shared kernel.
+    val baseIds = Tables.documents(spark, sfDir).select("doc_id")
+    val corpusSigs = PipelineQueries.imageDhashSigs(spark, sfDir)
+      .join(baseIds, Seq("doc_id"), "left_semi").cache()
+
+    val stream = MemoryStream[Multimodal.MediaRecord]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val query = stream.toDS().writeStream.outputMode("append")
+      .foreachBatch { (ds: Dataset[Multimodal.MediaRecord], _: Long) =>
+        out ++= StreamingDedup.imageMatchesBatch(corpusSigs, ds)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        ()
+      }.start()
+    try {
+      // Single-batch replay: the probe-time combined hub cap sees the
+      // same occupancy as the batch rule, so equality is EXACT (the
+      // cross-batch under-count near the cap is the documented bound,
+      // same as the winnow variant).
+      val newRecs = PipelineQueries.imageRecordsWithDups(spark, sfDir)
+        .join(baseIds, Seq("doc_id"), "left_anti")
+        .as[Multimodal.MediaRecord]
+        .collect().sortBy(_.doc_id)
+      stream.addData(newRecs.toIndexedSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val batch = PipelineQueries.defs
+      .find(_.name == "q157_incremental_image_dedup").get
+      .query(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(batch.nonEmpty)
+    assert(out.toSet == batch,
+      s"streaming vs batch incremental image dedup differ: " +
+        s"only-streaming=${(out.toSet -- batch).take(5)} " +
+        s"only-batch=${(batch -- out.toSet).take(5)}")
+    corpusSigs.unpersist()
+    ()
+  }
 }
