@@ -12,27 +12,13 @@ import org.apache.spark.sql.functions._
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
-      // Shuffle/broadcast scratch on tmpfs when available: the benchmark
-      // box's disk is shared and an unlucky write stall lands 10-60 s on
-      // whichever query touches scratch first (observed swings: q56 6.4
-      // -> 60 s, q60 0.7 -> 52 s with identical plans). sf0.1 scratch is
-      // MB-scale against a 50%-of-RAM tmpfs; Spark removes its spark-*
-      // subdirs on shutdown. A real cluster keeps the default (per-node
-      // SSD dirs sized for spill).
-      .config("spark.local.dir",
-        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
-        else System.getProperty("java.io.tmpdir"))
+    // Shared session recipe (GraftSession): local dev defaults (tmpfs
+    // scratch — observed 10-60 s write-stall swings on the shared disk
+    // otherwise; shuffle partitions = cores), a spark-submit
+    // --master/--conf wins. AQE runtime re-planning stays on in both.
+    val spark = GraftSession.builder("graft-bench",
+        "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.enabled" -> "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: JIT + parquet footers, so the first measured query isn't

@@ -138,19 +138,9 @@ object Pipeline {
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.local.dir",
-        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
-        else System.getProperty("java.io.tmpdir"))
-      .getOrCreate()
+    // Shared session recipe (GraftSession): local dev defaults here, a
+    // spark-submit --master/--conf wins.
+    val spark = GraftSession.builder("graft-pipeline").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     run(spark, sfDir, outDir).foreach { r =>
       val verb = if (r.skipped) "skipped (complete)" else f"wrote in ${r.sec}%.1f s"

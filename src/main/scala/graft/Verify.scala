@@ -6,27 +6,12 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // Same join-planning envelope as Bench: shingle/gram frames at these
-      // scale factors sit between the 10MB default and 64MB, and the
-      // broadcast plan is several times faster than shuffling array columns
-      // through a sort-merge join.
-      .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
-      .config("spark.sql.adaptive.enabled", "true")
-      // events.parquet stores TIMESTAMP(NANOS); Spark 4 refuses it unless
-      // read as long (Tables.events converts back to a µs timestamp).
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // tmpfs scratch, same rationale as Bench: shields the run from
-      // shared-disk write stalls (output parquet still goes to outDir).
-      .config("spark.local.dir",
-        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
-        else System.getProperty("java.io.tmpdir"))
-      .getOrCreate()
+    // Shared session recipe (GraftSession): local dev defaults here, a
+    // spark-submit --master/--conf wins — the 64MB broadcast envelope is
+    // deliberate (shingle/gram frames at these scale factors sit between
+    // the 10MB default and 64MB, and the broadcast plan beats shuffling
+    // array columns through a sort-merge join several times over).
+    val spark = GraftSession.builder("graft-verify").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q41,q99 narrows a local run (same contract as
