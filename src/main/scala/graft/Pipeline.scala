@@ -30,7 +30,18 @@ object Pipeline {
   /** One stage: name → (table name → frame builder). Stage order is the
     * reference's notebook order; tables within a stage are independent.
     */
-  def stages: Seq[(String, Seq[(String, (SparkSession, String) => DataFrame)])] = {
+  def stages: Seq[(String, Seq[(String, (SparkSession, String) => DataFrame)])] =
+    stagesFor(graft.queries.LinkageQueries.config)
+
+  /** [[stages]] driven by an explicit linkage config (the config-as-file
+    * surface: `main` parses an optional YAML path via
+    * [[graft.sources.ConfigFile]] and the pass-keyed artifacts — the
+    * per-pass splink_reports inventory, the EM training config — follow
+    * the FILE's pass list; PipelineRunnerSpec pins that the default file
+    * reproduces the hard-wired stages exactly).
+    */
+  def stagesFor(cfg: graft.linkage.LinkageConfig)
+      : Seq[(String, Seq[(String, (SparkSession, String) => DataFrame)])] = {
     def q(name: String): (SparkSession, String) => DataFrame = SparkEntry.queries(name)
     // Per-pass model-report artifact (the reference persists a Splink
     // HTML report per cascade pass under diagnostics/splink_reports/
@@ -49,8 +60,7 @@ object Pipeline {
             col("block_keys"), col("comparison"), col("scored"),
             col("const_gamma"), col("weight_offset")), Seq("comparison"))
     val passReports: Seq[(String, (SparkSession, String) => DataFrame)] = {
-      import graft.queries.LinkageQueries
-      val allPasses = LinkageQueries.passes ++ LinkageQueries.hhPasses
+      val allPasses = cfg.passes ++ cfg.hhPasses
       // The artifact list keys on pass NAME (the q76 `pass` column and
       // the hhPasses membership test) — a future pass whose name
       // collides across the two lists would silently merge or mislabel
@@ -64,7 +74,7 @@ object Pipeline {
       }
       allPasses.map { p =>
         val refFile =
-          if (LinkageQueries.hhPasses.contains(p)) "hhcomp" else p.ref
+          if (cfg.hhPasses.contains(p)) "hhcomp" else p.ref
         s"splink_reports/${refFile}__${p.name}" -> passReport(p.name)
       }
     }
@@ -87,7 +97,7 @@ object Pipeline {
           import graft.queries.LinkageQueries
           val (_, reports) = graft.linkage.LinkageCascade.emTrainMMultiWithReport(
             LinkageQueries.census(s, d), LinkageQueries.input(s, d),
-            LinkageQueries.emPasses, LinkageQueries.config,
+            LinkageQueries.emPasses, cfg,
             iterations = 25, tol = graft.linkage.LinkageCascade.DefaultEmTol)
           s.createDataFrame(reports.map(r => (r.blockKeys.mkString("+"),
               r.iterations, r.converged,
@@ -116,8 +126,10 @@ object Pipeline {
 
   /** Run (or resume) the pipeline; returns per-stage results. */
   def run(spark: SparkSession, sfDir: String, outDir: String,
-      singleFile: Boolean = true): Seq[StageResult] =
-    stages.map { case (stage, tables) =>
+      singleFile: Boolean = true,
+      cfg: graft.linkage.LinkageConfig = graft.queries.LinkageQueries.config)
+      : Seq[StageResult] =
+    stagesFor(cfg).map { case (stage, tables) =>
       val t0 = System.nanoTime()
       val complete = tables.forall { case (t, _) =>
         new java.io.File(s"$outDir/$stage/$t/_SUCCESS").isFile
@@ -136,13 +148,24 @@ object Pipeline {
         (System.nanoTime() - t0) / 1e9)
     }
 
+  /** `runMain graft.Pipeline <sfDir> <outDir> [config.yaml]` — the
+    * optional third argument is the config-as-file surface
+    * ([[graft.sources.ConfigFile]]): its linkage section (pass list,
+    * lambda, threshold) drives the pass-keyed stage artifacts; omitted,
+    * the hard-wired defaults apply (and `config/defaults.yaml` parses to
+    * exactly those, spec-pinned).
+    */
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
+    val cfg = args.drop(2).headOption
+      .map(p => graft.sources.ConfigFile.load(p)
+        .linkage(graft.queries.LinkageQueries.config))
+      .getOrElse(graft.queries.LinkageQueries.config)
     // Shared session recipe (GraftSession): local dev defaults here, a
     // spark-submit --master/--conf wins.
     val spark = GraftSession.builder("graft-pipeline").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, sfDir, outDir).foreach { r =>
+    run(spark, sfDir, outDir, cfg = cfg).foreach { r =>
       val verb = if (r.skipped) "skipped (complete)" else f"wrote in ${r.sec}%.1f s"
       println(s"[pipeline] ${r.stage}: ${r.tables.mkString(", ")} — $verb")
     }
