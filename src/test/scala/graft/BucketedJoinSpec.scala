@@ -172,4 +172,43 @@ class BucketedJoinSpec extends SparkTestBase {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("cascade predict over bucketed sides plans without a shuffle on the block key") {
+    // The pair-volume trio (q27/q28/q31) is one blocking join + scalar
+    // scoring per pair; with census/input persisted bucketed on the
+    // block key, the ENTIRE predict pipeline up to the per-record
+    // resolution plans with no hash exchange on that key — the blocking
+    // shuffle the chain pays per pass at 100 TB is paid once at write
+    // time (CascBktProbe prices it at 30×). The l_/r_ column prefixes
+    // are pure aliases, so the bucketed scan's output partitioning
+    // carries through the projection to the join.
+    import graft.linkage.LinkageCascade
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pass = LinkageQueries.emPasses.head // blocks on zip3
+      val cfg = LinkageQueries.config
+      Sources.writeBucketed(LinkageQueries.census(spark, sfDir),
+        "casc_census_bkt", Seq("zip3"), buckets = 8)
+      Sources.writeBucketed(LinkageQueries.input(spark, sfDir),
+        "casc_input_bkt", Seq("zip3"), buckets = 8)
+      val cb = spark.table("casc_census_bkt")
+      val ib = spark.table("casc_input_bkt")
+      val scored = LinkageCascade.score(
+        LinkageCascade.pairs(cb, ib, pass), pass.comparisonsFor(cfg))
+      val nBkt = scored.count()
+      val plan = scored.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed blocking join still shuffles:\n$plan")
+      // Same pairs as the unbucketed pipeline (bucketing is layout only).
+      val nPlain = LinkageCascade.score(
+        LinkageCascade.pairs(LinkageQueries.census(spark, sfDir),
+          LinkageQueries.input(spark, sfDir), pass),
+        pass.comparisonsFor(cfg)).count()
+      assert(nBkt == nPlain, s"bucketed pairs $nBkt != unbucketed $nPlain")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS casc_census_bkt")
+      spark.sql("DROP TABLE IF EXISTS casc_input_bkt")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }

@@ -129,9 +129,19 @@ object RetrProbe {
 
     // Derived-probe settings: p = the dedup derivedProbes rule, shortlist
     // = 40*p (8*topk*probes — a stable fraction of the ~occupancy*p
-    // candidate volume at every decade).
+    // candidate volume at every decade). Candidates come from the
+    // PRODUCTION assignment (productionAssignmentsRanked — flat below
+    // LadderK, trained ladder above), so the derived point measures the
+    // geometry the queries actually run at this dir.
     val pDer = PipelineQueries.derivedProbesFor(k)
-    val cDer = candFor(pDer).cache()
+    val ranked = PipelineQueries.productionAssignmentsRanked(e, cents).cache()
+    val cDer = ranked.filter(col("arnk") === 1)
+      .select(col("vec_id"), col("cid"))
+      .join(ranked
+        .filter(col("vec_id").isin(qids: _*) && col("arnk") <= col("probes"))
+        .select(col("vec_id").as("qid"), col("cid")), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct().cache()
     val nDer = cDer.count()
     val hitDer = truth.join(cDer, Seq("qid", "vec_id")).count()
     val ceil = hitDer / (qids.size * 5.0)
@@ -139,6 +149,18 @@ object RetrProbe {
     for (short <- Seq(8, 40 * pDer, 80 * pDer)) {
       val r = recallFor2(cDer, 8, short)
       println(f"[retr] p=$pDer short=$short%-4d recall@5=$r%.4f ratio=${r / ceil}%.4f")
+    }
+    // PQ codebook WIDTH arm (task: the dial a deployment turns first):
+    // same candidates, same derived shortlist, K swept to the
+    // production FAISS PQ8 width (K=256, 1 byte/subspace). Encode cost
+    // is n·K·M·SubDim — linear in n at any K — so the tradeoff is
+    // code-width bytes vs recall, measured here.
+    for (pqK <- Seq(8, 64, 256)) {
+      val t0 = System.nanoTime()
+      val r = recallFor2(cDer, pqK, 40 * pDer)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[retr] pqK=$pqK%-4d short=${40 * pDer} recall@5=$r%.4f " +
+        f"ratio=${r / ceil}%.4f wall=$sec%.1fs")
     }
     spark.stop()
   }
