@@ -484,6 +484,12 @@ object LinkageCascade {
       .select(col("l_pik").as("pik"), col("r_rec_id").as("rec_id"),
         col("l_geokey_blk").as("ref_geokey"),
         col("r_geokey_blk").as("hh_geokey"), col("match_weight"))
+      // Materialized: the unit filter's aggregate AND the final resolve
+      // join both consume the thresholded scoring — without the barrier
+      // the whole block-join + gamma/weight evaluation runs twice (Spark
+      // shares no work across join branches). The frame is the ACCEPTED
+      // candidates only (ids + keys + weight), small by construction.
+      .localCheckpoint()
     val units = scored.groupBy("hh_geokey", "ref_geokey")
       .agg(countDistinct("rec_id").as("nm"), countDistinct("pik").as("np"))
       .filter(col("nm") >= 2 && col("np") >= 2)

@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
   * duplicate PAIRS into duplicate CLUSTERS with one surviving
   * representative (min id), which is what a dedup pipeline actually keeps.
   *
-  * Iterative min-label propagation: each round every node adopts the
-  * smallest label among itself and its neighbors; converges in
-  * O(component diameter) rounds. Dup clusters are near-cliques of tiny
-  * diameter, so the loop runs 2–3 rounds regardless of data size; each
-  * round is one shuffle join + one aggregate (all distributed — no
-  * driver-side graph).
+  * Iterative min-label propagation with pointer jumping: each round every
+  * node adopts the smallest label among itself, its neighbors, and the
+  * label of its current label (path shortcutting), converging in
+  * O(log diameter) rounds. Dup clusters are usually near-cliques (2–3
+  * rounds); chain-shaped components (e.g. transitive near-dup sig chains,
+  * measured diameter > 15 on the sf0.1 image graph) collapse
+  * logarithmically instead of one hop per round. Each round is one
+  * shuffle join + one aggregate + one label self-join (all distributed —
+  * no driver-side graph).
   */
 object Components {
 
@@ -27,7 +30,7 @@ object Components {
     * @param edges columns `a`, `b` (undirected pairs)
     * @return (node, cluster_id) where cluster_id = min node id reachable
     */
-  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 15): DataFrame = {
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 30): DataFrame = {
     // Iterative frames use EAGER localCheckpoint, not cache+unpersist:
     // unpersisting iteration N's labels invalidates the CacheManager entry
     // of every dependent cached plan (iteration N+1's labels), so the loop
@@ -55,17 +58,42 @@ object Components {
         .join(labels, sym("a") === labels("node"))
         .groupBy(col("b").as("node2"))
         .agg(min("cluster_id").as("neighbor_min"))
-      // The change flag rides in the checkpointed frame, so the convergence
-      // probe is a filter over materialized partitions — not a second join
-      // against the previous labels.
-      val next = labels
-        .join(neighborMin, labels("node") === neighborMin("node2"), "left")
-        .select(col("node"),
-          least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
-            .as("cluster_id"),
-          (coalesce(col("neighbor_min"), col("cluster_id")) < col("cluster_id")).as("chg"))
-        .localCheckpoint()
-      val changed = next.filter(col("chg")).limit(1).count()
+      // One round = neighbor-min propagation PLUS a pointer jump (adopt
+      // the label of the current label — both joins read the MATERIALIZED
+      // labels frame, so neither side recomputes anything). The jump
+      // turns O(diameter) rounds into O(log diameter): long rep-pair
+      // chains (measured: the sf0.1 image graph has components of
+      // diameter > 15, which left plain propagation UNCONVERGED at the
+      // old maxIter=15) now collapse in a handful of rounds. Every label
+      // value is an edge-incident node id (mins of initial ids), so the
+      // jump's left join always finds its parent row. Convergence stays
+      // exact: chg records ANY decrease; a zero-change round means in
+      // particular the neighbor step was the identity, which forces
+      // labels constant per component — the true min-id fixpoint.
+      //
+      // The change flag rides in the checkpointed frame, and the
+      // convergence probe IS the materializing action: the checkpoint is
+      // lazy, so the full count over chg computes (and thereby persists)
+      // every partition in ONE job per iteration — the eager-checkpoint +
+      // probe pair was two back-to-back jobs over the same tiny frames,
+      // and per-round scheduling latency dominates CC wall time at any
+      // scale where components are near-cliques. The count is full (no
+      // limit), so no partition is left unmaterialized for later rounds
+      // to recompute through the lineage.
+      val newLabel = least(col("l.cluster_id"), col("neighbor_min"), col("plabel"))
+      val next = labels.as("l")
+        .join(neighborMin, col("l.node") === col("node2"), "left")
+        .join(labels.select(col("node").as("pnode"), col("cluster_id").as("plabel")),
+          col("l.cluster_id") === col("pnode"), "left")
+        .select(col("l.node").as("node"),
+          newLabel.as("cluster_id"),
+          (newLabel < col("l.cluster_id")).as("chg"))
+        .localCheckpoint(eager = false)
+      val t0 = System.nanoTime()
+      val changed = next.filter(col("chg")).count()
+      if (sys.env.contains("GRAFT_CC_TIMING"))
+        System.err.println(f"CC iter $iter: changed=$changed " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
       labels = next.select("node", "cluster_id")
       converged = changed == 0
       iter += 1

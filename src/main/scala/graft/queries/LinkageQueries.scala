@@ -2490,14 +2490,20 @@ object LinkageQueries {
           if (c == "rule" || c == "bkey") col(c) else col(c).as(s"l_$c")): _*)
         val r = entries.select(entries.columns.map(c =>
           if (c == "rule" || c == "bkey") col(c) else col(c).as(s"r_$c")): _*)
+        // Score BEFORE deduplicating the two rules' pair overlap: the
+        // weight is a pure function of the pair's columns, so a pair
+        // matched by both rules scores identically under each and the
+        // dedup can run on the 2-column thresholded edge set instead of
+        // shuffling the full 2×|cols|-wide candidate rows — far fewer
+        // bytes through the distinct exchange, identical edges.
         val cand = l.join(r, Seq("rule", "bkey"))
           .filter(col("l_pik") < col("r_pik"))
           .drop("rule", "bkey")
-          .dropDuplicates(Seq("l_pik", "r_pik"))
         val scored = LinkageCascade.score(cand, config)
         val edges = scored
           .filter(col("match_weight") >= config.thresholdWeight)
           .select(col("l_pik").as("a"), col("r_pik").as("b"))
+          .dropDuplicates(Seq("a", "b"))
         val cc = graft.operators.Components.connectedComponents(
           cen2.select(col("pik").as("node")), edges)
         val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
@@ -2827,14 +2833,23 @@ object LinkageQueries {
       (s, d) => {
         reg(s)
         val links = cascadeLinks(s, d)
+        // Materialized: rem feeds pass 1's predict, pass 2's remainder
+        // derivation AND (via rem2) pass 2's predict; l1 feeds both the
+        // pass-2 anti-join and the final union — without the barriers
+        // each consumer re-runs the anti-join / the whole pass-1 predict
+        // (the foldPasses checkpoint discipline, applied to this manual
+        // two-pass chain). l1 is ids + weight; rem is the small
+        // post-cascade residue.
         val rem = input(s, d)
           .join(links.select("rec_id").distinct(), Seq("rec_id"), "left_anti")
+          .localCheckpoint()
         val ref = geobase(s, d)
         val z1 = zip3AdjPasses(0)
         val z2 = zip3AdjPasses(1)
         val l1 = LinkageCascade.predict(ref, LinkageCascade.zip3Adjacent(rem),
             z1, config)
           .withColumn("pass", lit(z1.name))
+          .localCheckpoint()
         val rem2 = rem.join(l1.select("rec_id"), Seq("rec_id"), "left_anti")
         val l2 = LinkageCascade.predict(ref, LinkageCascade.zip3Adjacent(rem2),
             z2, config)

@@ -654,11 +654,18 @@ object PipelineQueries {
   private val imageSigFrames =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private[graft] def imageDhashSigs(s: SparkSession, d: String): DataFrame =
+  /** The memoized (doc_id, sig, res) frame — res = width·height rides the
+    * SAME decode pass that produces the signature (the dims are record
+    * fields, free once the record is in hand), so q156's keep policy
+    * reads resolution from this frame instead of re-running the whole
+    * media-record construction (a second full decode/encode pass over
+    * the corpus before this column existed).
+    */
+  private[graft] def imageDhashSigRes(s: SparkSession, d: String): DataFrame =
     imageSigFrames.synchronized {
       imageSigFrames.getOrElse((s, d), {
         imageSigFrames.clear()
-        val df = dhashSigsOf(
+        val df = dhashSigResOf(
           imageRecordsWithDups(s, d)
             .repartition(s.sessionState.conf.numShufflePartitions,
               col("doc_id")))
@@ -668,6 +675,9 @@ object PipelineQueries {
       })
     }
 
+  private[graft] def imageDhashSigs(s: SparkSession, d: String): DataFrame =
+    imageDhashSigRes(s, d).select("doc_id", "sig")
+
   /** The shared decode→resample→dHash kernel over a media-record frame —
     * ONE home for the signature arithmetic so the batch corpus build
     * ([[imageDhashSigs]]), the incremental probe (q157) and the
@@ -676,6 +686,13 @@ object PipelineQueries {
     * record codec work) and materialization.
     */
   private[graft] def dhashSigsOf(
+      records: Dataset[Multimodal.MediaRecord]): DataFrame =
+    dhashSigResOf(records).select("doc_id", "sig")
+
+  /** [[dhashSigsOf]] plus the record's resolution (width·height) — one
+    * decode pass yields both the signature and the keep-policy feature.
+    */
+  private[graft] def dhashSigResOf(
       records: Dataset[Multimodal.MediaRecord]): DataFrame = {
     import records.sparkSession.implicits._
     records
@@ -696,9 +713,9 @@ object PipelineQueries {
           }
           y += 1
         }
-        (r.doc_id, sig)
+        (r.doc_id, sig, r.width.toLong * r.height)
       })
-      .toDF("doc_id", "sig")
+      .toDF("doc_id", "sig", "res")
   }
 
   /** SQL CTE chain ending in `dsig(doc_id, sig)` ≡ [[imageDhashSigs]]:
@@ -1898,11 +1915,16 @@ object PipelineQueries {
     */
   def dsirSelect(docs: DataFrame, isTarget: Column,
       keepNum: Int, keepDen: Int): DataFrame = {
-    val toks = dsirTokens(docs, isTarget)
+    // ONE token explode for the whole query: pre-aggregate to per-doc
+    // bucket counts and materialize — the model fit and the pool scoring
+    // both derive from this frame (previously each re-ran the explode +
+    // md5: two full corpus scans). n-weighted decimal sums are exact, so
+    // per-token sum(term) ≡ sum(term·n) bit-for-bit.
+    val tc = dsirTokenCounts(dsirTokens(docs, isTarget)).localCheckpoint()
     // Materialized: the histogram threshold and the keep filter both
-    // consume the pool scoring — without it, the token explode +
-    // broadcast join + per-doc aggregate would re-run per consumer.
-    val scored = dsirScore(toks.filter(!col("is_target")), dsirModel(toks))
+    // consume the pool scoring — without it, the broadcast join +
+    // per-doc aggregate would re-run per consumer.
+    val scored = dsirScore(tc.filter(!col("is_target")), dsirModel(tc))
       .localCheckpoint()
     dsirKeep(scored, dsirThreshold(scored, keepNum, keepDen))
   }
@@ -1918,9 +1940,20 @@ object PipelineQueries {
       .withColumn("bucket", pmod(TextOps.md5Mod(col("word")), lit(DsirBuckets)))
       .drop("word")
 
+  /** Per-doc bucket counts (doc_id, source, lang, is_target, bucket, n)
+    * — the aggregate every dsir consumer actually needs (the model sums
+    * n by bucket; the scorer weights the bucket term by n). Aggregating
+    * once directly after the explode lets one materialized frame replace
+    * repeated full token explodes, with bit-identical decimal sums.
+    */
+  private[graft] def dsirTokenCounts(toks: DataFrame): DataFrame =
+    toks.groupBy("doc_id", "source", "lang", "is_target", "bucket")
+      .agg(count(lit(1)).as("n"))
+
   /** The fitted (bucket, term) importance model, term = log p_target −
     * log p_raw at DECIMAL(28,12). Both unigram models in ONE aggregate
-    * pass (conditional sums) over the corpus, densified to ALL
+    * pass (conditional sums) over the [[dsirTokenCounts]] frame
+    * (n-weighted — exactly the per-token counts), densified to ALL
     * DsirBuckets buckets: a bucket absent from the fit corpus still has
     * its defined smoothed term (+1 smoothing gives log((tr+B)/(tt+B))),
     * so the streaming scorer's inner join cannot drop novel-vocabulary
@@ -1931,12 +1964,12 @@ object PipelineQueries {
     * oracle are identical. Totals attach as a broadcast 1-row aggregate
     * over the materialized O(buckets) count frame — one corpus pass.
     */
-  private[graft] def dsirModel(toks: DataFrame): DataFrame = {
-    val counts = toks.sparkSession.range(DsirBuckets)
+  private[graft] def dsirModel(tc: DataFrame): DataFrame = {
+    val counts = tc.sparkSession.range(DsirBuckets)
       .select(col("id").as("bucket"))
-      .join(toks.groupBy("bucket")
-        .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("ct0"),
-          sum(when(col("is_target"), 0L).otherwise(1L)).as("cr0")),
+      .join(tc.groupBy("bucket")
+        .agg(sum(when(col("is_target"), col("n")).otherwise(0L)).as("ct0"),
+          sum(when(col("is_target"), lit(0L)).otherwise(col("n"))).as("cr0")),
         Seq("bucket"), "left")
       .select(col("bucket"), coalesce(col("ct0"), lit(0L)).as("ct"),
         coalesce(col("cr0"), lit(0L)).as("cr"))
@@ -1951,14 +1984,22 @@ object PipelineQueries {
           .as("term"))
   }
 
-  /** Per-doc importance weights (doc_id, source, lang, n_tokens, logw):
-    * the O(buckets) model broadcasts into the token scoring join and the
-    * per-doc re-aggregate gets map-side partials.
+  /** Per-doc importance weights (doc_id, source, lang, n_tokens, logw)
+    * over a [[dsirTokenCounts]] frame: the O(buckets) model broadcasts
+    * into the count-weighted scoring join and the per-doc re-aggregate
+    * gets map-side partials. sum(term·n) ≡ the per-token sum(term)
+    * exactly (decimal arithmetic).
     */
-  private[graft] def dsirScore(toks: DataFrame, model: DataFrame): DataFrame =
-    toks.join(broadcast(model), Seq("bucket"))
+  private[graft] def dsirScore(tc: DataFrame, model: DataFrame): DataFrame =
+    tc.join(broadcast(model), Seq("bucket"))
       .groupBy("doc_id", "source", "lang")
-      .agg(count(lit(1)).as("n_tokens"), sum("term").as("logw"))
+      // (25,12)·(12,0) → decimal(38,12): scale-12-exact product (term is
+      // a (29,12) difference; term·bigint would exceed precision 38 and
+      // Spark would cut the scale to 6 — a 1-ulp drift vs the per-token
+      // sum). Value-preserving casts: |term| < 10^13, n < 10^12.
+      .agg(sum("n").as("n_tokens"),
+        sum(col("term").cast("decimal(25,12)") *
+          col("n").cast("decimal(12,0)")).as("logw"))
 
   /** The fitted keep threshold (1-row frame): the highest floor-bucket
     * whose from-the-top cumulative count reaches k =
@@ -3279,6 +3320,11 @@ object PipelineQueries {
             .select(col("doc_id"), col("n_bpe_tokens")), Seq("doc_id"), "left")
           .select(col("doc_id"), col("lang"),
             coalesce(col("n_bpe_tokens"), lit(0L)).as("n_tokens"))
+          // Materialized: the per-language rate fit AND the sampling scan
+          // both consume toks, and each consumer re-ran the full BPE
+          // nested-replace encode of the corpus without it. The frame is
+          // three narrow columns per doc; one encode pass instead of two.
+          .localCheckpoint()
         val wcol = when(col("lang") === "en", lit(0.40)).otherwise(lit(0.15))
         val perLang = toks.groupBy("lang").agg(sum("n_tokens").as("lang_tokens"))
         // The global total is a window over the O(#languages) agg output,
@@ -4821,16 +4867,35 @@ object PipelineQueries {
           .withColumn("bucket",
             pmod(TextOps.md5Mod(col("bg")), lit(BigramBuckets)))
           .drop("bg")
-        val bc = bigr.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        // ONE bigram explode for the whole query: pre-aggregate to
+        // (doc_id, bucket, nb) and materialize — the model fit, its total
+        // and the scoring all derive from this frame (the un-aggregated
+        // version re-ran the explode + md5 per consumer: 3 full corpus
+        // scans in the plan). nb-weighted decimal sums are exact, so
+        // sum(logp)·over·bigrams ≡ sum(logp·nb) bit-for-bit and the
+        // oracle hash is unchanged. The materialized frame is capped at
+        // min(bigrams, docs·BigramBuckets) rows — the aggregate the
+        // per-doc scoring join needs anyway.
+        val bigrAgg = bigr.groupBy("doc_id", "bucket")
+          .agg(count(lit(1)).as("nb")).localCheckpoint()
+        val bc = bigrAgg.groupBy("bucket").agg(sum("nb").as("cnt"))
+          .localCheckpoint()
         val total = bc.agg(sum("cnt").as("total"))
-        bigr.join(broadcast(bc), Seq("bucket"))
+        bigrAgg.join(broadcast(bc), Seq("bucket"))
           .crossJoin(broadcast(total))
-          .select(col("doc_id"),
+          .select(col("doc_id"), col("nb"),
             log(col("cnt").cast("double") / col("total").cast("double"))
               .cast("decimal(28,12)").as("logp"))
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"),
-            round(sum(col("logp")).cast("double") / count(lit(1)).cast("double"), 6)
+          .agg(sum("nb").as("n_bigrams"),
+            // (25,12)·(12,0) → decimal(38,12): the product keeps scale 12
+            // exactly (a (28,12)·bigint product is precision 49, which
+            // Spark truncates to scale 6 — a 1-ulp drift vs the per-row
+            // oracle sum). Both casts are value-preserving here: |logp| <
+            // 10^13 and nb < 10^12.
+            round(sum(col("logp").cast("decimal(25,12)") *
+                col("nb").cast("decimal(12,0)")).cast("double") /
+              sum("nb").cast("double"), 6)
               .as("mean_logp2"))
       },
       Some(s"""WITH ws AS (
@@ -5434,10 +5499,12 @@ object PipelineQueries {
       // Scala home (Multimodal.mediaRecords).
       "q156_image_keep",
       (s, d) => {
-        import s.implicits._
-        val imgs = imageRecordsWithDups(s, d)
-          .map(r => (r.doc_id, r.width.toLong * r.height))
-          .toDF("node", "res")
+        // Resolution rides the memoized signature frame (one decode pass
+        // for sig + res) — the previous imageRecordsWithDups().map(...)
+        // re-ran the whole media-record construction, PPM encode/decode
+        // included, just to read width·height.
+        val imgs = imageDhashSigRes(s, d)
+          .select(col("doc_id").as("node"), col("res"))
         val edges = hammingClassPairs(imageDhashSigs(s, d))
           .select(col("doc_a").as("a"), col("doc_b").as("b"))
         val cc = graft.operators.Components.connectedComponents(

@@ -35,9 +35,10 @@ object StreamingSelect {
     */
   def dsirFit(corpus: DataFrame, isTarget: org.apache.spark.sql.Column,
       keepNum: Int, keepDen: Int): (DataFrame, DataFrame) = {
-    val toks = PipelineQueries.dsirTokens(corpus, isTarget)
-    val model = PipelineQueries.dsirModel(toks)
-    val scored = PipelineQueries.dsirScore(toks.filter(!col("is_target")), model)
+    val tc = PipelineQueries.dsirTokenCounts(
+      PipelineQueries.dsirTokens(corpus, isTarget)).localCheckpoint()
+    val model = PipelineQueries.dsirModel(tc)
+    val scored = PipelineQueries.dsirScore(tc.filter(!col("is_target")), model)
     (model, PipelineQueries.dsirThreshold(scored, keepNum, keepDen)
       .localCheckpoint())
   }
@@ -49,8 +50,9 @@ object StreamingSelect {
     */
   def keepBatch(model: DataFrame, thr: DataFrame,
       arrivals: DataFrame): DataFrame = {
-    val toks = PipelineQueries.dsirTokens(arrivals, lit(false))
-    PipelineQueries.dsirKeep(PipelineQueries.dsirScore(toks, model), thr)
+    val tc = PipelineQueries.dsirTokenCounts(
+      PipelineQueries.dsirTokens(arrivals, lit(false)))
+    PipelineQueries.dsirKeep(PipelineQueries.dsirScore(tc, model), thr)
   }
 
   /** BPE token accounting for an arriving micro-batch — the streaming

@@ -190,7 +190,8 @@ class EdgeSpec extends SparkTestBase {
       lit((1 to 20).map(i => s"zzqx${i}novel").mkString(" ")).as("text"),
       lit("xx").as("lang"), lit("crawl").as("source"))
     val scored = PipelineQueries.dsirScore(
-      PipelineQueries.dsirTokens(novel, lit(false)), model).collect()
+      PipelineQueries.dsirTokenCounts(
+        PipelineQueries.dsirTokens(novel, lit(false))), model).collect()
     assert(scored.length == 1, "novel-vocabulary doc vanished from scoring")
     assert(scored.head.getLong(3) == 20,
       s"scored ${scored.head.getLong(3)} of 20 novel tokens — unseen buckets dropped")
