@@ -68,6 +68,7 @@ object SparkEntry {
     "jaccard_banded" -> Seq("grams", "minhash_bands"),
     "ivf_assign" -> Seq("emb_norms"),
     "brute_knn" -> Seq("emb_norms"),
+    "pq_codes" -> Seq("emb_norms"),
     "emb_pairs" -> Seq("emb_dup_norms"),
     "emb_corpus_cells" -> Seq("emb_dup_norms"),
     "reffile_accuracy" -> Seq("reffile_chain"))

@@ -2947,7 +2947,13 @@ object LinkageQueries {
     val old = p.select(Preprocess.geokey(col("street_num_old"),
       std(col("street_raw_old")), lit(""),
       col("city_old"), col("state_old")).as("maf_key"))
+    // Materialized: q130 resolves BOTH sides against the MAF (two
+    // consumers of this frame) and q138 broadcasts it — without the
+    // barrier each consumer re-ran the distinct + the per-partition
+    // numbering window over the checkpointed ranged frame. Two narrow
+    // columns per distinct address.
     graft.ops.DfOps.addContiguousId(
       cur.unionByName(old).distinct(), "maf_key", "mafid")
+      .localCheckpoint()
   }
 }

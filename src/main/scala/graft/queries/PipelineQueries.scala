@@ -338,7 +338,11 @@ object PipelineQueries {
     // self-join. (doc, tbl) pairs are unique, so COUNT(*) = doc count.
     val ok = keys.groupBy("tbl", "k").agg(count(lit(1)).as("nd"))
       .filter(col("nd") <= SimHubCap).select("tbl", "k")
-    val kk = keys.join(ok, Seq("tbl", "k"))
+    // Materialized: the self-join reads kk on BOTH sides, and each side
+    // re-derived the key explode + the hub-cap join without the barrier.
+    // The persisted hub-filtered key index is also the structure a
+    // deployment serves probes from.
+    val kk = keys.join(ok, Seq("tbl", "k")).localCheckpoint()
     kk.as("a").join(kk.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.k") === col("b.k") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -427,7 +431,9 @@ object PipelineQueries {
         col("ck.tbl").as("tbl"), col("ck.k").as("k"))
     val ok = keys.groupBy("tbl", "k").agg(count(lit(1)).as("nd"))
       .filter(col("nd") <= SimHubCap).select("tbl", "k")
-    val kk = keys.join(ok, Seq("tbl", "k"))
+    // Materialized for the same reason as [[hamming3Pairs]]'s kk: the
+    // self-join reads it twice.
+    val kk = keys.join(ok, Seq("tbl", "k")).localCheckpoint()
     val rpairs = kk.as("a").join(kk.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.k") === col("b.k") &&
           col("a.sig") < col("b.sig"))
@@ -497,7 +503,11 @@ object PipelineQueries {
     */
   private[graft] def imageProbeMatches(corpusSigs: DataFrame,
       newSigs: DataFrame): DataFrame = {
+    // Materialized: reps feeds the exact-match join, the scheme
+    // derivation AND the corpus band keys — each consumer re-ran the
+    // class groupBy without the barrier. One row per distinct signature.
     val reps = corpusSigs.groupBy("sig").agg(min("doc_id").as("rep"))
+      .localCheckpoint()
     val exact = newSigs.join(reps, Seq("sig"))
       .select(col("rep").as("corpus_id"), col("doc_id").as("new_id"),
         lit(0).cast("int").as("hamming"))
@@ -2089,6 +2099,11 @@ object PipelineQueries {
     "image_sigs" -> ((s: SparkSession, d: String) => {
       imageDhashSigs(s, d).count(); ()
     }),
+    // The PQ index (codebook + per-vector codes) feeds q149/q152; the
+    // n·M·K decimal encode is the dominant PQ cost and builds once here.
+    "pq_codes" -> ((s: SparkSession, d: String) => {
+      val (cb, codes) = pqIndex(s, d); cb.count(); codes.count(); ()
+    }),
     // The BPE merge list feeds q135/q82/q59; training it in the warm
     // phase keeps its 16-iteration loop off whichever consumer runs
     // first (the cross-query memo accounting rule every other memo here
@@ -2407,37 +2422,66 @@ object PipelineQueries {
     * factored so the recall eval (q152) measures the identical plan. See
     * the q149 QueryDef scaladoc for the full design.
     */
+  /** The PQ INDEX — (codebook, per-vector codes) — memoized like
+    * [[ivfAssign]]: a deployment trains the codebook and encodes the
+    * corpus once, then serves many queries against it, and q149 + q152
+    * both consume exactly this pair (the encode is n·M·K decimal
+    * distance evaluations — the dominant PQ cost — and re-ran per
+    * consumer before the memo). Built in the warm phase as the
+    * `pq_codes` step so its cost is reported, not charged to whichever
+    * consumer runs first.
+    */
+  private val pqIndexFrames = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  private[graft] def pqIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    pqIndexFrames.synchronized {
+      pqIndexFrames.getOrElse((s, d), {
+        pqIndexFrames.values.foreach { case (a, b) => a.unpersist(); b.unpersist() }
+        pqIndexFrames.clear()
+        graft.functions.GraftFunctions.register(s)
+        val e = embNorms(s, d)
+        // Sampled codebook: PqK training vectors stride-picked by id
+        // (codebook SIZE is fixed — a compression knob — while the pick
+        // stride derives from n so the sample spans the corpus).
+        val params = e.agg(count(lit(1)).as("n")).select(
+          greatest(lit(1L), (col("n") / lit(PqK)).cast("long")).as("cstride"))
+        val train = e.crossJoin(broadcast(params))
+          .filter(pmod(col("vec_id"), col("cstride")) ===
+            pmod(lit(5L), col("cstride")))
+          .withColumn("k", row_number().over(Window.orderBy(col("vec_id").asc)))
+          .filter(col("k") <= PqK)
+        val cb = train
+          .select(col("k"), explode(pqSubStructs(col("embedding"))).as("mc"))
+          .select(col("k"), col("mc.m").as("m"), col("mc.sv").as("cw"))
+          .cache()
+        // Encode: per (vector, subspace) argmin-d2 codeword (k tiebreak).
+        // groupBy min(struct) = map-side partial argmin — no window
+        // shuffle of the n×M×K scored rows.
+        val codes = e
+          .select(col("vec_id"), explode(pqSubStructs(col("embedding"))).as("ms"))
+          .select(col("vec_id"), col("ms.m").as("m"), col("ms.sv").as("sv"))
+          .join(broadcast(cb), Seq("m"))
+          .select(col("vec_id"), col("m"), col("k"),
+            VectorOps.dist2Decimal(col("sv"), col("cw")).as("d2"))
+          .groupBy("vec_id", "m")
+          .agg(min(struct(col("d2"), col("k"))).as("mk"))
+          .select(col("vec_id"), col("m"), col("mk.k").as("k"))
+          .cache()
+        pqIndexFrames.put((s, d), (cb, codes))
+        (cb, codes)
+      })
+    }
+
+  private def pqSubStructs(frame: Column): Column = array((0 until PqM).map(m =>
+    struct(lit(m).as("m"),
+      slice(frame, m * PqSubDim + 1, PqSubDim).as("sv"))): _*)
+
   private def pqAdcTop5(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = embNorms(s, d)
-    // Sampled codebook: PqK training vectors stride-picked by id
-    // (codebook SIZE is fixed — a compression knob — while the pick
-    // stride derives from n so the sample spans the corpus).
-    val params = e.agg(count(lit(1)).as("n")).select(
-      greatest(lit(1L), (col("n") / lit(PqK)).cast("long")).as("cstride"))
-    val train = e.crossJoin(broadcast(params))
-      .filter(pmod(col("vec_id"), col("cstride")) ===
-        pmod(lit(5L), col("cstride")))
-      .withColumn("k", row_number().over(Window.orderBy(col("vec_id").asc)))
-      .filter(col("k") <= PqK)
-    val subStructs = (frame: Column) => array((0 until PqM).map(m =>
-      struct(lit(m).as("m"),
-        slice(frame, m * PqSubDim + 1, PqSubDim).as("sv"))): _*)
-    val cb = train
-      .select(col("k"), explode(subStructs(col("embedding"))).as("mc"))
-      .select(col("k"), col("mc.m").as("m"), col("mc.sv").as("cw"))
-    // Encode: per (vector, subspace) argmin-d2 codeword (k tiebreak).
-    // groupBy min(struct) = map-side partial argmin — no window
-    // shuffle of the n×M×K scored rows.
-    val codes = e
-      .select(col("vec_id"), explode(subStructs(col("embedding"))).as("ms"))
-      .select(col("vec_id"), col("ms.m").as("m"), col("ms.sv").as("sv"))
-      .join(broadcast(cb), Seq("m"))
-      .select(col("vec_id"), col("m"), col("k"),
-        VectorOps.dist2Decimal(col("sv"), col("cw")).as("d2"))
-      .groupBy("vec_id", "m")
-      .agg(min(struct(col("d2"), col("k"))).as("mk"))
-      .select(col("vec_id"), col("m"), col("mk.k").as("k"))
+    val (cb, codes) = pqIndex(s, d)
+    val subStructs = pqSubStructs(_)
     // ADC lookup table: query-subvector · codeword exact decimal
     // dots — PqM·PqK rows per query, broadcast at any corpus size.
     val qlut = e.filter(col("vec_id").isin(KnnQueryIds: _*))
