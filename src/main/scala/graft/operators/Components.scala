@@ -31,7 +31,7 @@ object Components {
     * @return (node, cluster_id) where cluster_id = min node id reachable
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 30): DataFrame = {
-    // Iterative frames use EAGER localCheckpoint, not cache+unpersist:
+    // Iterative frames use localCheckpoint, not cache+unpersist:
     // unpersisting iteration N's labels invalidates the CacheManager entry
     // of every dependent cached plan (iteration N+1's labels), so the loop
     // silently recomputed its entire history each round — measured 2×
@@ -39,7 +39,9 @@ object Components {
     // 13k-node graph. Checkpointing truncates the lineage instead: each
     // iteration's jobs see materialized partitions, never the chain. Same
     // hygiene GraphX applies to iterative graphs; on a real cluster a
-    // reliable checkpoint dir would back the long chains.
+    // reliable checkpoint dir would back the long chains. (Setup frames
+    // are eager; the in-loop frame is lazy, materialized by the
+    // convergence count — see below.)
     val e = edges.select(col("a"), col("b")).localCheckpoint()
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
@@ -54,22 +56,29 @@ object Components {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      val tRound = System.nanoTime()
       val neighborMin = sym
         .join(labels, sym("a") === labels("node"))
         .groupBy(col("b").as("node2"))
         .agg(min("cluster_id").as("neighbor_min"))
-      // One round = neighbor-min propagation PLUS a pointer jump (adopt
-      // the label of the current label — both joins read the MATERIALIZED
-      // labels frame, so neither side recomputes anything). The jump
-      // turns O(diameter) rounds into O(log diameter): long rep-pair
-      // chains (measured: the sf0.1 image graph has components of
-      // diameter > 15, which left plain propagation UNCONVERGED at the
-      // old maxIter=15) now collapse in a handful of rounds. Every label
-      // value is an edge-incident node id (mins of initial ids), so the
-      // jump's left join always finds its parent row. Convergence stays
-      // exact: chg records ANY decrease; a zero-change round means in
-      // particular the neighbor step was the identity, which forces
-      // labels constant per component — the true min-id fixpoint.
+      // One round = neighbor-min propagation PLUS a pointer jump (one
+      // left self-join adopting the label of the current label — both
+      // joins read the MATERIALIZED labels frame, so neither side
+      // recomputes anything). The jump turns O(diameter) rounds into
+      // O(log diameter): long rep-pair chains (measured: the sf0.1 image
+      // graph has components of diameter > 15, which left plain
+      // propagation UNCONVERGED at the old maxIter=15) now collapse in
+      // ~14 rounds. Every label value is an edge-incident node id (mins
+      // of initial ids), so the jump's left join always finds its parent
+      // row. Convergence stays exact: chg records ANY decrease; a
+      // zero-change round means in particular the neighbor step was the
+      // identity, which forces labels constant per component — the true
+      // min-id fixpoint. Measured alternatives, both rejected: a SECOND
+      // jump per round (reach l(l(l(v)))) sent driver-side round time
+      // superlinear under AQE (39–52 s/round by round 12 vs ~0.3 s
+      // here); folding the jump into the neighbor aggregate as parent
+      // pseudo-edges kept the round count identical but tripled the
+      // aggregate input (~0.6–1.0 s/round vs ~0.3–0.5 s for this shape).
       //
       // The change flag rides in the checkpointed frame, and the
       // convergence probe IS the materializing action: the checkpoint is
@@ -93,7 +102,8 @@ object Components {
       val changed = next.filter(col("chg")).count()
       if (sys.env.contains("GRAFT_CC_TIMING"))
         System.err.println(f"CC iter $iter: changed=$changed " +
-          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+          f"count=${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          f"round=${(System.nanoTime() - tRound) / 1e9}%.2f s")
       labels = next.select("node", "cluster_id")
       converged = changed == 0
       iter += 1
