@@ -266,6 +266,30 @@ object PipelineQueries {
     (tf, dl)
   }
 
+  /** The corpus POSTINGS (tf, dl) memoized per (session, dir) — the
+    * inverted index a lexical-retrieval deployment persists. q147 and
+    * q150 each consumed the token explode + aggregate several times per
+    * invocation (tf for scoring + tf again for document frequencies, dl
+    * for scoring + dl again for corpus stats) before the memo. Built in
+    * the warm phase as the `bm25_postings` step. Streaming arrivals keep
+    * using [[bm25DocTf]] directly (per-batch postings are not corpus
+    * state).
+    */
+  private val bm25Frames = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  private[graft] def bm25Postings(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    bm25Frames.synchronized {
+      bm25Frames.getOrElse((s, d), {
+        bm25Frames.values.foreach { case (a, b) => a.unpersist(); b.unpersist() }
+        bm25Frames.clear()
+        val (tf, dl) = bm25DocTf(Tables.documents(s, d))
+        val pair = (tf.cache(), dl.cache())
+        bm25Frames.put((s, d), pair)
+        pair
+      })
+    }
+
   /** Fit the BM25 corpus artifacts: the (query_id, word, df) standing
     * query set (fixture: df ranks 17-32 paired into 8 two-term queries —
     * production supplies a literal term list joined with df the same
@@ -276,6 +300,13 @@ object PipelineQueries {
     */
   private[graft] def bm25Fit(docs: DataFrame): (DataFrame, DataFrame) = {
     val (tf, dl) = bm25DocTf(docs)
+    bm25FitFrom(tf, dl)
+  }
+
+  /** [[bm25Fit]] over already-built postings (the memo path — no second
+    * token explode).
+    */
+  private[graft] def bm25FitFrom(tf: DataFrame, dl: DataFrame): (DataFrame, DataFrame) = {
     val stats = dl.agg(count(lit(1)).as("n"),
       (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
@@ -2104,6 +2135,10 @@ object PipelineQueries {
     "pq_codes" -> ((s: SparkSession, d: String) => {
       val (cb, codes) = pqIndex(s, d); cb.count(); codes.count(); ()
     }),
+    // The BM25 postings (tf, dl) feed q147/q150.
+    "bm25_postings" -> ((s: SparkSession, d: String) => {
+      val (tf, dl) = bm25Postings(s, d); tf.count(); dl.count(); ()
+    }),
     // The BPE merge list feeds q135/q82/q59; training it in the warm
     // phase keeps its 16-iteration loop off whichever consumer runs
     // first (the cross-query memo accounting rule every other memo here
@@ -2615,8 +2650,7 @@ object PipelineQueries {
   private[graft] def hybridRrfTop(s: SparkSession, d: String,
       bruteSem: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val docs = Tables.documents(s, d)
-    val (tf, dl) = bm25DocTf(docs)
+    val (tf, dl) = bm25Postings(s, d)
     val stats = dl.agg(count(lit(1)).as("n"),
       (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
@@ -5069,9 +5103,8 @@ object PipelineQueries {
       "q147_bm25_topk",
       (s, d) => {
         val topK = Bm25TopK
-        val docs = Tables.documents(s, d)
-        val (tf, dl) = bm25DocTf(docs)
-        val (qt, stats) = bm25Fit(docs)
+        val (tf, dl) = bm25Postings(s, d)
+        val (qt, stats) = bm25FitFrom(tf, dl)
         val scored = bm25Score(tf, dl, qt, stats)
         val local = scored
           .withColumn("r1", row_number().over(
