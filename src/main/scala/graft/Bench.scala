@@ -252,6 +252,18 @@ object Bench {
     val line =
       s"""{"queries":$qs,"errors":$errs,"sf":"$sfDir","passes":$passesRun,"chain_retries":${chainRetries.size},"throttled":$throttled,"chain_throttled":$throttled,"nonchain_single_sample":$nonchainSingleSample,"agg":"$agg","commit":"$commit","queries_raw":$qsRaw,"warm_breakdown":$warmBreakdown,"warm_sec":${sec(warmSec)},"prep_sec":${sec(prepSec)},"linkage_sec":${sec(linkSec)},"chain_sec":${sec(prepSec + linkSec)},"n_errors":$nErr,"metric":"total","value":${sec(total)},"unit":"sec"}"""
     println(line)
+    // COMPACT second line, printed LAST so it lands inside the harness's
+    // ~2000-char stdout tail window. The full line above is ~6 KB (157-query
+    // map + errors + raw + warm breakdown) and front-truncates in that
+    // window, which left every BENCH_r10..r18 artifact with "parsed": null —
+    // the driver has been grading performance blind. This line carries only
+    // the headline scalars (guaranteed well under 1500 chars; no per-query
+    // map — that stays on the full line and in bench_last.json, never
+    // removed or renamed). `value_with_warm` makes any future timed→warm
+    // cost relocation visible in the graded number (round-18 verdict §2).
+    val compact =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"warm_sec":${sec(warmSec)},"value_with_warm":${sec(total + warmSec)},"prep_sec":${sec(prepSec)},"linkage_sec":${sec(linkSec)},"chain_sec":${sec(prepSec + linkSec)},"n_errors":$nErr,"passes":$passesRun,"chain_retries":${chainRetries.size},"agg":"$agg","throttled":$throttled,"chain_throttled":$throttled,"nonchain_single_sample":$nonchainSingleSample,"commit":"$commit"}"""
+    println(compact)
     // Also drop the full line in the repo so the complete per-query map is
     // readable even when the captured stdout tail truncates it — but only
     // for FULL-inventory runs: a SPARK_GRAFT_ONLY iteration run must not

@@ -5,7 +5,9 @@ import java.nio.file.{Files, Paths}
 /** Dumps `.explain("formatted")` for every (or selected) SparkEntry query
   * to plans/<tag>/<query>.txt — the round's plan-shape evidence. Not a
   * test: run with
-  *   sbt "Test/runMain graft.PlanDump <tag> [q129,q94,...]"
+  *   sbt "Test/runMain graft.PlanDump <tag> [suffix] [q129,q94,...]"
+  * (args: output dir tag, filename suffix — e.g. "_before"/"_after" —
+  * and an optional comma-separated query-prefix filter, in that order).
   * Uses the same GraftSession recipe as Bench so the dumped plan is the
   * plan the bench times (AQE initial plan; Exchange/join strategy/
   * PushedFilters are all visible pre-execution).
