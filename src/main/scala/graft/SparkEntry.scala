@@ -69,8 +69,10 @@ object SparkEntry {
     "ivf_assign" -> Seq("emb_norms"),
     "brute_knn" -> Seq("emb_norms"),
     "pq_codes" -> Seq("emb_norms"),
-    "emb_pairs" -> Seq("emb_dup_norms"),
-    "emb_corpus_cells" -> Seq("emb_dup_norms"),
+    "emb_ranked_dup" -> Seq("emb_dup_norms"),
+    "emb_pairs" -> Seq("emb_dup_norms", "emb_ranked_dup"),
+    "emb_corpus_cells" -> Seq("emb_dup_norms", "emb_ranked_dup"),
+    "image_class_pairs" -> Seq("image_sigs"),
     "reffile_accuracy" -> Seq("reffile_chain"))
 
   /** Runs [[warmSteps]] as the [[warmDeps]] DAG; returns (step, seconds)

@@ -138,6 +138,18 @@ object LinkageCascade {
         .select(col("l_pik").as("pik"), col("r_rec_id").as("rec_id"), col("match_weight")))
   }
 
+  /** Lookahead width of [[foldPasses]]'s overlapped execution: how many
+    * consecutive passes predict CONCURRENTLY over the same group-entry
+    * remainder before the anti-join chain is applied to their (tiny) link
+    * frames. 2-3 jobs in flight is the guide's §2.6 sweet spot — enough
+    * to back-fill the executor tail of one pass with the next pass's
+    * scan/join tasks, small enough that the within-group loss of anti-join
+    * pruning (a pass no longer skips the records its immediate
+    * predecessors in the SAME group link — bounded extra candidate
+    * scoring, exactly re-filtered afterwards) stays marginal.
+    */
+  val PassLookahead = 3
+
   /** The cascade: passes run in order over the not-yet-linked remainder;
     * links accumulate with the pass that produced them.
     *
@@ -149,19 +161,34 @@ object LinkageCascade {
     * df_ops.persist). The checkpointed links are tiny (ids + weight), so
     * the later `remaining` anti-joins stay broadcast-sized and lineage
     * stays shallow (input scan + one anti-join per completed pass).
+    *
+    * OVERLAPPED EXECUTION (guide §2.6 "overlap independent jobs"; round-19):
+    * passes are processed in groups of [[PassLookahead]]. Within a group
+    * every pass's predict runs over the GROUP-ENTRY remainder, submitted
+    * concurrently from a small thread pool, so one pass's straggler tail
+    * back-fills with the next pass's scan/join tasks instead of idling the
+    * executors — measured per-pass wall at sf0.1 was a near-constant
+    * ~1.3-2.4 s across all 15 passes even as the remainder shrank to a few
+    * percent, i.e. stage latency, not compute. Results are EXACTLY the
+    * sequential cascade's: records are independent through a pass (each
+    * record's candidates, threshold and best-link window condition only on
+    * its own rec_id — the property [[mainPasses]] documents and
+    * StreamingSpec pins), so predict(pass, r ∖ L) ≡ predict(pass, r)
+    * filtered to rec_id ∉ L; the within-group anti-join chain applies that
+    * filter to the concurrently-predicted link frames in pass order.
     */
   private def foldPasses(
       refs: Map[String, DataFrame],
       input: DataFrame,
       passes: Seq[BlockingPass],
       cfg: LinkageConfig,
-      acc0: Option[DataFrame]): (Option[DataFrame], DataFrame) =
-    passes.foldLeft((acc0, input)) {
-      case ((acc, remaining), pass) =>
+      acc0: Option[DataFrame]): (Option[DataFrame], DataFrame) = {
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    passes.grouped(math.max(1, PassLookahead)).foldLeft((acc0, input)) {
+      case ((acc, remaining), group) =>
         val t0 = System.nanoTime()
-        val census = refs.getOrElse(pass.ref, throw new IllegalArgumentException(
-          s"pass ${pass.name} searches reference frame '${pass.ref}' but run() " +
-            s"was given only ${refs.keys.mkString(", ")}"))
         // MEMORY_ONLY: the link frames are tiny (ids + weight) but the
         // default MEMORY_AND_DISK localCheckpoint still writes blocks
         // through the disk store — under I/O contention those writes
@@ -171,16 +198,41 @@ object LinkageCascade {
         // frames are KB-scale against GB-scale storage memory; anything
         // bigger (addContiguousId's full-table checkpoint) keeps the
         // disk-backed default.
-        val passLinks = predict(census, remaining, pass, cfg)
-          .withColumn("pass", lit(pass.name))
-          .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        val predicted: Seq[(BlockingPass, DataFrame)] = Await.result(
+          Future.sequence(group.map { pass =>
+            Future {
+              val census = refs.getOrElse(pass.ref, throw new IllegalArgumentException(
+                s"pass ${pass.name} searches reference frame '${pass.ref}' but run() " +
+                  s"was given only ${refs.keys.mkString(", ")}"))
+              pass -> predict(census, remaining, pass, cfg)
+                .withColumn("pass", lit(pass.name))
+                .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+            }
+          }),
+          Duration.Inf)
         if (sys.env.contains("GRAFT_CASCADE_TIMING"))
-          System.err.println(f"CASCADE ${pass.name}: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-        val nextAcc = Some(acc.fold(passLinks)(_.unionByName(passLinks)))
-        val nextRemaining =
-          remaining.join(passLinks.select("rec_id"), Seq("rec_id"), "left_anti")
+          System.err.println(f"CASCADE group ${group.map(_.name).mkString("+")}: " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+        // Within-group resolution IN PASS ORDER over the materialized
+        // frames: pass i keeps only records no earlier in-group pass
+        // linked (the cross-group exclusion already happened — every
+        // predict above read the group-entry remainder).
+        val resolved = predicted.foldLeft(Seq.empty[DataFrame]) {
+          case (done, (_, pl)) =>
+            val filtered = done.foldLeft(pl) { (df, earlier) =>
+              df.join(earlier.select("rec_id"), Seq("rec_id"), "left_anti")
+            }
+            done :+ filtered
+        }
+        val nextAcc = resolved.foldLeft(acc) { (a, links) =>
+          Some(a.fold(links)(_.unionByName(links)))
+        }
+        val nextRemaining = resolved.foldLeft(remaining) { (rem, links) =>
+          rem.join(links.select("rec_id"), Seq("rec_id"), "left_anti")
+        }
         (nextAcc, nextRemaining)
     }
+  }
 
   /** The hhcompsearch reference file (reference cells 126-138): bridge each
     * input-side pseudo-household (its `geokey_blk`) through its already-

@@ -7,15 +7,17 @@ import org.apache.spark.sql.functions._
   * duplicate PAIRS into duplicate CLUSTERS with one surviving
   * representative (min id), which is what a dedup pipeline actually keeps.
   *
-  * Iterative min-label propagation with pointer jumping: each round every
-  * node adopts the smallest label among itself, its neighbors, and the
-  * label of its current label (path shortcutting), converging in
-  * O(log diameter) rounds. Dup clusters are usually near-cliques (2–3
-  * rounds); chain-shaped components (e.g. transitive near-dup sig chains,
-  * measured diameter > 15 on the sf0.1 image graph) collapse
-  * logarithmically instead of one hop per round. Each round is one
-  * shuffle join + one aggregate + one label self-join (all distributed —
-  * no driver-side graph).
+  * Iterative min-label propagation with ADAPTIVE pointer jumping: every
+  * round each node adopts the smallest label among itself and its
+  * neighbors; once the per-round change count stops collapsing
+  * geometrically the round additionally adopts the label of its current
+  * label (path shortcutting), converging in O(log diameter) rounds from
+  * that point. Dup clusters are usually near-cliques (2–3 plain rounds,
+  * never paying the jump's self-join); chain-shaped components (e.g.
+  * transitive near-dup sig chains, measured diameter > 15 on the sf0.1
+  * image graph) collapse logarithmically instead of one hop per round.
+  * Each round is one shuffle join + one aggregate (+ one label self-join
+  * while jumping) — all distributed, no driver-side graph.
   */
 object Components {
 
@@ -30,7 +32,7 @@ object Components {
     * @param edges columns `a`, `b` (undirected pairs)
     * @return (node, cluster_id) where cluster_id = min node id reachable
     */
-  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 30): DataFrame = {
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 64): DataFrame = {
     // Iterative frames use localCheckpoint, not cache+unpersist:
     // unpersisting iteration N's labels invalidates the CacheManager entry
     // of every dependent cached plan (iteration N+1's labels), so the loop
@@ -55,6 +57,19 @@ object Components {
       .localCheckpoint()
     var iter = 0
     var converged = false
+    // ADAPTIVE pointer jump (round-19 A/B, see OPTIMIZATION_r19.md): the
+    // jump's extra label self-join is pure per-round overhead on near-clique
+    // graphs (dup clusters — they converge in 2-3 plain rounds), and only
+    // pays on long-chain components where plain propagation needs one round
+    // per hop. Engage it from the first round whose change count is NOT
+    // collapsing geometrically (changed*2 > previous changed — a clique's
+    // count collapses superexponentially, a chain's stays ~constant), and
+    // keep it engaged (hysteresis) so convergence stays O(log diameter)
+    // from that point. Decision inputs are the deterministic per-round
+    // change counts, so the label result is unchanged either way — only
+    // the round count/plan differs.
+    var jumping = false
+    var prevChanged = Long.MaxValue
     while (!converged && iter < maxIter) {
       val tRound = System.nanoTime()
       val neighborMin = sym
@@ -89,11 +104,17 @@ object Components {
       // scale where components are near-cliques. The count is full (no
       // limit), so no partition is left unmaterialized for later rounds
       // to recompute through the lineage.
-      val newLabel = least(col("l.cluster_id"), col("neighbor_min"), col("plabel"))
-      val next = labels.as("l")
+      val base = labels.as("l")
         .join(neighborMin, col("l.node") === col("node2"), "left")
-        .join(labels.select(col("node").as("pnode"), col("cluster_id").as("plabel")),
-          col("l.cluster_id") === col("pnode"), "left")
+      val (joined, newLabel) =
+        if (jumping) {
+          val nl = least(col("l.cluster_id"), col("neighbor_min"), col("plabel"))
+          (base.join(
+            labels.select(col("node").as("pnode"), col("cluster_id").as("plabel")),
+            col("l.cluster_id") === col("pnode"), "left"), nl)
+        } else
+          (base, least(col("l.cluster_id"), col("neighbor_min")))
+      val next = joined
         .select(col("l.node").as("node"),
           newLabel.as("cluster_id"),
           (newLabel < col("l.cluster_id")).as("chg"))
@@ -101,13 +122,30 @@ object Components {
       val t0 = System.nanoTime()
       val changed = next.filter(col("chg")).count()
       if (sys.env.contains("GRAFT_CC_TIMING"))
-        System.err.println(f"CC iter $iter: changed=$changed " +
+        System.err.println(f"CC iter $iter: changed=$changed jump=$jumping " +
           f"count=${(System.nanoTime() - t0) / 1e9}%.2f s " +
           f"round=${(System.nanoTime() - tRound) / 1e9}%.2f s")
       labels = next.select("node", "cluster_id")
       converged = changed == 0
+      // Engage on the first non-geometric round; the iter>=8 backstop
+      // bounds the worst case (changed could halve each round without the
+      // graph being clique-shaped): total rounds ≤ 8 + O(log diameter).
+      if (!converged && (changed * 2 > prevChanged || iter >= 8)) jumping = true
+      prevChanged = changed
       iter += 1
     }
+    // A labeling that never reached the zero-change fixpoint is WRONG
+    // (partially propagated cluster ids) — it must never flow silently into
+    // downstream dedup results. Proven reachable once: the old plain
+    // propagation at maxIter=15 left the sf0.1 image graph unconverged.
+    // With the (adaptive) pointer jump, convergence takes O(log diameter)
+    // rounds — maxIter=64 covers any physical graph — so this throw is a
+    // hard bug signal, not an operational knob.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "partially-propagated cluster labels would be wrong; raise maxIter " +
+          "only if the edge set is legitimately this deep")
     nodes.select("node").join(labels, Seq("node"), "left")
       .select(col("node"), coalesce(col("cluster_id"), col("node")).as("cluster_id"))
   }

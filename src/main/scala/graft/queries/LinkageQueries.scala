@@ -751,6 +751,18 @@ object LinkageQueries {
           Seq("pik")).cache()
         val entry = (cen, in, nd, gb,
           Seq(praw, ipre, ib, gq, cpre, in, cen, nd, gb))
+        // Dev attribution only (GRAFT_REF_TIMING): force each cached side
+        // in dependency order and print its marginal build time.
+        if (sys.env.contains("GRAFT_REF_TIMING")) {
+          def force(label: String, df: DataFrame): Unit = {
+            val t0 = System.nanoTime()
+            df.count()
+            System.err.println(
+              f"SIDES $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          }
+          force("praw", praw); force("cpre", cpre); force("in", in)
+          force("cen", cen); force("nd", nd); force("gb", gb)
+        }
         sideFrames.put(key, entry)
         entry
       })

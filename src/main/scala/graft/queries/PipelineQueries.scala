@@ -719,6 +719,28 @@ object PipelineQueries {
   private[graft] def imageDhashSigs(s: SparkSession, d: String): DataFrame =
     imageDhashSigRes(s, d).select("doc_id", "sig")
 
+  /** The image near-dup edge set ([[hammingClassPairs]] over the dHash
+    * signature frame), memoized per (session, dir): q155 reports it and
+    * q156's keep policy consumes it as its CC edge set — each invocation
+    * previously re-ran the class groupBy + banding + rep self-join.
+    * Like the other shared index memos this is in-memory only (nothing
+    * survives the JVM); its build cost is the `image_class_pairs` warm
+    * step, visible in warm_breakdown and in the bench's value_with_warm.
+    */
+  private val classPairFrames =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def imageClassPairs(s: SparkSession, d: String): DataFrame =
+    classPairFrames.synchronized {
+      classPairFrames.getOrElse((s, d), {
+        classPairFrames.values.foreach(_.unpersist())
+        classPairFrames.clear()
+        val df = hammingClassPairs(imageDhashSigs(s, d)).cache()
+        classPairFrames.put((s, d), df)
+        df
+      })
+    }
+
   /** The shared decode→resample→dHash kernel over a media-record frame —
     * ONE home for the signature arithmetic so the batch corpus build
     * ([[imageDhashSigs]]), the incremental probe (q157) and the
@@ -1296,10 +1318,58 @@ object PipelineQueries {
       })
     }
 
+  /** ONE flat ranked-assignment pass over the dup corpus — (vec_id,
+    * label, cid, csim, arnk, probes), arnk <= derived probes — shared by
+    * three consumers that each previously ran their OWN n×k decimal
+    * scoring pass over the identical (embDupNorms × ivfCentroids)
+    * geometry (guide §1.2 "don't compute things twice"):
+    *  - the dedup candidate assignment (arnk <= probes; q51/q124 pairs),
+    *  - the SemDeDup affinity (arnk = 1's csim; q124 keep criterion),
+    *  - the incremental corpus cell index (arnk = 1, vec_id < 100000;
+    *    q123 probes it).
+    * Filtering `e` before or after the per-vector ranking commutes (each
+    * vector ranks against the broadcast centroid set independently), so
+    * all three projections are value-identical to their previous
+    * stand-alone passes. Slim rows only; payloads re-join by id.
+    */
+  private val dupRankedFrames =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def embDupRankedFlat(s: SparkSession, d: String): DataFrame =
+    dupRankedFrames.synchronized {
+      dupRankedFrames.getOrElse((s, d), {
+        dupRankedFrames.values.foreach(_.unpersist())
+        dupRankedFrames.clear()
+        graft.functions.GraftFunctions.register(s)
+        val e = embDupNorms(s, d)
+        val cents = ivfCentroids(e)
+        val byVec = Window.partitionBy("vec_id")
+          .orderBy(col("csim").desc, col("cid").asc)
+        val df = e.select("vec_id", "label", "embedding", "nrm")
+          .crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("label"),
+            (VectorOps.dotDecimal(col("embedding"), col("ce")) /
+              (col("nrm") * col("cn"))).as("csim"),
+            col("cid"))
+          .withColumn("arnk", row_number().over(byVec))
+          .crossJoin(broadcast(derivedProbes(cents)))
+          .filter(col("arnk") <= col("probes"))
+          .cache()
+        dupRankedFrames.put((s, d), df)
+        df
+      })
+    }
+
   private def embDedupPairsBuild(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = embDupNorms(s, d)
-    val assign = productionAssignments(e, ivfCentroids(e))
+    val cents = ivfCentroids(e)
+    // Same scheme dispatch as productionAssignments; the flat arm reads
+    // the shared ranked pass instead of re-scoring n×k.
+    val assign =
+      if (cents.count() < LadderK)
+        embDupRankedFlat(s, d).select("vec_id", "label", "cid")
+      else trainedCellAssignmentsDerived(e, cents)
     val cand = assign.as("a").join(assign.as("b"),
         col("a.label") === col("b.label") && col("a.cid") === col("b.cid") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -1325,9 +1395,11 @@ object PipelineQueries {
       corpusCellFrames.getOrElse((s, d), {
         corpusCellFrames.values.foreach(_.unpersist())
         corpusCellFrames.clear()
-        val e = embDupNorms(s, d)
-        val df = cellAssignments(
-            e.filter(col("vec_id") < 100000), ivfCentroids(e), probes = 1)
+        // Probe-1 home cells of the corpus slice, read off the shared
+        // ranked pass ([[embDupRankedFlat]]) instead of a third n×k
+        // scoring run; per-vector ranking commutes with the id filter.
+        val df = embDupRankedFlat(s, d)
+          .filter(col("vec_id") < 100000 && col("arnk") === 1)
           .select(col("vec_id").as("corpus_id"), col("label"), col("cid"))
           .cache()
         corpusCellFrames.put((s, d), df)
@@ -1349,17 +1421,10 @@ object PipelineQueries {
       embAffFrames.getOrElse((s, d), {
         embAffFrames.values.foreach(_.unpersist())
         embAffFrames.clear()
-        val e = embDupNorms(s, d)
-        val cents = ivfCentroids(e)
-        val byVec = Window.partitionBy("vec_id")
-          .orderBy(col("csim").desc, col("cid").asc)
-        val df = e.select("vec_id", "embedding", "nrm")
-          .crossJoin(broadcast(cents))
-          .select(col("vec_id"),
-            (VectorOps.dotDecimal(col("embedding"), col("ce")) /
-              (col("nrm") * col("cn"))).as("csim"),
-            col("cid"))
-          .withColumn("arnk", row_number().over(byVec))
+        // Top-1 csim read off the shared ranked pass ([[embDupRankedFlat]],
+        // arnk = 1 ⊆ arnk <= probes) — this was a SECOND full n×k decimal
+        // scoring over the identical frame and centroid set.
+        val df = embDupRankedFlat(s, d)
           .filter(col("arnk") === 1)
           .select(col("vec_id").as("node"), col("csim").cast("double").as("aff"))
           .cache()
@@ -2117,6 +2182,13 @@ object PipelineQueries {
     "shingles" -> ((s: SparkSession, d: String) => { plantedShingles(s, d).count(); () }),
     "ivf_assign" -> ((s: SparkSession, d: String) => { ivfAssign(s, d).count(); () }),
     "brute_knn" -> ((s: SparkSession, d: String) => { bruteTop5(s, d).count(); () }),
+    // The shared flat ranked-assignment pass (vec × centroid decimal
+    // scoring, arnk <= derived probes) behind the dedup candidates, the
+    // SemDeDup affinity and the incremental corpus index — ONE n×k pass
+    // where those three each ran their own before round 19.
+    "emb_ranked_dup" -> ((s: SparkSession, d: String) => {
+      embDupRankedFlat(s, d).count(); ()
+    }),
     "emb_pairs" -> ((s: SparkSession, d: String) => {
       embDedupPairs(s, d).count(); embAffinity(s, d).count(); ()
     }),
@@ -2129,6 +2201,11 @@ object PipelineQueries {
     // first.
     "image_sigs" -> ((s: SparkSession, d: String) => {
       imageDhashSigs(s, d).count(); ()
+    }),
+    // The image near-dup edge set (class stars + rep pairs) shared by
+    // q155 (reports it) and q156 (clusters over it).
+    "image_class_pairs" -> ((s: SparkSession, d: String) => {
+      imageClassPairs(s, d).count(); ()
     }),
     // The PQ index (codebook + per-vector codes) feeds q149/q152; the
     // n·M·K decimal encode is the dominant PQ cost and builds once here.
@@ -5559,7 +5636,7 @@ object PipelineQueries {
       // planted hamming<=3 pair is connected through its stars and
       // rep-rep edge (pigeonhole, not probabilistic).
       "q155_image_dhash",
-      (s, d) => hammingClassPairs(imageDhashSigs(s, d)),
+      (s, d) => imageClassPairs(s, d),
       Some(s"""WITH $imageDhashSigCtes,
               |${hammingClassPairsSql("dsig")}
               |SELECT * FROM stars UNION ALL SELECT * FROM rpairs""".stripMargin)
@@ -5582,7 +5659,7 @@ object PipelineQueries {
         // included, just to read width·height.
         val imgs = imageDhashSigRes(s, d)
           .select(col("doc_id").as("node"), col("res"))
-        val edges = hammingClassPairs(imageDhashSigs(s, d))
+        val edges = imageClassPairs(s, d)
           .select(col("doc_a").as("a"), col("doc_b").as("b"))
         val cc = graft.operators.Components.connectedComponents(
           imgs.select("node"), edges)

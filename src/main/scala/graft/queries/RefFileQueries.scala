@@ -415,6 +415,21 @@ object RefFileQueries {
           Seq("ssn"), "geo")
         val chain = RefChain(t, w, ndrFull, pFull, abys, pA,
           geob.cache(), pG.cache())
+        // Dev attribution only (GRAFT_REF_TIMING): force each cached stage
+        // in dependency order and print its marginal build time. Off, the
+        // stages materialize lazily inside the warm counts as before.
+        if (sys.env.contains("GRAFT_REF_TIMING")) {
+          def force(label: String, df: DataFrame): Unit = {
+            val t0 = System.nanoTime()
+            df.count()
+            System.err.println(
+              f"REFCHAIN $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          }
+          force("t1040", t); force("w2", w)
+          force("ndrFull", ndrFull); force("pFull", pFull)
+          force("abys", abys); force("pA", pA)
+          force("geob", geob); force("pG", pG)
+        }
         chainFrames.put((s, d), chain)
         chain
       })
