@@ -47,17 +47,48 @@ object Lineage {
   def dedupePreservingSourceRecords(
       df: DataFrame, pairs: DataFrame, cols: Seq[String],
       newRecordIdPrefix: String): (DataFrame, DataFrame) = {
+    // One hash aggregate (map-side partials) instead of the former
+    // window + distinct — same rows: the group's min record id IS the
+    // window min, and distinct-over-(new_id, cols) is exactly one row
+    // per group. Round-19 plan diff: 2 exchanges -> 1 on this branch.
+    val deduped = dedupedOn(df, cols, newRecordIdPrefix)
     val grp = Window.partitionBy(cols.map(col): _*)
     val withNew = df.withColumn("__new_id",
       concat(lit(newRecordIdPrefix + "_"), min("record_id").over(grp)))
-    val deduped = withNew
-      .select((col("__new_id").as("record_id") +: cols.map(col)): _*)
-      .distinct()
     val mapped = withNew
       .select(col("record_id").as("__old_id"), col("__new_id"))
       .join(pairs.withColumnRenamed("record_id", "__old_id"), Seq("__old_id"))
       .select(col("__new_id").as("record_id"), col("source_record_id"))
       .distinct()
+    (deduped, mapped)
+  }
+
+  private def dedupedOn(df: DataFrame, cols: Seq[String],
+      newRecordIdPrefix: String): DataFrame =
+    df.groupBy(cols.map(col): _*)
+      .agg(concat(lit(newRecordIdPrefix + "_"), min("record_id"))
+        .as("record_id"))
+      .select((col("record_id") +: cols.map(col)): _*)
+
+  /** [[dedupePreservingSourceRecords]] for a RAW file — one whose pairing
+    * table would be [[initPairs]] (every record its own sole source, the
+    * reference's cell-27 case, which is every production dedupe site in
+    * this repo). The generic path then does pure no-op work: the pairing
+    * join is an identity self-join on record_id, and the final distinct
+    * deduplicates (new_id, old_id) rows that are already unique (old ids
+    * are unique by contract). Skipping both leaves ONE aggregate for the
+    * deduped file and ONE window pass for the map — identical output
+    * rows, two fewer exchanges and no join (guide §2.4).
+    */
+  def dedupeRawPreservingSourceRecords(
+      df: DataFrame, cols: Seq[String],
+      newRecordIdPrefix: String): (DataFrame, DataFrame) = {
+    val deduped = dedupedOn(df, cols, newRecordIdPrefix)
+    val grp = Window.partitionBy(cols.map(col): _*)
+    val mapped = df.withColumn("__new_id",
+        concat(lit(newRecordIdPrefix + "_"), min("record_id").over(grp)))
+      .select(col("__new_id").as("record_id"),
+        col("record_id").as("source_record_id"))
     (deduped, mapped)
   }
 

@@ -729,13 +729,12 @@ object LinkageQueries {
             when(pmod(col("pik"), lit(6)) === 0, pmod(col("dob_day"), lit(28)) + 1)
               .otherwise(col("dob_day")).cast("int").as("dob_day"))
         val cnum = n0.unionByName(n1)
-        val init = Lineage.initPairs(cnum)
-        val (altN, pN) = Lineage.dedupePreservingSourceRecords(
+        val (altN, pN) = Lineage.dedupeRawPreservingSourceRecords(
           cnum.select("record_id", "ssn", "first_name", "last_name", "middle_initial"),
-          init, Seq("ssn", "first_name", "last_name", "middle_initial"), "can")
-        val (altD, pD) = Lineage.dedupePreservingSourceRecords(
+          Seq("ssn", "first_name", "last_name", "middle_initial"), "can")
+        val (altD, pD) = Lineage.dedupeRawPreservingSourceRecords(
           cnum.select("record_id", "ssn", "dob_year", "dob_month", "dob_day"),
-          init, Seq("ssn", "dob_year", "dob_month", "dob_day"), "cad")
+          Seq("ssn", "dob_year", "dob_month", "dob_day"), "cad")
         val (ndrRaw, _) = Lineage.mergePreservingSourceRecords(
           altN, pN, altD, pD, Seq("ssn"), "cndr")
         val nd = deriveNames(ndrRaw.select(

@@ -258,8 +258,7 @@ object RefFileQueries {
       t1040Df: DataFrame, w2Df: DataFrame): (DataFrame, DataFrame) = {
     val cols = ("record_id" +: "ssn" +: addrCols).map(col)
     val all = t1040Df.select(cols: _*).unionByName(w2Df.select(cols: _*))
-    Lineage.dedupePreservingSourceRecords(
-      all, Lineage.initPairs(all), "ssn" +: addrCols, "abys")
+    Lineage.dedupeRawPreservingSourceRecords(all, "ssn" +: addrCols, "abys")
   }
 
   private val abysCtes: String =
@@ -285,12 +284,11 @@ object RefFileQueries {
     */
   private def nameDobRef(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val n = numident(s, d)
-    val init = Lineage.initPairs(n)
-    val (altN, pN) = Lineage.dedupePreservingSourceRecords(
-      n, init, Seq("ssn", "first_name", "last_name"), "altn")
-    val (altD, pD) = Lineage.dedupePreservingSourceRecords(
+    val (altN, pN) = Lineage.dedupeRawPreservingSourceRecords(
+      n, Seq("ssn", "first_name", "last_name"), "altn")
+    val (altD, pD) = Lineage.dedupeRawPreservingSourceRecords(
       n.select("record_id", "ssn", "dob_year", "dob_month", "dob_day"),
-      init, Seq("ssn", "dob_year", "dob_month", "dob_day"), "altd")
+      Seq("ssn", "dob_year", "dob_month", "dob_day"), "altd")
     Lineage.mergePreservingSourceRecords(altN, pN, altD, pD, Seq("ssn"), "ndr")
   }
 
@@ -304,8 +302,8 @@ object RefFileQueries {
     val (ndr, pM) = nameDobRef(s, d)
     val itinRaw = t1040Df.filter(col("ssn") >= 900000000L)
       .select("record_id", "ssn", "first_name", "last_name")
-    val (itn, pI) = Lineage.dedupePreservingSourceRecords(
-      itinRaw, Lineage.initPairs(itinRaw), Seq("ssn", "first_name", "last_name"), "itn")
+    val (itn, pI) = Lineage.dedupeRawPreservingSourceRecords(
+      itinRaw, Seq("ssn", "first_name", "last_name"), "itn")
     val outCols = Seq("record_id", "ssn", "first_name", "last_name",
       "dob_year", "dob_month", "dob_day")
     val itnAligned = itn
@@ -582,8 +580,8 @@ object RefFileQueries {
       "q71_alternate_names",
       (s, d) => {
         val n = numident(s, d)
-        val (alt, pairs) = Lineage.dedupePreservingSourceRecords(
-          n, Lineage.initPairs(n), Seq("ssn", "first_name", "last_name"), "altn")
+        val (alt, pairs) = Lineage.dedupeRawPreservingSourceRecords(
+          n, Seq("ssn", "first_name", "last_name"), "altn")
         alt.join(
           pairs.groupBy("record_id")
             .agg(countDistinct("source_record_id").as("n_sources")),

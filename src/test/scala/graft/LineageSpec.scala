@@ -28,6 +28,21 @@ class LineageSpec extends SparkTestBase {
     assert(byId("d_a_4") == Set("a_4", "a_5"), "null-keyed rows must dedupe together")
   }
 
+  test("dedupeRawPreservingSourceRecords ≡ generic dedupe over initPairs") {
+    // The raw-file fast path (no pairing join, no distinct, aggregate
+    // instead of window+distinct for the deduped file) must produce the
+    // exact row sets of the generic path it replaces at every production
+    // call site.
+    val keys = Seq("ssn", "first_name", "last_name")
+    val (d1, p1) = Lineage.dedupePreservingSourceRecords(
+      file, Lineage.initPairs(file), keys, "d")
+    val (d2, p2) = Lineage.dedupeRawPreservingSourceRecords(file, keys, "d")
+    assert(d1.exceptAll(d2).isEmpty && d2.exceptAll(d1).isEmpty,
+      "deduped files differ")
+    assert(p1.exceptAll(p2).isEmpty && p2.exceptAll(p1).isEmpty,
+      "pairing maps differ")
+  }
+
   test("merge crosses parent pairings and drops null join keys") {
     val left = Seq(("l_1", Some(1L), "JOHN"), ("l_2", Some(2L), "MARY"),
       ("l_3", Option.empty[Long], "GHOST"))
