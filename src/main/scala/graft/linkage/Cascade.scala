@@ -186,7 +186,17 @@ object LinkageCascade {
     import scala.concurrent.duration.Duration
     import scala.concurrent.{Await, ExecutionContext, Future}
     implicit val ec: ExecutionContext = ExecutionContext.global
-    passes.grouped(math.max(1, PassLookahead)).foldLeft((acc0, input)) {
+    // A trailing undersized group merges into its predecessor (13 passes →
+    // 3+3+3+4, not 3+3+3+3+1): one fewer sequential barrier, and the
+    // widened group sits LAST, where passes link the fewest records, so
+    // the extra within-group candidate work is smallest.
+    val grouped = {
+      val gs = passes.grouped(math.max(1, PassLookahead)).toSeq
+      if (gs.size > 1 && gs.last.size < PassLookahead)
+        gs.dropRight(2) :+ (gs(gs.size - 2) ++ gs.last)
+      else gs
+    }
+    grouped.foldLeft((acc0, input)) {
       case ((acc, remaining), group) =>
         val t0 = System.nanoTime()
         // MEMORY_ONLY: the link frames are tiny (ids + weight) but the
