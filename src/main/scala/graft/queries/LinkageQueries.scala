@@ -1580,7 +1580,15 @@ object LinkageQueries {
       val key = (s, d)
       cascadeFrames.getOrElse(key, {
         cascadeFrames.clear()
+        // Checkpoint the ASSEMBLED link set once: with the overlapped
+        // cascade, per-pass links are checkpointed but the within-group
+        // anti-join resolution on top of them is lazy, and every memo
+        // consumer (q32/q33/q36/q37/q39/q83/q84/q112…) re-executed those
+        // ~13 small joins per query (measured +0.3-0.4 s each). One
+        // KB-scale materialization here gives consumers a single
+        // LogicalRDD, like the pre-overlap shape.
         val df = LinkageCascade.run(cascadeRefs(s, d), input(s, d), config)
+          .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
         cascadeFrames.put(key, df)
         df
       })
