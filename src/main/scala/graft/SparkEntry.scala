@@ -100,8 +100,16 @@ object SparkEntry {
         }
       })
     }
-    val out = steps.map { case (name, _) =>
-      (name, Await.result(futureOf(name), Duration.Inf))
+    // Create EVERY step's future up front, then await: the previous
+    // await-as-you-create loop only instantiated step k+1's future after
+    // step k completed (dependencies point backward in the list), so the
+    // "DAG" actually executed near-serially — warm wall ≈ sum of step
+    // times in every bench through r18. With eager creation each step
+    // starts the moment its declared dependencies finish and the wall is
+    // the critical path (guide §2.6).
+    val futures = steps.map { case (name, _) => name -> futureOf(name) }
+    val out = futures.map { case (name, f) =>
+      (name, Await.result(f, Duration.Inf))
     }
     pool.shutdown()
     out
