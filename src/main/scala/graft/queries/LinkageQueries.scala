@@ -2882,14 +2882,26 @@ object LinkageQueries {
         val ref = geobase(s, d)
         val z1 = zip3AdjPasses(0)
         val z2 = zip3AdjPasses(1)
-        val l1 = LinkageCascade.predict(ref, LinkageCascade.zip3Adjacent(rem),
-            z1, config)
+        // Both passes predict CONCURRENTLY over the same checkpointed
+        // remainder (the foldPasses lookahead shape, guide §2.6): records
+        // are independent within a pass and zip3Adjacent is a row-local
+        // explode, so predict(ref, zip3Adjacent(rem ∖ L1), z2) ≡
+        // predict(ref, zip3Adjacent(rem), z2) filtered to rec_id ∉ L1 —
+        // the anti-join below applies that filter to the materialized
+        // KB-scale link frames, links identical (oracle green).
+        val zadj = LinkageCascade.zip3Adjacent(rem)
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        val l1F = Future(LinkageCascade.predict(ref, zadj, z1, config)
           .withColumn("pass", lit(z1.name))
-          .localCheckpoint()
-        val rem2 = rem.join(l1.select("rec_id"), Seq("rec_id"), "left_anti")
-        val l2 = LinkageCascade.predict(ref, LinkageCascade.zip3Adjacent(rem2),
-            z2, config)
+          .localCheckpoint())
+        val l2F = Future(LinkageCascade.predict(ref, zadj, z2, config)
           .withColumn("pass", lit(z2.name))
+          .localCheckpoint())
+        val l1 = Await.result(l1F, Duration.Inf)
+        val l2 = Await.result(l2F, Duration.Inf)
+          .join(l1.select("rec_id"), Seq("rec_id"), "left_anti")
         l1.unionByName(l2)
           .select(col("pik"), col("rec_id"),
             round(col("match_weight"), 6).as("mw"), col("pass"))
